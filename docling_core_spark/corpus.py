@@ -1,0 +1,230 @@
+"""Deterministic synthetic interleaved-document corpus.
+
+Generates the driver-shaped input table (BASELINE.json input_hint):
+
+    documents(doc_id string,
+              spans array<struct<kind,text,media_ref,offset:int>>)
+
+Each document is a pure function of (seed, doc_index): generation uses
+``random.Random`` seeded per document, so the same rows can be produced
+independently on any executor (mapInPandas over an index range - no
+shuffle, no driver-side materialization) and in plain Python for the
+oracle tests.
+
+The span mix follows FIXTURES.md §1's size profile and deliberately
+exercises every parity-sensitive serializer path: nested/enumerated
+lists with odd markers, inline groups, OTSL tables with header flags and
+row/col spans, captions bound to pictures & tables, code/formula items,
+furniture spans, page breaks, underscores and HTML-escapable characters
+in text.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Optional
+
+_WORDS = (
+    "data pipeline span document chunk table figure caption heading "
+    "serialization traversal markdown export token budget window merge "
+    "split engine spark parquet iceberg shuffle partition skew salt "
+    "broadcast join filter project aggregate stream batch arrow pandas "
+    "vector column row cell grid header footer body furniture layer "
+    "analysis under_score score alpha beta gamma delta epsilon http "
+    "a an the of to in for with on by and or is are was były naïve"
+).split()
+
+_MARKERS = ["", "", "", "-", "*", "1.", "2.", "(1)", "a)", "i.", "•", "⁃"]
+
+_HTML_SPICE = ["AT&T", "<tag>", "x < y", "a > b", "A&B", "q&a"]
+
+
+def _words(rng: random.Random, lo: int, hi: int) -> str:
+    n = rng.randint(lo, hi)
+    ws = [rng.choice(_WORDS) for _ in range(n)]
+    if rng.random() < 0.08:
+        ws[rng.randrange(len(ws))] = rng.choice(_HTML_SPICE)
+    return " ".join(ws)
+
+
+def _otsl_sanitize(text: str) -> str:
+    """OTSL invariant: cell payloads must not contain raw angle brackets
+    (the token grammar <...> cannot escape them; the reference parser
+    crashes on e.g. 'x < y' in a cell - utils.py:96-134)."""
+    return text.replace("<", "(").replace(">", ")")
+
+
+def _otsl_table(rng: random.Random) -> str:
+    """Random OTSL stream: optional header row, occasional spans and
+    empty cells, numeric columns to exercise md-table numparse."""
+    nrows = rng.randint(2, 6)
+    ncols = rng.randint(2, 5)
+    with_header = rng.random() < 0.7
+    numeric_cols = {j for j in range(ncols) if rng.random() < 0.3}
+    # build an occupancy grid for span placement
+    owner = [[None] * ncols for _ in range(nrows)]
+    cells: List[dict] = []
+    for i in range(nrows):
+        for j in range(ncols):
+            if owner[i][j] is not None:
+                continue
+            rs = cs = 1
+            if rng.random() < 0.12 and i >= (1 if with_header else 0):
+                if rng.random() < 0.5 and j + 1 < ncols and owner[i][j + 1] is None:
+                    cs = 2
+                elif i + 1 < nrows:
+                    rs = 2
+            if i == 0 and with_header:
+                text = f"col {j}" if rng.random() < 0.8 else ""
+            elif j in numeric_cols and not (i == 0 and with_header):
+                text = (str(rng.randint(0, 9999)) if rng.random() < 0.6
+                        else f"{rng.uniform(0, 100):.2f}")
+            else:
+                text = _otsl_sanitize(_words(rng, 1, 4)) if rng.random() < 0.9 else ""
+            c = {"text": text, "sr": i, "er": i + rs, "sc": j, "ec": j + cs,
+                 "ched": i == 0 and with_header and bool(text),
+                 "rhed": j == 0 and rng.random() < 0.15 and bool(text)
+                         and not (i == 0 and with_header)}
+            cells.append(c)
+            for ii in range(i, min(i + rs, nrows)):
+                for jj in range(j, min(j + cs, ncols)):
+                    owner[ii][jj] = c
+    # encode (mirrors model/otsl.py encode_otsl semantics)
+    body: List[str] = []
+    for i in range(nrows):
+        for j in range(ncols):
+            c = owner[i][j]
+            if c["sr"] == i and c["sc"] == j:
+                t = c["text"].strip()
+                if t:
+                    if c["ched"]:
+                        body.append("<ched>")
+                    elif c["rhed"]:
+                        body.append("<rhed>")
+                    else:
+                        body.append("<fcel>")
+                    body.append(t)
+                else:
+                    body.append("<ecel>")
+            else:
+                cross = False
+                if c["sr"] != i:
+                    if c["ec"] - c["sc"] == 1:
+                        body.append("<ucel>")
+                    else:
+                        cross = True
+                if c["sc"] != j:
+                    if c["er"] - c["sr"] == 1:
+                        body.append("<lcel>")
+                    else:
+                        cross = True
+                if cross:
+                    body.append("<xcel>")
+        body.append("<nl>")
+    return "".join(body)
+
+
+def gen_doc_spans(doc_index: int, seed: int = 42,
+                  mega_every: Optional[int] = None) -> List[Dict]:
+    """Spans for one document; pure function of (seed, doc_index)."""
+    rng = random.Random((seed << 32) ^ doc_index)
+    spans: List[Dict] = []
+    off = 0
+    media_i = 0
+    page = 1
+
+    def emit(kind: str, text: str = "", media_ref: str = "") -> None:
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                      "offset": off})
+        off += 1
+
+    n_blocks = rng.randint(8, 40)
+    if mega_every and doc_index % mega_every == mega_every - 1:
+        n_blocks = rng.randint(2000, 5000)  # skew tail (FIXTURES §1)
+
+    if rng.random() < 0.3:
+        emit("furniture:page_header", _words(rng, 2, 5))
+    if rng.random() < 0.8:
+        emit("title", _words(rng, 2, 6).title())
+
+    open_levels = [0]
+    for _b in range(n_blocks):
+        r = rng.random()
+        if r < 0.10:
+            lvl = rng.randint(1, 4)
+            emit(f"section_header:{lvl}", _words(rng, 2, 6).title())
+        elif r < 0.50:
+            emit(rng.choice(("text", "paragraph")), _words(rng, 4, 60))
+        elif r < 0.68:
+            # list group, possibly nested / enumerated / inline-merged
+            emit("list_group")
+            enum = rng.random() < 0.4
+            for _i in range(rng.randint(1, 6)):
+                marker = rng.choice(_MARKERS)
+                if enum:
+                    emit(f"list_item:enum:{marker}" if marker
+                         else "list_item:enum", _words(rng, 2, 12))
+                elif marker:
+                    emit(f"list_item:plain:{marker}", _words(rng, 2, 12))
+                else:
+                    emit("list_item", _words(rng, 2, 12))
+                if rng.random() < 0.15:
+                    emit("list_group")
+                    for _k in range(rng.randint(1, 3)):
+                        emit("list_item", _words(rng, 2, 8))
+                    emit("end_group")
+            if rng.random() < 0.10:
+                emit("inline_group")
+                for _k in range(rng.randint(2, 4)):
+                    emit("text", _words(rng, 1, 4))
+                emit("end_group")
+            emit("end_group")
+        elif r < 0.74:
+            emit("inline_group")
+            for _k in range(rng.randint(2, 5)):
+                pick = rng.random()
+                if pick < 0.7:
+                    emit("text", _words(rng, 2, 8))
+                elif pick < 0.85:
+                    emit("code", _words(rng, 1, 4))
+                else:
+                    emit("formula", "E = mc^2")
+            emit("end_group")
+        elif r < 0.80:
+            emit("code", f"def f_{doc_index}():\n    return {_words(rng, 1, 3)!r}")
+        elif r < 0.84:
+            if rng.random() < 0.8:
+                emit("formula", "\\sum_i x_i^2")
+            else:
+                emit("formula", "", "orig-present" if rng.random() < 0.5 else "")
+        elif r < 0.92:
+            mref = f"img_{doc_index:06d}_{media_i:03d}"
+            media_i += 1
+            emit("picture", "", mref)
+            if rng.random() < 0.5:
+                emit(f"caption:{mref}", f"Figure {media_i}: " + _words(rng, 3, 10))
+        else:
+            mref = f"tbl_{doc_index:06d}_{media_i:03d}"
+            media_i += 1
+            emit("table", _otsl_table(rng), mref)
+            if rng.random() < 0.4:
+                emit(f"caption:{mref}", f"Table {media_i}: " + _words(rng, 3, 10))
+        if rng.random() < 0.08:
+            page += 1
+            emit(f"page_break:{page}")
+    del open_levels
+
+    if rng.random() < 0.2:
+        emit("furniture:page_footer", _words(rng, 1, 4))
+    return spans
+
+
+def gen_corpus(n_docs: int, seed: int = 42,
+               mega_every: Optional[int] = None) -> List[Dict]:
+    """Driver-shaped rows: [{doc_id, spans}, ...]."""
+    return [
+        {"doc_id": f"doc_{i:012d}",
+         "spans": gen_doc_spans(i, seed=seed, mega_every=mega_every)}
+        for i in range(n_docs)
+    ]

@@ -1,0 +1,158 @@
+"""Lightweight in-memory document tree.
+
+Re-expresses the reference's pooled, RefItem-linked ``DoclingDocument``
+(docling_core/types/doc/document.py:1954) as a plain-Python tree built
+per row inside a pandas UDF. There is no JSON-pointer indirection: a
+node holds direct child references; identity for parity bookkeeping is
+the span ``offset`` the node came from.
+
+Reproduced behaviors (cites are reference file:line for parity review):
+* depth-first traversal with content-layer filter and picture-children
+  skip (document.py:4062-4149)
+* caption linkage: floating items (table/picture/code) reference their
+  caption text items, which are suppressed as standalone items during
+  serialization (serializer/common.py:224-237, 340-343)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+# content layers (document.py:928-938); default export layer is BODY
+LAYER_BODY = "body"
+LAYER_FURNITURE = "furniture"
+
+# node kinds (maps to reference labels / group types)
+K_BODY = "body"
+K_LIST_GROUP = "list_group"
+K_INLINE_GROUP = "inline_group"
+K_TITLE = "title"
+K_SECTION_HEADER = "section_header"
+K_TEXT = "text"
+K_LIST_ITEM = "list_item"
+K_CODE = "code"
+K_FORMULA = "formula"
+K_PICTURE = "picture"
+K_TABLE = "table"
+K_CAPTION = "caption"
+
+GROUP_KINDS = (K_BODY, K_LIST_GROUP, K_INLINE_GROUP)
+# kinds the serializer treats as floating items w/ captions
+FLOATING_KINDS = (K_PICTURE, K_TABLE, K_CODE)
+TEXT_KINDS = (K_TITLE, K_SECTION_HEADER, K_TEXT, K_LIST_ITEM, K_CODE,
+              K_FORMULA, K_CAPTION)
+
+
+class Node:
+    """One document tree node (NodeItem analogue, document.py:941-950)."""
+
+    __slots__ = (
+        "kind", "label", "level", "text", "media_ref", "marker",
+        "enumerated", "offset", "children", "parent", "captions",
+        "page_no", "layer", "orig",
+    )
+
+    def __init__(
+        self,
+        kind: str,
+        text: str = "",
+        media_ref: str = "",
+        offset: int = -1,
+        level: int = 1,
+        marker: str = "",
+        enumerated: bool = False,
+        layer: str = LAYER_BODY,
+        page_no: int = 1,
+        label: Optional[str] = None,
+        orig: str = "",
+    ) -> None:
+        self.kind = kind
+        self.label = label if label is not None else kind
+        self.level = level
+        self.text = text
+        self.media_ref = media_ref
+        self.marker = marker
+        self.enumerated = enumerated
+        self.offset = offset
+        self.children: List[Node] = []
+        self.parent: Optional[Node] = None
+        self.captions: List[Node] = []  # caption nodes owned by this floating item
+        self.page_no = page_no
+        self.layer = layer
+        self.orig = orig
+
+    # --- tree helpers -------------------------------------------------
+    def add_child(self, child: "Node") -> "Node":
+        child.parent = self
+        self.children.append(child)
+        return child
+
+    @property
+    def is_group(self) -> bool:
+        return self.kind in GROUP_KINDS
+
+    def first_item_is_enumerated(self) -> bool:
+        """ListGroup.first_item_is_enumerated (document.py:1060-1069)."""
+        if self.children:
+            c = self.children[0]
+            if c.kind == K_LIST_ITEM:
+                return c.enumerated
+        return False
+
+    def __repr__(self) -> str:  # pragma: no cover - debug only
+        return f"Node({self.kind!r}, off={self.offset}, text={self.text[:20]!r})"
+
+
+class Doc:
+    """One document: a body tree plus caption back-links.
+
+    ``iterate_items`` mirrors DoclingDocument.iterate_items semantics
+    (document.py:4062-4149): pre-order DFS, groups yielded only when
+    ``with_groups``, content-layer filter, children of pictures skipped
+    unless they are the picture's own captions.
+    """
+
+    __slots__ = ("doc_id", "body", "caption_owner")
+
+    def __init__(self, doc_id: str = "") -> None:
+        self.doc_id = doc_id
+        self.body = Node(K_BODY)
+        # node -> owning floating node, for caption suppression
+        self.caption_owner: dict = {}
+
+    def iterate_items(
+        self,
+        root: Optional[Node] = None,
+        with_groups: bool = False,
+        layers: Tuple[str, ...] = (LAYER_BODY,),
+        page_no: Optional[int] = None,
+    ) -> Iterator[Tuple[Node, int]]:
+        """Pre-order DFS yielding (node, level). Iterative (no recursion
+        limit risk; cf. SURVEY §4.2 hazard 2)."""
+        start = root if root is not None else self.body
+        # stack of (node, level, yielded_flag) entries; emulate the
+        # recursive generator in document.py:4081-4149
+        stack: List[Tuple[Node, int]] = [(start, 0)]
+        while stack:
+            node, lvl = stack.pop()
+            should_yield = (
+                (not node.is_group or with_groups)
+                and node.layer in layers
+                and (page_no is None or node.kind in GROUP_KINDS
+                     or node.page_no == page_no)
+            )
+            if should_yield:
+                yield node, lvl
+            kids = node.children
+            if node.kind == K_PICTURE:
+                # skip picture children except its own captions
+                # (document.py:4124-4136)
+                allowed = set(id(c) for c in node.captions)
+                kids = [c for c in kids if id(c) in allowed]
+            for c in reversed(kids):
+                stack.append((c, lvl + 1))
+
+    def captions_of_some_item(self) -> set:
+        """ids of nodes that caption a floating item
+        (serializer/common.py:224-237)."""
+        return set(self.caption_owner.keys())

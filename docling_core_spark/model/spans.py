@@ -1,0 +1,200 @@
+"""Span codec: flat interleaved span sequence <-> document tree.
+
+The driver's input table (BASELINE.json input_hint) stores each document
+as ``spans: array<struct<kind, text, media_ref, offset>>`` - a pre-order
+serialization of the reference's document tree. The ``kind`` grammar is
+frozen in /root/repo/FIXTURES.md §1:
+
+    title | section_header:L | text | paragraph |
+    list_group | inline_group | end_group |
+    list_item | list_item:enum | list_item:enum:MARKER |
+    code | formula | picture | table | caption:MREF |
+    page_break:P | furniture:page_header | furniture:page_footer
+
+``table`` spans carry the OTSL cell stream in ``text`` (cf. reference
+export_to_otsl, document.py:1674-1765) and a table id in ``media_ref``.
+``caption:MREF`` spans bind caption text to the floating item whose
+``media_ref`` equals MREF (cf. FloatingItem.captions, document.py:1315).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from docling_core_spark.model.doc import (
+    FLOATING_KINDS,
+    K_CAPTION,
+    K_CODE,
+    K_FORMULA,
+    K_INLINE_GROUP,
+    K_LIST_GROUP,
+    K_LIST_ITEM,
+    K_PICTURE,
+    K_SECTION_HEADER,
+    K_TABLE,
+    K_TEXT,
+    K_TITLE,
+    LAYER_BODY,
+    LAYER_FURNITURE,
+    Doc,
+    Node,
+)
+
+Span = Tuple[str, str, str, int]  # (kind, text, media_ref, offset)
+
+
+def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
+    """Rebuild the document tree from its span sequence.
+
+    Mirrors the reference's append-only builder ops add_text/add_table/
+    add_picture/add_list_group/... (document.py:2407-3045) driven by the
+    pre-order span stream.
+    """
+    doc = Doc(doc_id)
+    container: Node = doc.body
+    group_stack: List[Node] = []
+    page = 1
+    floating_by_ref: Dict[str, Node] = {}
+
+    ordered = sorted(spans, key=lambda s: s[3])
+    for kind, text, media_ref, offset in ordered:
+        text = text or ""
+        media_ref = media_ref or ""
+        if kind == "end_group":
+            if group_stack:
+                group_stack.pop()
+                container = group_stack[-1] if group_stack else doc.body
+            continue
+        if kind.startswith("page_break"):
+            try:
+                page = int(kind.split(":", 1)[1])
+            except (IndexError, ValueError):
+                page += 1
+            continue
+        if kind == "list_group" or kind == "inline_group":
+            g = Node(K_LIST_GROUP if kind == "list_group" else K_INLINE_GROUP,
+                     offset=offset, page_no=page)
+            container.add_child(g)
+            group_stack.append(g)
+            container = g
+            continue
+
+        node: Optional[Node] = None
+        if kind == "title":
+            node = Node(K_TITLE, text=text, offset=offset, page_no=page)
+        elif kind.startswith("section_header"):
+            try:
+                lvl = int(kind.split(":", 1)[1])
+            except (IndexError, ValueError):
+                lvl = 1
+            node = Node(K_SECTION_HEADER, text=text, offset=offset,
+                        level=lvl, page_no=page)
+        elif kind in ("text", "paragraph"):
+            node = Node(K_TEXT, text=text, offset=offset, page_no=page,
+                        label=kind)
+        elif kind.startswith("list_item"):
+            # list_item | list_item:enum[:MARKER] | list_item:plain:MARKER
+            parts = kind.split(":", 2)
+            enumerated = len(parts) > 1 and parts[1] == "enum"
+            marker = parts[2] if len(parts) > 2 else ""
+            node = Node(K_LIST_ITEM, text=text, offset=offset, page_no=page,
+                        enumerated=enumerated, marker=marker)
+        elif kind == "code":
+            node = Node(K_CODE, text=text, media_ref=media_ref,
+                        offset=offset, page_no=page)
+        elif kind == "formula":
+            node = Node(K_FORMULA, text=text, offset=offset, page_no=page,
+                        orig=media_ref)  # orig used for formula fallback
+        elif kind == "picture":
+            node = Node(K_PICTURE, media_ref=media_ref, offset=offset,
+                        page_no=page)
+        elif kind == "table":
+            node = Node(K_TABLE, text=text, media_ref=media_ref,
+                        offset=offset, page_no=page)
+        elif kind.startswith("caption"):
+            mref = kind.split(":", 1)[1] if ":" in kind else media_ref
+            node = Node(K_CAPTION, text=text, offset=offset, page_no=page,
+                        label="caption")
+            owner = floating_by_ref.get(mref)
+            if owner is not None:
+                owner.captions.append(node)
+                doc.caption_owner[id(node)] = owner
+        elif kind.startswith("furniture"):
+            sub = kind.split(":", 1)[1] if ":" in kind else "page_header"
+            node = Node(K_TEXT, text=text, offset=offset, page_no=page,
+                        label=sub, layer=LAYER_FURNITURE)
+        else:  # unknown kind: treat as plain text (forward compat)
+            node = Node(K_TEXT, text=text, offset=offset, page_no=page)
+
+        container.add_child(node)
+        if node.kind in FLOATING_KINDS and media_ref:
+            floating_by_ref[media_ref] = node
+    return doc
+
+
+def spans_from_doc(doc: Doc) -> List[dict]:
+    """Flatten a tree back to span rows (used by fixture converters)."""
+    out: List[dict] = []
+    off = 0
+    prev_page: Optional[int] = None
+
+    def emit(kind: str, text: str = "", media_ref: str = "") -> None:
+        nonlocal off
+        out.append({"kind": kind, "text": text, "media_ref": media_ref,
+                    "offset": off})
+        off += 1
+
+    def walk(node: Node) -> None:
+        nonlocal prev_page
+        for c in node.children:
+            if c.layer == LAYER_FURNITURE:
+                emit(f"furniture:{c.label}", c.text)
+                continue
+            if prev_page is not None and c.page_no > prev_page and not c.is_group:
+                emit(f"page_break:{c.page_no}")
+            if not c.is_group:
+                prev_page = c.page_no
+            if c.kind == K_LIST_GROUP:
+                emit("list_group")
+                walk(c)
+                emit("end_group")
+            elif c.kind == K_INLINE_GROUP:
+                emit("inline_group")
+                walk(c)
+                emit("end_group")
+            elif c.kind == K_TITLE:
+                emit("title", c.text)
+            elif c.kind == K_SECTION_HEADER:
+                emit(f"section_header:{c.level}", c.text)
+            elif c.kind == K_LIST_ITEM:
+                if c.enumerated and c.marker:
+                    emit(f"list_item:enum:{c.marker}", c.text)
+                elif c.enumerated:
+                    emit("list_item:enum", c.text)
+                elif c.marker:
+                    emit(f"list_item:plain:{c.marker}", c.text)
+                else:
+                    emit("list_item", c.text)
+                walk(c)
+            elif c.kind == K_CODE:
+                emit("code", c.text, c.media_ref)
+                for cap in c.captions:
+                    emit(f"caption:{c.media_ref}", cap.text)
+            elif c.kind == K_FORMULA:
+                emit("formula", c.text, c.orig)
+            elif c.kind == K_PICTURE:
+                emit("picture", "", c.media_ref)
+                for cap in c.captions:
+                    emit(f"caption:{c.media_ref}", cap.text)
+            elif c.kind == K_TABLE:
+                emit("table", c.text, c.media_ref)
+                for cap in c.captions:
+                    emit(f"caption:{c.media_ref}", cap.text)
+            elif c.kind == K_CAPTION:
+                continue  # emitted with owner
+            else:
+                emit(c.label if c.label in ("text", "paragraph") else "text",
+                     c.text)
+
+    walk(doc.body)
+    return out

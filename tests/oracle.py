@@ -1,0 +1,225 @@
+"""Test oracle: run the actual reference library on span-encoded docs.
+
+Builds a real ``DoclingDocument`` from a span sequence (the same codec
+contract as docling_core_spark.model.spans) and runs the reference's own
+chunkers/serializers on it. Parity tests then assert that this engine
+produces identical chunks/exports for the same spans.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import tests.refstubs  # noqa: F401  (must precede docling_core imports)
+
+from docling_core.types.doc.base import BoundingBox, Size
+from docling_core.types.doc.document import (
+    ContentLayer,
+    DoclingDocument,
+    ProvenanceItem,
+)
+from docling_core.types.doc.labels import DocItemLabel
+from docling_core.types.doc.utils import parse_otsl_table_content
+from docling_core.types.doc.document import TableData
+
+from docling_core_spark.chunking.tokenizer import RegexTokenizer
+
+
+def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str, int]]:
+    """spans -> DoclingDocument + (self_ref -> span offset) map."""
+    doc = DoclingDocument(name=doc_id)
+    ref_to_offset: Dict[str, int] = {}
+    container = doc.body
+    group_stack: list = []
+    page = 1
+    pages_seen = set()
+    floating_by_ref: dict = {}
+
+    def prov(text: str = "") -> ProvenanceItem:
+        pages_seen.add(page)
+        return ProvenanceItem(
+            page_no=page,
+            bbox=BoundingBox(l=0.0, t=0.0, r=1.0, b=1.0),
+            charspan=(0, len(text)),
+        )
+
+    for span in sorted(spans, key=lambda s: s["offset"]):
+        kind = span["kind"]
+        text = span.get("text") or ""
+        media_ref = span.get("media_ref") or ""
+        offset = span["offset"]
+        item = None
+        if kind == "end_group":
+            if group_stack:
+                group_stack.pop()
+                container = group_stack[-1] if group_stack else doc.body
+            continue
+        elif kind.startswith("page_break"):
+            try:
+                page = int(kind.split(":", 1)[1])
+            except (IndexError, ValueError):
+                page += 1
+            continue
+        elif kind == "list_group":
+            item = doc.add_list_group(parent=container)
+            group_stack.append(item)
+            container = item
+        elif kind == "inline_group":
+            item = doc.add_inline_group(parent=container)
+            group_stack.append(item)
+            container = item
+        elif kind == "title":
+            item = doc.add_title(text=text, parent=container, prov=prov(text))
+        elif kind.startswith("section_header"):
+            try:
+                lvl = int(kind.split(":", 1)[1])
+            except (IndexError, ValueError):
+                lvl = 1
+            item = doc.add_heading(text=text, level=lvl, parent=container,
+                                   prov=prov(text))
+        elif kind in ("text", "paragraph"):
+            label = (DocItemLabel.TEXT if kind == "text"
+                     else DocItemLabel.PARAGRAPH)
+            item = doc.add_text(label=label, text=text, parent=container,
+                                prov=prov(text))
+        elif kind.startswith("list_item"):
+            parts = kind.split(":", 2)
+            enumerated = len(parts) > 1 and parts[1] == "enum"
+            marker = parts[2] if len(parts) > 2 else ""
+            item = doc.add_list_item(text=text, enumerated=enumerated,
+                                     marker=marker or None, parent=container,
+                                     prov=prov(text))
+        elif kind == "code":
+            item = doc.add_code(text=text, parent=container, prov=prov(text))
+            if media_ref:
+                floating_by_ref[media_ref] = item
+        elif kind == "formula":
+            item = doc.add_formula(text=text, parent=container,
+                                   prov=prov(text))
+            if media_ref:  # codec: media_ref carries "orig present" flag
+                item.orig = media_ref
+        elif kind == "picture":
+            item = doc.add_picture(parent=container, prov=prov())
+            if media_ref:
+                floating_by_ref[media_ref] = item
+        elif kind == "table":
+            data = (parse_otsl_table_content(text) if text
+                    else TableData(num_rows=0, num_cols=0, table_cells=[]))
+            _apply_otsl_header_flags(text, data)
+            item = doc.add_table(data=data, parent=container, prov=prov())
+            if media_ref:
+                floating_by_ref[media_ref] = item
+        elif kind.startswith("caption"):
+            mref = kind.split(":", 1)[1] if ":" in kind else media_ref
+            item = doc.add_text(label=DocItemLabel.CAPTION, text=text,
+                                parent=container, prov=prov(text))
+            owner = floating_by_ref.get(mref)
+            if owner is not None:
+                owner.captions.append(item.get_ref())
+        elif kind.startswith("furniture"):
+            sub = kind.split(":", 1)[1] if ":" in kind else "page_header"
+            label = (DocItemLabel.PAGE_HEADER if sub == "page_header"
+                     else DocItemLabel.PAGE_FOOTER)
+            item = doc.add_text(label=label, text=text, parent=container,
+                                prov=prov(text),
+                                content_layer=ContentLayer.FURNITURE)
+        else:
+            item = doc.add_text(label=DocItemLabel.TEXT, text=text,
+                                parent=container, prov=prov(text))
+
+        if item is not None:
+            ref_to_offset[item.self_ref] = offset
+
+    for p in sorted(pages_seen):
+        doc.add_page(page_no=p, size=Size(width=612.0, height=792.0),
+                     metadata={})
+    return doc, ref_to_offset
+
+
+def _apply_otsl_header_flags(otsl: str, data: "TableData") -> None:
+    """The reference OTSL parser drops ched/rhed/srow semantics
+    (utils.py:236-252); docs loaded from JSON keep them. Our span codec
+    preserves them, so re-apply the flags the encoder wrote."""
+    import re
+
+    toks = [t for t in re.findall(r"<[^>]+>", otsl)
+            if t in ("<fcel>", "<ecel>", "<lcel>", "<ucel>", "<xcel>",
+                     "<nl>", "<ched>", "<rhed>", "<srow>")]
+    flags = [t for t in toks if t in ("<fcel>", "<ched>", "<rhed>", "<srow>")]
+    # cells appear in parse order (non-ecel openers); ecel cells also in
+    # table_cells, aligned with openers incl. <ecel>
+    openers = [t for t in toks if t in ("<fcel>", "<ecel>", "<ched>",
+                                        "<rhed>", "<srow>")]
+    del flags
+    for cell, opener in zip(data.table_cells, openers):
+        cell.column_header = opener == "<ched>"
+        cell.row_header = opener == "<rhed>"
+        cell.row_section = opener == "<srow>"
+
+
+class OracleTokenizer:
+    """BaseTokenizer-compatible deterministic tokenizer (the pydantic
+    base class is bypassed via duck typing where possible)."""
+
+    def __new__(cls, max_tokens: int = 512):
+        # construct a real BaseTokenizer subclass instance so pydantic
+        # validation in HybridChunker accepts it
+        from docling_core.transforms.chunker.tokenizer.base import BaseTokenizer
+
+        class _Tok(BaseTokenizer):
+            max_tokens: int = 512
+
+            def count_tokens(self, text: str) -> int:
+                return RegexTokenizer(self.max_tokens).count_tokens(text)
+
+            def get_max_tokens(self) -> int:
+                return self.max_tokens
+
+            def get_tokenizer(self):
+                return RegexTokenizer(self.max_tokens)
+
+        return _Tok(max_tokens=max_tokens)
+
+
+def reference_hierarchical_chunks(doc: DoclingDocument,
+                                  ref_to_offset: Dict[str, int]
+                                  ) -> List[Tuple[str, Optional[List[str]], List[int]]]:
+    from docling_core.transforms.chunker.hierarchical_chunker import (
+        HierarchicalChunker,
+    )
+
+    out = []
+    for c in HierarchicalChunker().chunk(doc):
+        out.append((
+            c.text,
+            list(c.meta.headings) if c.meta.headings else None,
+            [ref_to_offset[it.self_ref] for it in c.meta.doc_items],
+        ))
+    return out
+
+
+def reference_hybrid_chunks(doc: DoclingDocument,
+                            ref_to_offset: Dict[str, int],
+                            max_tokens: int = 64,
+                            merge_peers: bool = True
+                            ) -> List[Tuple[str, Optional[List[str]], List[int]]]:
+    from docling_core.transforms.chunker.hybrid_chunker import HybridChunker
+
+    chunker = HybridChunker(tokenizer=OracleTokenizer(max_tokens=max_tokens),
+                            merge_peers=merge_peers)
+    out = []
+    for c in chunker.chunk(doc):
+        out.append((
+            c.text,
+            list(c.meta.headings) if c.meta.headings else None,
+            [ref_to_offset[it.self_ref] for it in c.meta.doc_items],
+        ))
+    return out
+
+
+def reference_markdown(doc: DoclingDocument, **kw) -> str:
+    return doc.export_to_markdown(**kw)
+
+
+def reference_text(doc: DoclingDocument, **kw) -> str:
+    return doc.export_to_text(**kw)

@@ -1,0 +1,59 @@
+"""Markdown / text export parity vs. the live reference library."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import build_doc, reference_markdown, reference_text
+
+from docling_core_spark.corpus import gen_doc_spans
+from docling_core_spark.model.spans import doc_from_spans
+from docling_core_spark.serializers.markdown import (
+    export_to_markdown,
+    export_to_text,
+)
+
+N_DOCS = 60
+
+
+def _doc(i):
+    spans = gen_doc_spans(i, seed=42)
+    engine_doc = doc_from_spans(f"doc_{i}", [
+        (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])
+    ref_doc, _ = build_doc(f"doc_{i}", spans)
+    return engine_doc, ref_doc
+
+
+@pytest.mark.parametrize("i", range(N_DOCS))
+def test_markdown_parity(i):
+    engine_doc, ref_doc = _doc(i)
+    assert export_to_markdown(engine_doc) == reference_markdown(ref_doc)
+
+
+@pytest.mark.parametrize("i", range(N_DOCS))
+def test_text_parity(i):
+    engine_doc, ref_doc = _doc(i)
+    assert export_to_text(engine_doc) == reference_text(ref_doc)
+
+
+@pytest.mark.parametrize("i", range(0, N_DOCS, 3))
+def test_paged_markdown_parity(i):
+    engine_doc, ref_doc = _doc(i)
+    assert export_to_markdown(
+        engine_doc, page_break_placeholder="<!-- page break -->"
+    ) == reference_markdown(
+        ref_doc, page_break_placeholder="<!-- page break -->")
+
+
+@pytest.mark.parametrize("i", range(0, N_DOCS, 5))
+def test_sliced_markdown_parity(i):
+    engine_doc, ref_doc = _doc(i)
+    assert export_to_markdown(engine_doc, start_idx=3, stop_idx=17) == \
+        reference_markdown(ref_doc, from_element=3, to_element=17)
+
+
+@pytest.mark.parametrize("i", range(0, N_DOCS, 5))
+def test_page_filter_markdown_parity(i):
+    engine_doc, ref_doc = _doc(i)
+    assert export_to_markdown(engine_doc, pages={2}) == \
+        reference_markdown(ref_doc, page_no=2)
