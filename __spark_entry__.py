@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (hybrid token-aware
+chunking of the deterministic synthetic interleaved-span corpus) and
+returns the chunk DataFrame. ``queries()`` exposes every implemented
+operator (SURVEY.md §2); ``oracle_sql()`` gives DuckDB-checkable SQL
+for the relational/training-data subset. The document-engine queries
+(tree reconstruction + chunking) are not SQL-expressible; their
+correctness gate is tests/test_chunk_parity.py - span-sequence
+equality against the live reference library.
 """
 
 from __future__ import annotations
@@ -15,24 +18,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: hybrid chunking over the synthetic span corpus sized
+    for sf0.001 (driver smoke-checks rows>0 and a stable schema)."""
+    from docling_core_spark.engine import chunk_documents, synth_documents
+
+    docs = synth_documents(spark, n_docs=50, seed=42)
+    return chunk_documents(docs, mode="hybrid", max_tokens=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from docling_core_spark.queries import registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return registry()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each SQL-expressible query."""
+    from docling_core_spark.queries import oracles
+
+    return oracles()

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Metric (BASELINE.json): docs/sec hybrid-chunking throughput on the
+synthetic interleaved-span corpus, plus per-query wall times for the
+registered operators. Scaling-efficiency evidence (N vs 4N) is produced
+by bench_scaling.py and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from docling_core_spark.engine import chunk_documents, synth_documents
+    from docling_core_spark.queries import corpus_docs_for, registry
+    from docling_core_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{sf_name}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_docs = corpus_docs_for(sf_dir)
+    times: dict[str, float] = {}
+
+    # warm up JVM + python workers (excluded from timings)
+    synth_documents(spark, 32, seed=42).count()
+
+    # headline: hybrid chunking docs/sec
+    t0 = time.perf_counter()
+    docs = synth_documents(spark, n_docs, seed=42)
+    n_chunks = chunk_documents(docs, mode="hybrid", max_tokens=64).count()
+    chunk_secs = time.perf_counter() - t0
+    times["chunks_hybrid"] = round(chunk_secs, 3)
+
+    reg = registry()
+    for name, fn in reg.items():
+        if name == "chunks_hybrid":
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # pragma: no cover
+            times[name] = -1.0
+            print(f"# bench error in {name}: {exc}", file=sys.stderr)
+
+    docs_per_sec = n_docs / chunk_secs if chunk_secs > 0 else 0.0
+    print(json.dumps({
+        "metric": "docs_per_sec_hybrid_chunking",
+        "value": round(docs_per_sec, 2),
+        "unit": "docs/sec",
+        "queries": times,
+        "sf": sf_name,
+        "n_docs": n_docs,
+        "n_chunks": n_chunks,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,321 @@
+"""Query registry for the driver contract (__spark_entry__.py).
+
+Two families:
+
+* engine queries - the document pipeline itself (chunking, exports)
+  over the deterministic synthetic span corpus. Not SQL-expressible
+  (tree reconstruction + stateful chunking), so no oracle entry: the
+  strong correctness gate for these is tests/test_chunk_parity.py
+  (span-sequence equality vs. the live reference library).
+* relational / training-data queries - plain DataFrame ops over the
+  driver's parquet tables, each with an ANSI-SQL DuckDB oracle.
+  Conventions for hash-stable comparison: every computed column is
+  aliased identically on both sides, float aggregates are rounded,
+  integer aggregates are cast to BIGINT.
+
+Scale notes are inline per query (broadcasts, aggregate pushdown).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_core_spark.engine import (
+    chunk_documents,
+    doc_stats,
+    export_documents,
+    synth_documents,
+)
+
+# corpus sizing: ~5000 docs per sf unit keeps bench meaningful but quick
+_SF_DOCS = {"sf0.001": 50, "sf0.01": 500, "sf0.1": 5000}
+
+
+def corpus_docs_for(sf_dir: str) -> int:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return _SF_DOCS.get(base, 500)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ----------------------------------------------------------------------
+# engine queries (document pipeline; rows-only driver check)
+# ----------------------------------------------------------------------
+
+def q_chunks_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_documents(spark, corpus_docs_for(sf_dir), seed=42)
+    return chunk_documents(docs, mode="hybrid", max_tokens=64)
+
+
+def q_chunks_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_documents(spark, corpus_docs_for(sf_dir), seed=42)
+    return chunk_documents(docs, mode="hier")
+
+
+def q_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_documents(spark, corpus_docs_for(sf_dir), seed=42)
+    return export_documents(docs, fmt="md")
+
+
+def q_doc_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = synth_documents(spark, corpus_docs_for(sf_dir), seed=42)
+    return doc_stats(docs)
+
+
+# ----------------------------------------------------------------------
+# relational queries with DuckDB oracles
+# ----------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analogue. Aggregation is partial+final (map-side
+    combine); filter + column pruning push into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       ROUND(AVG(l_quantity), 2)                            AS avg_qty,
+       ROUND(AVG(l_discount), 4)                            AS avg_disc,
+       COUNT(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation: small dims are broadcast so only the orders
+    scan streams (no shuffle on the big side at 100 TB)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_name")
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*)                    AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"),
+             F.round(F.avg("value"), 4).alias("avg_value"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type,
+       COUNT(*)                       AS n_events,
+       ROUND(SUM(value), 2)           AS sum_value,
+       ROUND(AVG(value), 4)           AS avg_value,
+       COUNT(DISTINCT user_id)        AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rollup; at scale this is the canonical map-side-combine
+    aggregation keyed on a high-cardinality column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("event_type").alias("n_types"),
+             F.round(F.max("value"), 4).alias("max_value"))
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_ACTIVITY = """
+SELECT user_id,
+       COUNT(*)                 AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       ROUND(MAX(value), 4)     AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# -------------------- training-data pipeline ops ----------------------
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: groupBy md5(text). At 100 TB the
+    hash is computed in the scan projection (whole-stage codegen) and
+    the shuffle carries only (hash, 1) pairs after partial aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("text_hash")
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+ORDER BY text_hash
+"""
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+             F.sum("n_chars").cast("long").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+SQL_LANG_STATS = """
+SELECT lang,
+       COUNT(*)                       AS n_docs,
+       ROUND(AVG(n_chars), 2)         AS avg_chars,
+       CAST(SUM(n_chars) AS BIGINT)   AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting, fully JVM-side (no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long").alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars_exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+'))  AS n_tokens,
+       CAST(length(text) AS BIGINT)                AS n_chars_exact
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against the vec_id=0 embedding - the
+    exact baseline for ANN. The 1-row query side is broadcast; the big
+    side streams (one pass, no shuffle except the final top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"))
+    joined = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_embedding",
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    sim = dot / (norm(F.col("embedding")) * norm(F.col("q_embedding")))
+    return (
+        joined.select("vec_id", F.round(sim, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(20)
+    )
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(embedding, q_embedding), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 20
+"""
+
+
+# ----------------------------------------------------------------------
+def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # document engine (pytest parity gate; rows-only driver check)
+        "chunks_hybrid": q_chunks_hybrid,
+        "chunks_hierarchical": q_chunks_hierarchical,
+        "export_markdown": q_export_markdown,
+        "doc_pipeline_stats": q_doc_pipeline_stats,
+        # relational + training-data ops (DuckDB oracle)
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
+        "events_by_type": q_events_by_type,
+        "user_activity": q_user_activity,
+        "exact_dup_groups": q_exact_dup_groups,
+        "lang_stats": q_lang_stats,
+        "token_counts": q_token_counts,
+        "knn_cosine": q_knn_cosine,
+    }
+
+
+def oracles() -> Dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING_SUMMARY,
+        "nation_revenue": SQL_NATION_REVENUE,
+        "events_by_type": SQL_EVENTS_BY_TYPE,
+        "user_activity": SQL_USER_ACTIVITY,
+        "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+        "lang_stats": SQL_LANG_STATS,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "knn_cosine": SQL_KNN_COSINE,
+    }

@@ -1,0 +1,75 @@
+"""Driver-style oracle checks: each SQL-expressible query must match
+DuckDB on the same parquet tables (row count + column names + values),
+mimicking the driver's CORRECTNESS gate at sf0.01 (run here at sf0.001
+for speed; dtypes and semantics are identical)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con.execute(sql).fetch_df()
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    try:
+        import pandas as pd
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+    except Exception:
+        pass
+    return v
+
+
+def _normalize(df):
+    cols = sorted(df.columns)
+    rows = [tuple(_norm_cell(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    rows.sort(key=repr)
+    return cols, rows
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR).toPandas()
+    ddf = _duck(entry_mod.oracle_sql()[name])
+    scols, srows = _normalize(sdf)
+    dcols, drows = _normalize(ddf)
+    assert scols == dcols
+    assert len(srows) == len(drows)
+    assert srows == drows
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.limit(5).collect()
+    assert {"doc_id", "chunk_idx", "text", "headings",
+            "span_refs"} <= set(df.columns)
+    assert df.count() > 0
+    assert rows

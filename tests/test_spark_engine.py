@@ -1,0 +1,77 @@
+"""Spark pipeline tests: the distributed path must equal the pure-Python
+path row for row (Arrow round-trip + mapInPandas fusion), and corpus
+generation must be deterministic under any partitioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_core_spark.chunking.hierarchical import hierarchical_chunk
+from docling_core_spark.chunking.hybrid import hybrid_chunk
+from docling_core_spark.chunking.tokenizer import RegexTokenizer
+from docling_core_spark.corpus import gen_doc_spans
+from docling_core_spark.engine import (
+    chunk_documents,
+    doc_stats,
+    export_documents,
+    synth_documents,
+)
+from docling_core_spark.model.spans import doc_from_spans
+from docling_core_spark.serializers.markdown import export_to_markdown
+
+N = 24
+
+
+def _local_doc(i):
+    spans = gen_doc_spans(i, seed=42)
+    return doc_from_spans(f"doc_{i:012d}",
+                          [(s["kind"], s["text"], s["media_ref"],
+                            s["offset"]) for s in spans])
+
+
+def test_synth_deterministic_across_partitionings(spark):
+    a = synth_documents(spark, N, seed=42, partitions=1).collect()
+    b = synth_documents(spark, N, seed=42, partitions=7).collect()
+    ka = {r.doc_id: [tuple(s) for s in r.spans] for r in a}
+    kb = {r.doc_id: [tuple(s) for s in r.spans] for r in b}
+    assert ka == kb
+    assert len(ka) == N
+
+
+@pytest.mark.parametrize("mode", ["hybrid", "hier"])
+def test_spark_chunks_equal_local(spark, mode):
+    docs = synth_documents(spark, N, seed=42, partitions=5)
+    rows = chunk_documents(docs, mode=mode, max_tokens=64).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.text,
+             list(r.headings) if r.headings is not None else None,
+             list(r.span_refs)))
+    for v in got.values():
+        v.sort()
+    for i in range(N):
+        doc = _local_doc(i)
+        if mode == "hybrid":
+            chunks = hybrid_chunk(doc, tokenizer=RegexTokenizer(64))
+        else:
+            chunks = hierarchical_chunk(doc)
+        expected = [(ci, c.text, c.headings, c.offsets)
+                    for ci, c in enumerate(chunks)]
+        assert got.get(f"doc_{i:012d}", []) == expected
+
+
+def test_spark_export_equal_local(spark):
+    docs = synth_documents(spark, N, seed=42, partitions=3)
+    rows = {r.doc_id: r.text
+            for r in export_documents(docs, fmt="md").collect()}
+    for i in range(N):
+        assert rows[f"doc_{i:012d}"] == export_to_markdown(_local_doc(i))
+
+
+def test_doc_stats(spark):
+    docs = synth_documents(spark, N, seed=42, partitions=3)
+    stats = {r.doc_id: r for r in doc_stats(docs).collect()}
+    assert len(stats) == N
+    for r in stats.values():
+        assert r.n_spans > 0 and r.n_chunks >= 0
