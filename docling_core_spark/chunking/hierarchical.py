@@ -57,7 +57,7 @@ def contextualize(chunk: Chunk, delim: str = DFLT_DELIM) -> str:
     return delim.join(items)
 
 
-def hierarchical_chunk(doc: Doc) -> List[Chunk]:
+def hierarchical_chunk(doc: Doc, ser=None) -> List[Chunk]:
     """One pass over the document tree; returns chunks in reading order.
 
     Mirrors hierarchical_chunker.py:211-261 exactly:
@@ -67,7 +67,8 @@ def hierarchical_chunk(doc: Doc) -> List[Chunk]:
       the serializer so group members are consumed once)
     * empty-text and empty-doc-items chunks skipped (249-252)
     """
-    ser = chunking_serializer(doc)
+    if ser is None:
+        ser = chunking_serializer(doc)
     heading_by_level: dict = {}
     visited: set = set()
     excluded = ser.get_excluded_refs()

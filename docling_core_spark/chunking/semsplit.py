@@ -41,20 +41,32 @@ def _pick_splitter(text: str) -> Tuple[str, bool]:
 
 
 def recursive_split(text: str, max_tokens: int,
-                    count_tokens: Callable[[str], int]) -> List[str]:
+                    count_tokens: Callable[[str], int],
+                    separable: bool = False,
+                    _count: int = -1) -> List[str]:
     """Split ``text`` into pieces each counting <= max_tokens (best
-    effort; a single token longer than the budget passes through)."""
-    if count_tokens(text) <= max_tokens:
+    effort; a single token longer than the budget passes through).
+
+    ``separable=True`` asserts count(a + sep + b) == count(a) + count(b)
+    for the splitters used here (true for the whitespace-separable regex
+    tokenizer: splitters are whitespace runs or punctuation already
+    attached at piece boundaries). It turns the quadratic merge-loop
+    counting into running sums with IDENTICAL output.
+    """
+    total = _count if _count >= 0 else count_tokens(text)
+    if total <= max_tokens:
         return [text] if text else []
 
     splitter, is_ws = _pick_splitter(text)
     if not splitter:
-        # hard cut: bisect by characters
+        # hard cut: bisect by characters (counts not piece-separable)
         mid = len(text) // 2
         if mid == 0:
             return [text]
-        return (recursive_split(text[:mid], max_tokens, count_tokens)
-                + recursive_split(text[mid:], max_tokens, count_tokens))
+        return (recursive_split(text[:mid], max_tokens, count_tokens,
+                                separable)
+                + recursive_split(text[mid:], max_tokens, count_tokens,
+                                  separable))
 
     if is_ws:
         raw = text.split(splitter)
@@ -69,32 +81,56 @@ def recursive_split(text: str, max_tokens: int,
 
     # greedy merge of adjacent pieces while the merged piece fits
     merged: List[str] = []
-    cur = ""
-    for piece in raw:
-        if not piece:
-            continue
-        cand = cur + joiner + piece if cur else piece
-        if count_tokens(cand) <= max_tokens:
-            cur = cand
-        else:
-            if cur:
-                merged.append(cur)
-            cur = piece
-    if cur:
-        merged.append(cur)
+    merged_counts: List[int] = []
+    if separable:
+        pieces = [p for p in raw if p]
+        pcounts = [count_tokens(p) for p in pieces]
+        cur_parts: List[str] = []
+        cur_count = 0
+        for piece, pc in zip(pieces, pcounts):
+            if cur_parts and cur_count + pc > max_tokens:
+                merged.append(joiner.join(cur_parts))
+                merged_counts.append(cur_count)
+                cur_parts = [piece]
+                cur_count = pc
+            else:
+                cur_parts.append(piece)
+                cur_count += pc
+        if cur_parts:
+            merged.append(joiner.join(cur_parts))
+            merged_counts.append(cur_count)
+    else:
+        cur = ""
+        for piece in raw:
+            if not piece:
+                continue
+            cand = cur + joiner + piece if cur else piece
+            if count_tokens(cand) <= max_tokens:
+                cur = cand
+            else:
+                if cur:
+                    merged.append(cur)
+                cur = piece
+        if cur:
+            merged.append(cur)
+        merged_counts = [-1] * len(merged)
 
     if len(merged) == 1 and merged[0] == text:
         # no progress possible with this splitter: hard character cut
         mid = len(text) // 2
         if mid == 0:
             return [text]
-        return (recursive_split(text[:mid], max_tokens, count_tokens)
-                + recursive_split(text[mid:], max_tokens, count_tokens))
+        return (recursive_split(text[:mid], max_tokens, count_tokens,
+                                separable)
+                + recursive_split(text[mid:], max_tokens, count_tokens,
+                                  separable))
 
     out: List[str] = []
-    for m in merged:
-        if count_tokens(m) <= max_tokens:
+    for m, mc in zip(merged, merged_counts):
+        c = mc if mc >= 0 else count_tokens(m)
+        if c <= max_tokens:
             out.append(m)
         else:
-            out.extend(recursive_split(m, max_tokens, count_tokens))
+            out.extend(recursive_split(m, max_tokens, count_tokens,
+                                       separable, _count=c))
     return out

@@ -23,9 +23,22 @@ _PIECE_RE = re.compile(r"[A-Za-z0-9]{1,4}|[^\sA-Za-z0-9]")
 
 
 class RegexTokenizer:
-    """Deterministic subword-approximating tokenizer."""
+    """Deterministic subword-approximating tokenizer.
+
+    ``whitespace_separable`` declares the exact identity
+    ``count(a + WS + b) == count(a) + count(b)`` for any whitespace WS:
+    no token piece of this grammar can span whitespace. The hybrid
+    chunker exploits it to replace the reference's quadratic
+    re-serialize/re-count window loop (hybrid_chunker.py:189-296,
+    SURVEY §4.2 hazard 1) with cached per-item counts - bit-identical
+    results, O(n) instead of O(n^2). Tokenizers without this property
+    (real BPE) leave the flag False and get the exact reference-shaped
+    slow path.
+    """
 
     __slots__ = ("max_tokens",)
+
+    whitespace_separable = True
 
     def __init__(self, max_tokens: int = 512) -> None:
         self.max_tokens = max_tokens

@@ -76,23 +76,39 @@ def synth_documents(spark: SparkSession, n_docs: int, seed: int = 42,
     """Deterministic distributed corpus: each executor generates its
     docs purely from (seed, index) - no driver materialization, no
     shuffle, linear scale-out."""
+    import pyarrow as pa
+
     n_parts = partitions or spark.sparkContext.defaultParallelism
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from docling_core_spark.corpus import gen_doc_spans
-        for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
+        for batch in batches:
+            doc_ids = []
+            kinds, texts, mrefs, offs = [], [], [], []
+            bounds = [0]
+            for i in batch.column("id").to_pylist():
                 i = int(i)
-                rows.append({
-                    "doc_id": f"doc_{i:012d}",
-                    "spans": gen_doc_spans(i, seed=seed,
-                                           mega_every=mega_every),
-                })
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+                doc_ids.append(f"doc_{i:012d}")
+                for s in gen_doc_spans(i, seed=seed, mega_every=mega_every):
+                    kinds.append(s["kind"])
+                    texts.append(s["text"])
+                    mrefs.append(s["media_ref"])
+                    offs.append(s["offset"])
+                bounds.append(len(kinds))
+            struct = pa.StructArray.from_arrays(
+                [pa.array(kinds, pa.string()),
+                 pa.array(texts, pa.string()),
+                 pa.array(mrefs, pa.string()),
+                 pa.array(offs, pa.int32())],
+                names=["kind", "text", "media_ref", "offset"])
+            spans = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()),
+                                             struct)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.string()), spans],
+                names=["doc_id", "spans"])
 
     return (spark.range(0, n_docs, numPartitions=n_parts)
-            .mapInPandas(gen, schema=DOCUMENTS_SCHEMA))
+            .mapInArrow(gen, schema=DOCUMENTS_SCHEMA))
 
 
 def _rows_to_tuples(spans) -> list:
@@ -101,41 +117,74 @@ def _rows_to_tuples(spans) -> list:
 
 
 # ----------------------------------------------------------------------
+def _iter_span_tuples(batch):
+    """RecordBatch(doc_id, spans) -> (doc_id, [(kind,text,mref,off)])
+    via Arrow child arrays - avoids per-struct dict materialization."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    spans_col = batch.column("spans")
+    values = spans_col.values
+    kinds = values.field("kind").to_pylist()
+    texts = values.field("text").to_pylist()
+    mrefs = values.field("media_ref").to_pylist()
+    offs = values.field("offset").to_pylist()
+    bounds = spans_col.offsets.to_pylist()
+    for i, doc_id in enumerate(doc_ids):
+        a, b = bounds[i], bounds[i + 1]
+        yield doc_id, list(zip(kinds[a:b], texts[a:b], mrefs[a:b],
+                               offs[a:b]))
+
+
 def chunk_documents(df: DataFrame, mode: str = "hybrid",
                     max_tokens: int = 64, merge_peers: bool = True
                     ) -> DataFrame:
     """documents(doc_id, spans) -> chunks(doc_id, chunk_idx, text,
     headings, span_refs).
 
-    One fused mapInPandas stage: reconstruct tree + serialize + chunk +
-    explode, per Arrow batch. Zero shuffles.
-    """
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    One fused mapInArrow stage: reconstruct tree + serialize + chunk +
+    explode, per Arrow batch. Zero shuffles; both boundaries stay in
+    Arrow (no pandas object columns - the output explode produces ~30x
+    more rows than docs, so the Arrow-native array build matters)."""
+    import pyarrow as pa
+
+    out_type = pa.schema([
+        pa.field("doc_id", pa.string(), False),
+        pa.field("chunk_idx", pa.int32(), False),
+        pa.field("text", pa.string(), False),
+        pa.field("headings", pa.list_(pa.string())),
+        pa.field("span_refs", pa.list_(pa.int32()), False),
+    ])
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from docling_core_spark.chunking.hierarchical import hierarchical_chunk
         from docling_core_spark.chunking.hybrid import hybrid_chunk
         from docling_core_spark.chunking.tokenizer import RegexTokenizer
         from docling_core_spark.model.spans import doc_from_spans
 
         tok = RegexTokenizer(max_tokens)
-        for pdf in batches:
-            out = {"doc_id": [], "chunk_idx": [], "text": [],
-                   "headings": [], "span_refs": []}
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                doc = doc_from_spans(doc_id, _rows_to_tuples(spans))
+        for batch in batches:
+            ids, idxs, txts, heads, refs = [], [], [], [], []
+            for doc_id, tuples in _iter_span_tuples(batch):
+                doc = doc_from_spans(doc_id, tuples)
                 if mode == "hybrid":
                     chunks = hybrid_chunk(doc, tokenizer=tok,
                                           merge_peers=merge_peers)
                 else:
                     chunks = hierarchical_chunk(doc)
                 for ci, c in enumerate(chunks):
-                    out["doc_id"].append(doc_id)
-                    out["chunk_idx"].append(ci)
-                    out["text"].append(c.text)
-                    out["headings"].append(c.headings)
-                    out["span_refs"].append(c.offsets)
-            yield pd.DataFrame(out)
+                    ids.append(doc_id)
+                    idxs.append(ci)
+                    txts.append(c.text)
+                    heads.append(c.headings)
+                    refs.append(c.offsets)
+            yield pa.RecordBatch.from_arrays([
+                pa.array(ids, pa.string()),
+                pa.array(idxs, pa.int32()),
+                pa.array(txts, pa.string()),
+                pa.array(heads, pa.list_(pa.string())),
+                pa.array(refs, pa.list_(pa.int32())),
+            ], schema=out_type)
 
-    return df.select("doc_id", "spans").mapInPandas(run, schema=CHUNKS_SCHEMA)
+    return df.select("doc_id", "spans").mapInArrow(run, schema=CHUNKS_SCHEMA)
 
 
 # ----------------------------------------------------------------------
@@ -143,7 +192,9 @@ def export_documents(df: DataFrame, fmt: str = "md",
                      page_break_placeholder: Optional[str] = None
                      ) -> DataFrame:
     """documents -> exports(doc_id, fmt, text); fmt in {md, txt}."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from docling_core_spark.model.spans import doc_from_spans
         from docling_core_spark.serializers.markdown import (
             export_to_markdown,
@@ -153,39 +204,49 @@ def export_documents(df: DataFrame, fmt: str = "md",
         if page_break_placeholder is not None:
             kw["page_break_placeholder"] = page_break_placeholder
         fn = export_to_markdown if fmt == "md" else export_to_text
-        for pdf in batches:
-            out = {"doc_id": [], "fmt": [], "text": []}
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                doc = doc_from_spans(doc_id, _rows_to_tuples(spans))
-                out["doc_id"].append(doc_id)
-                out["fmt"].append(fmt)
-                out["text"].append(fn(doc, **kw))
-            yield pd.DataFrame(out)
+        for batch in batches:
+            ids, txts = [], []
+            for doc_id, tuples in _iter_span_tuples(batch):
+                doc = doc_from_spans(doc_id, tuples)
+                ids.append(doc_id)
+                txts.append(fn(doc, **kw))
+            yield pa.RecordBatch.from_arrays([
+                pa.array(ids, pa.string()),
+                pa.array([fmt] * len(ids), pa.string()),
+                pa.array(txts, pa.string()),
+            ], names=["doc_id", "fmt", "text"])
 
-    return df.select("doc_id", "spans").mapInPandas(run, schema=EXPORTS_SCHEMA)
+    return df.select("doc_id", "spans").mapInArrow(run, schema=EXPORTS_SCHEMA)
 
 
 # ----------------------------------------------------------------------
 def doc_stats(df: DataFrame, mode: str = "hybrid", max_tokens: int = 64
               ) -> DataFrame:
     """Per-doc span/chunk/char counts - cheap lineage-style metrics."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import pyarrow as pa
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from docling_core_spark.chunking.hierarchical import hierarchical_chunk
         from docling_core_spark.chunking.hybrid import hybrid_chunk
         from docling_core_spark.chunking.tokenizer import RegexTokenizer
         from docling_core_spark.model.spans import doc_from_spans
         tok = RegexTokenizer(max_tokens)
-        for pdf in batches:
-            out = {"doc_id": [], "n_spans": [], "n_chunks": [], "n_chars": []}
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                doc = doc_from_spans(doc_id, _rows_to_tuples(spans))
+        for batch in batches:
+            ids, nspans, nchunks, nchars = [], [], [], []
+            for doc_id, tuples in _iter_span_tuples(batch):
+                doc = doc_from_spans(doc_id, tuples)
                 chunks = (hybrid_chunk(doc, tokenizer=tok) if mode == "hybrid"
                           else hierarchical_chunk(doc))
-                out["doc_id"].append(doc_id)
-                out["n_spans"].append(len(spans))
-                out["n_chunks"].append(len(chunks))
-                out["n_chars"].append(sum(len(c.text) for c in chunks))
-            yield pd.DataFrame(out)
+                ids.append(doc_id)
+                nspans.append(len(tuples))
+                nchunks.append(len(chunks))
+                nchars.append(sum(len(c.text) for c in chunks))
+            yield pa.RecordBatch.from_arrays([
+                pa.array(ids, pa.string()),
+                pa.array(nspans, pa.int32()),
+                pa.array(nchunks, pa.int32()),
+                pa.array(nchars, pa.int64()),
+            ], names=["doc_id", "n_spans", "n_chunks", "n_chars"])
 
-    return df.select("doc_id", "spans").mapInPandas(run,
-                                                    schema=SPAN_STATS_SCHEMA)
+    return df.select("doc_id", "spans").mapInArrow(run,
+                                                   schema=SPAN_STATS_SCHEMA)

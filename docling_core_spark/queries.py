@@ -40,6 +40,22 @@ def corpus_docs_for(sf_dir: str) -> int:
     return _SF_DOCS.get(base, 500)
 
 
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic span corpus for this sf, materialized once as
+    parquet (stand-in for the Iceberg documents table) and read back -
+    so every query sees the production shape: JVM columnar scan feeding
+    the UDF, and generation cost is paid once per process fleet."""
+    n_docs = corpus_docs_for(sf_dir)
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_corpus_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_docs}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_documents(spark, n_docs, seed=42).write.mode(
+            "overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -49,23 +65,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 def q_chunks_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = synth_documents(spark, corpus_docs_for(sf_dir), seed=42)
-    return chunk_documents(docs, mode="hybrid", max_tokens=64)
+    return chunk_documents(corpus_df(spark, sf_dir), mode="hybrid",
+                           max_tokens=64)
 
 
 def q_chunks_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = synth_documents(spark, corpus_docs_for(sf_dir), seed=42)
-    return chunk_documents(docs, mode="hier")
+    return chunk_documents(corpus_df(spark, sf_dir), mode="hier")
 
 
 def q_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = synth_documents(spark, corpus_docs_for(sf_dir), seed=42)
-    return export_documents(docs, fmt="md")
+    return export_documents(corpus_df(spark, sf_dir), fmt="md")
 
 
 def q_doc_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = synth_documents(spark, corpus_docs_for(sf_dir), seed=42)
-    return doc_stats(docs)
+    return doc_stats(corpus_df(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------

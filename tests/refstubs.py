@@ -28,7 +28,12 @@ REFERENCE_PATH = "/root/reference"
 
 
 def _stub(name: str, **attrs) -> types.ModuleType:
+    import importlib.machinery
+
     m = types.ModuleType(name)
+    # cloudpickle/importlib probe __spec__ when serializing functions
+    # that reference these modules (Spark UDF pickling)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m
