@@ -198,12 +198,32 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
                 emit("formula", "\\sum_i x_i^2")
             else:
                 emit("formula", "", "orig-present" if rng.random() < 0.5 else "")
-        elif r < 0.92:
+        elif r < 0.90:
             mref = f"img_{doc_index:06d}_{media_i:03d}"
             media_i += 1
-            emit("picture", "", mref)
-            if rng.random() < 0.5:
+            # captions may precede or follow their media item (the
+            # reference's doctags parser produces caption-first order)
+            cap_first = rng.random() < 0.25
+            if cap_first:
                 emit(f"caption:{mref}", f"Figure {media_i}: " + _words(rng, 3, 10))
+            emit("picture", "", mref)
+            if not cap_first and rng.random() < 0.5:
+                emit(f"caption:{mref}", f"Figure {media_i}: " + _words(rng, 3, 10))
+        elif r < 0.93:
+            mref = f"cht_{doc_index:06d}_{media_i:03d}"
+            media_i += 1
+            cls_name = rng.choice(("bar_chart", "line_chart", "pie_chart",
+                                   "scatter_chart"))
+            emit(f"chart:{cls_name}", _otsl_table(rng), mref)
+            if rng.random() < 0.4:
+                emit(f"caption:{mref}", f"Chart {media_i}: " + _words(rng, 3, 8))
+        elif r < 0.945:
+            if rng.random() < 0.5:
+                emit("key_value_region")
+            else:
+                emit(rng.choice(("footnote", "checkbox_selected",
+                                 "checkbox_unselected", "reference")),
+                     _words(rng, 2, 10))
         else:
             mref = f"tbl_{doc_index:06d}_{media_i:03d}"
             media_i += 1

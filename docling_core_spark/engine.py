@@ -191,19 +191,21 @@ def chunk_documents(df: DataFrame, mode: str = "hybrid",
 def export_documents(df: DataFrame, fmt: str = "md",
                      page_break_placeholder: Optional[str] = None
                      ) -> DataFrame:
-    """documents -> exports(doc_id, fmt, text); fmt in {md, txt}."""
+    """documents -> exports(doc_id, fmt, text); fmt in {md, txt, dt}."""
     import pyarrow as pa
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from docling_core_spark.model.spans import doc_from_spans
+        from docling_core_spark.serializers.doctags import export_to_doctags
         from docling_core_spark.serializers.markdown import (
             export_to_markdown,
             export_to_text,
         )
         kw = {}
-        if page_break_placeholder is not None:
+        if page_break_placeholder is not None and fmt != "dt":
             kw["page_break_placeholder"] = page_break_placeholder
-        fn = export_to_markdown if fmt == "md" else export_to_text
+        fn = {"md": export_to_markdown, "txt": export_to_text,
+              "dt": export_to_doctags}[fmt]
         for batch in batches:
             ids, txts = [], []
             for doc_id, tuples in _iter_span_tuples(batch):

@@ -22,6 +22,21 @@ from typing import Iterator, List, Optional, Tuple
 LAYER_BODY = "body"
 LAYER_FURNITURE = "furniture"
 
+# page geometry convention: the span schema carries no bboxes, so every
+# item gets a deterministic synthetic provenance derived from its span
+# offset (same formula in the test oracle's DoclingDocument builder) -
+# this keeps doctags <loc_*> quantization a real, checkable computation
+PAGE_W = 612.0
+PAGE_H = 792.0
+
+
+def node_bbox(offset: int):
+    """(l, t, r, b) TOPLEFT bbox, pure function of the span offset."""
+    off = max(offset, 0)
+    l = float((off * 37) % 512)
+    t = float((off * 53) % 704)
+    return (l, t, l + 40.0 + (off % 60), t + 14.0)
+
 # node kinds (maps to reference labels / group types)
 K_BODY = "body"
 K_LIST_GROUP = "list_group"
@@ -35,6 +50,11 @@ K_FORMULA = "formula"
 K_PICTURE = "picture"
 K_TABLE = "table"
 K_CAPTION = "caption"
+K_KEY_VALUE = "key_value_region"
+
+# plain-text labels beyond text/paragraph that ride on K_TEXT nodes
+TEXTUAL_LABELS = ("text", "paragraph", "footnote", "checkbox_selected",
+                  "checkbox_unselected", "document_index", "reference")
 
 GROUP_KINDS = (K_BODY, K_LIST_GROUP, K_INLINE_GROUP)
 # kinds the serializer treats as floating items w/ captions
@@ -49,7 +69,7 @@ class Node:
     __slots__ = (
         "kind", "label", "level", "text", "media_ref", "marker",
         "enumerated", "offset", "children", "parent", "captions",
-        "page_no", "layer", "orig",
+        "page_no", "layer", "orig", "chart_class",
     )
 
     def __init__(
@@ -65,6 +85,7 @@ class Node:
         page_no: int = 1,
         label: Optional[str] = None,
         orig: str = "",
+        chart_class: str = "",
     ) -> None:
         self.kind = kind
         self.label = label if label is not None else kind
@@ -80,6 +101,10 @@ class Node:
         self.page_no = page_no
         self.layer = layer
         self.orig = orig
+        # charts: a picture node carrying a classification + tabular
+        # chart data (OTSL in .text), cf. PictureClassificationData /
+        # PictureTabularChartData annotations (document.py:5062-5161)
+        self.chart_class = chart_class
 
     # --- tree helpers -------------------------------------------------
     def add_child(self, child: "Node") -> "Node":

@@ -165,7 +165,7 @@ def parse_otsl(otsl: str) -> Table:
     return Table(cells, num_rows, num_cols)
 
 
-def encode_otsl(table: Table) -> str:
+def encode_otsl(table: Table, add_cell_text: bool = True) -> str:
     """Table -> token stream (cf. export_to_otsl, document.py:1674-1765,
     without <loc> tokens)."""
     body: List[str] = []
@@ -184,7 +184,8 @@ def encode_otsl(table: Table) -> str:
                         body.append(T_SROW)
                     else:
                         body.append(T_FCEL)
-                    body.append(content)
+                    if add_cell_text:
+                        body.append(content)
                 else:
                     body.append(T_ECEL)
             else:

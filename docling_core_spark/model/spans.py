@@ -23,6 +23,8 @@ from typing import Dict, Iterable, List, Optional, Tuple
 
 from docling_core_spark.model.doc import (
     FLOATING_KINDS,
+    K_KEY_VALUE,
+    TEXTUAL_LABELS,
     K_CAPTION,
     K_CODE,
     K_FORMULA,
@@ -55,6 +57,10 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
     group_stack: List[Node] = []
     page = 1
     floating_by_ref: Dict[str, Node] = {}
+    # captions may precede their floating item (the reference's doctags
+    # parser adds the caption text item to the body first,
+    # document.py:4774-4791)
+    pending_captions: Dict[str, List[Node]] = {}
 
     ordered = sorted(spans, key=lambda s: s[3])
     for kind, text, media_ref, offset in ordered:
@@ -89,7 +95,7 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
                 lvl = 1
             node = Node(K_SECTION_HEADER, text=text, offset=offset,
                         level=lvl, page_no=page)
-        elif kind in ("text", "paragraph"):
+        elif kind in TEXTUAL_LABELS:
             node = Node(K_TEXT, text=text, offset=offset, page_no=page,
                         label=kind)
         elif kind.startswith("list_item"):
@@ -111,6 +117,14 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
         elif kind == "table":
             node = Node(K_TABLE, text=text, media_ref=media_ref,
                         offset=offset, page_no=page)
+        elif kind.startswith("chart"):
+            # chart:CLASS - picture with classification + tabular chart
+            # data (OTSL carried in text)
+            cls_name = kind.split(":", 1)[1] if ":" in kind else "bar_chart"
+            node = Node(K_PICTURE, text=text, media_ref=media_ref,
+                        offset=offset, page_no=page, chart_class=cls_name)
+        elif kind == "key_value_region":
+            node = Node(K_KEY_VALUE, text=text, offset=offset, page_no=page)
         elif kind.startswith("caption"):
             mref = kind.split(":", 1)[1] if ":" in kind else media_ref
             node = Node(K_CAPTION, text=text, offset=offset, page_no=page,
@@ -119,6 +133,8 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
             if owner is not None:
                 owner.captions.append(node)
                 doc.caption_owner[id(node)] = owner
+            elif mref:
+                pending_captions.setdefault(mref, []).append(node)
         elif kind.startswith("furniture"):
             sub = kind.split(":", 1)[1] if ":" in kind else "page_header"
             node = Node(K_TEXT, text=text, offset=offset, page_no=page,
@@ -129,6 +145,9 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
         container.add_child(node)
         if node.kind in FLOATING_KINDS and media_ref:
             floating_by_ref[media_ref] = node
+            for cap in pending_captions.pop(media_ref, []):
+                node.captions.append(cap)
+                doc.caption_owner[id(cap)] = node
     return doc
 
 
@@ -183,7 +202,10 @@ def spans_from_doc(doc: Doc) -> List[dict]:
             elif c.kind == K_FORMULA:
                 emit("formula", c.text, c.orig)
             elif c.kind == K_PICTURE:
-                emit("picture", "", c.media_ref)
+                if c.chart_class:
+                    emit(f"chart:{c.chart_class}", c.text, c.media_ref)
+                else:
+                    emit("picture", "", c.media_ref)
                 for cap in c.captions:
                     emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_TABLE:
@@ -192,8 +214,10 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                     emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_CAPTION:
                 continue  # emitted with owner
+            elif c.kind == K_KEY_VALUE:
+                emit("key_value_region", c.text)
             else:
-                emit(c.label if c.label in ("text", "paragraph") else "text",
+                emit(c.label if c.label in TEXTUAL_LABELS else "text",
                      c.text)
 
     walk(doc.body)

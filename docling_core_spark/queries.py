@@ -81,6 +81,21 @@ def q_doc_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(corpus_df(spark, sf_dir))
 
 
+def q_export_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return export_documents(corpus_df(spark, sf_dir), fmt="dt")
+
+
+def q_parse_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction stage: doctags token streams -> span documents ->
+    chunks. Exercises the parser (sources/doctags.py) at scale."""
+    from docling_core_spark.sources.doctags import parse_doctags_documents
+
+    dt = (export_documents(corpus_df(spark, sf_dir), fmt="dt")
+          .withColumnRenamed("text", "doctags"))
+    parsed = parse_doctags_documents(dt, doctags_col="doctags")
+    return chunk_documents(parsed, mode="hier")
+
+
 # ----------------------------------------------------------------------
 # relational queries with DuckDB oracles
 # ----------------------------------------------------------------------
@@ -308,6 +323,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_hybrid": q_chunks_hybrid,
         "chunks_hierarchical": q_chunks_hierarchical,
         "export_markdown": q_export_markdown,
+        "export_doctags": q_export_doctags,
+        "parse_doctags": q_parse_doctags,
         "doc_pipeline_stats": q_doc_pipeline_stats,
         # relational + training-data ops (DuckDB oracle)
         "pricing_summary": q_pricing_summary,

@@ -92,7 +92,8 @@ class MarkdownParams:
         "labels", "layers", "pages", "start_idx", "stop_idx",
         "image_placeholder", "indent", "wrap_width",
         "page_break_placeholder", "escape_underscores", "escape_html",
-        "caption_delim", "table_mode",
+        "caption_delim", "table_mode", "include_annotations",
+        "enable_chart_tables",
     )
 
     def __init__(
@@ -110,6 +111,8 @@ class MarkdownParams:
         escape_html: bool = True,
         caption_delim: str = " ",
         table_mode: str = "md",  # "md" | "triplet"
+        include_annotations: bool = True,
+        enable_chart_tables: bool = True,
     ) -> None:
         self.labels = labels
         self.layers = layers
@@ -124,6 +127,8 @@ class MarkdownParams:
         self.escape_html = escape_html
         self.caption_delim = caption_delim
         self.table_mode = table_mode
+        self.include_annotations = include_annotations
+        self.enable_chart_tables = enable_chart_tables
 
 
 class _PageBreak(Node):
@@ -281,6 +286,8 @@ class MarkdownSerializer:
             return self._serialize_table(node)
         if kind == K_PICTURE:
             return self._serialize_picture(node)
+        if kind == "key_value_region":
+            return self._serialize_key_value(node)
         if kind == "page_break":
             return SerResult(_PB_SENTINEL.format(node.level, node.page_no))
         # text-like items
@@ -413,17 +420,37 @@ class MarkdownSerializer:
     # ------------------------------------------------------------------
     def _serialize_picture(self, node: Node) -> SerResult:
         """MarkdownPictureSerializer (markdown.py:344-420); image stays by
-        reference, PLACEHOLDER mode only (media never decoded at scale)."""
+        reference, PLACEHOLDER mode only (media never decoded at scale).
+        Chart pictures carry a classification annotation (rendered as its
+        class name, underscores to spaces) and a tabular-chart markdown
+        table (markdown.py:381-404)."""
         parts: List[SerResult] = []
         cap_res = self.serialize_captions(node)
         if cap_res.text:
             parts.append(cap_res)
         if id(node) not in self.get_excluded_refs():
+            if self.params.include_annotations and node.chart_class:
+                ann_text = node.chart_class.replace("_", " ")
+                parts.append(_ser(text=ann_text, source=node))
             if self.params.image_placeholder:
                 parts.append(_ser(text=self.params.image_placeholder,
                                   source=node))
+        if self.params.enable_chart_tables and node.chart_class and node.text:
+            table = parse_otsl(node.text)
+            rows = table_rows_text(table)
+            if len(rows) > 1 and len(rows[0]) > 0:
+                md_table = render_github_table(rows[1:], headers=rows[0])
+                if md_table:
+                    parts.append(_ser(text=md_table, source=node))
         text_res = "\n\n".join(r.text for r in parts if r.text)
         return _ser(text=text_res, source=parts)
+
+    # ------------------------------------------------------------------
+    def _serialize_key_value(self, node: Node) -> SerResult:
+        """MarkdownKeyValueSerializer placeholder (markdown.py:424-447)."""
+        if id(node) not in self.get_excluded_refs():
+            return _ser(text="<!-- missing-key-value-item -->", source=node)
+        return _ser()
 
     # ------------------------------------------------------------------
     def _serialize_list(self, node: Node, list_level: int,

@@ -24,6 +24,19 @@ from docling_core.types.doc.document import TableData
 
 from docling_core_spark.chunking.tokenizer import RegexTokenizer
 
+# Workaround for pydantic>=2.13 strictness: the reference calls
+# add_page(metadata=None) in load_from_doctags (document.py:4977) but
+# PageItem.metadata only accepts a dict.
+_orig_add_page = DoclingDocument.add_page
+
+
+def _add_page_fixed(self, page_no, size, image=None, metadata=None):
+    return _orig_add_page(self, page_no=page_no, size=size, image=image,
+                          metadata=metadata or {})
+
+
+DoclingDocument.add_page = _add_page_fixed
+
 
 def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str, int]]:
     """spans -> DoclingDocument + (self_ref -> span offset) map."""
@@ -34,12 +47,19 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
     page = 1
     pages_seen = set()
     floating_by_ref: dict = {}
+    pending_captions: dict = {}
 
-    def prov(text: str = "") -> ProvenanceItem:
+    from docling_core.types.doc.base import CoordOrigin
+
+    from docling_core_spark.model.doc import PAGE_H, PAGE_W, node_bbox
+
+    def prov(offset: int, text: str = "") -> ProvenanceItem:
         pages_seen.add(page)
+        l, t, r, b = node_bbox(offset)
         return ProvenanceItem(
             page_no=page,
-            bbox=BoundingBox(l=0.0, t=0.0, r=1.0, b=1.0),
+            bbox=BoundingBox(l=l, t=t, r=r, b=b,
+                             coord_origin=CoordOrigin.TOPLEFT),
             charspan=(0, len(text)),
         )
 
@@ -69,69 +89,100 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             group_stack.append(item)
             container = item
         elif kind == "title":
-            item = doc.add_title(text=text, parent=container, prov=prov(text))
+            item = doc.add_title(text=text, parent=container, prov=prov(offset, text))
         elif kind.startswith("section_header"):
             try:
                 lvl = int(kind.split(":", 1)[1])
             except (IndexError, ValueError):
                 lvl = 1
             item = doc.add_heading(text=text, level=lvl, parent=container,
-                                   prov=prov(text))
-        elif kind in ("text", "paragraph"):
-            label = (DocItemLabel.TEXT if kind == "text"
-                     else DocItemLabel.PARAGRAPH)
-            item = doc.add_text(label=label, text=text, parent=container,
-                                prov=prov(text))
+                                   prov=prov(offset, text))
+        elif kind in ("text", "paragraph", "footnote", "checkbox_selected",
+                      "checkbox_unselected", "document_index", "reference"):
+            item = doc.add_text(label=DocItemLabel(kind), text=text,
+                                parent=container, prov=prov(offset, text))
         elif kind.startswith("list_item"):
             parts = kind.split(":", 2)
             enumerated = len(parts) > 1 and parts[1] == "enum"
             marker = parts[2] if len(parts) > 2 else ""
             item = doc.add_list_item(text=text, enumerated=enumerated,
                                      marker=marker or None, parent=container,
-                                     prov=prov(text))
+                                     prov=prov(offset, text))
         elif kind == "code":
-            item = doc.add_code(text=text, parent=container, prov=prov(text))
+            item = doc.add_code(text=text, parent=container, prov=prov(offset, text))
             if media_ref:
                 floating_by_ref[media_ref] = item
         elif kind == "formula":
             item = doc.add_formula(text=text, parent=container,
-                                   prov=prov(text))
+                                   prov=prov(offset, text))
             if media_ref:  # codec: media_ref carries "orig present" flag
                 item.orig = media_ref
         elif kind == "picture":
-            item = doc.add_picture(parent=container, prov=prov())
+            item = doc.add_picture(parent=container, prov=prov(offset))
             if media_ref:
                 floating_by_ref[media_ref] = item
         elif kind == "table":
             data = (parse_otsl_table_content(text) if text
                     else TableData(num_rows=0, num_cols=0, table_cells=[]))
             _apply_otsl_header_flags(text, data)
-            item = doc.add_table(data=data, parent=container, prov=prov())
+            item = doc.add_table(data=data, parent=container, prov=prov(offset))
             if media_ref:
                 floating_by_ref[media_ref] = item
+        elif kind.startswith("chart"):
+            from docling_core.types.doc.document import (
+                PictureClassificationClass,
+                PictureClassificationData,
+                PictureTabularChartData,
+            )
+
+            cls_name = kind.split(":", 1)[1] if ":" in kind else "bar_chart"
+            anns: list = [PictureClassificationData(
+                provenance="synthetic",
+                predicted_classes=[PictureClassificationClass(
+                    class_name=cls_name, confidence=1.0)])]
+            if text:
+                cdata = parse_otsl_table_content(text)
+                _apply_otsl_header_flags(text, cdata)
+                anns.append(PictureTabularChartData(chart_data=cdata,
+                                                    title=cls_name))
+            item = doc.add_picture(parent=container, prov=prov(offset),
+                                   annotations=anns)
+            if media_ref:
+                floating_by_ref[media_ref] = item
+        elif kind == "key_value_region":
+            from docling_core.types.doc.document import GraphData
+
+            item = doc.add_key_values(graph=GraphData(cells=[], links=[]),
+                                      prov=prov(offset))
         elif kind.startswith("caption"):
             mref = kind.split(":", 1)[1] if ":" in kind else media_ref
             item = doc.add_text(label=DocItemLabel.CAPTION, text=text,
-                                parent=container, prov=prov(text))
+                                parent=container, prov=prov(offset, text))
             owner = floating_by_ref.get(mref)
             if owner is not None:
                 owner.captions.append(item.get_ref())
+            elif mref:
+                pending_captions.setdefault(mref, []).append(item)
         elif kind.startswith("furniture"):
             sub = kind.split(":", 1)[1] if ":" in kind else "page_header"
             label = (DocItemLabel.PAGE_HEADER if sub == "page_header"
                      else DocItemLabel.PAGE_FOOTER)
             item = doc.add_text(label=label, text=text, parent=container,
-                                prov=prov(text),
+                                prov=prov(offset, text),
                                 content_layer=ContentLayer.FURNITURE)
         else:
             item = doc.add_text(label=DocItemLabel.TEXT, text=text,
-                                parent=container, prov=prov(text))
+                                parent=container, prov=prov(offset, text))
 
         if item is not None:
             ref_to_offset[item.self_ref] = offset
+            if media_ref and media_ref in pending_captions and \
+                    media_ref in floating_by_ref:
+                for cap in pending_captions.pop(media_ref):
+                    item.captions.append(cap.get_ref())
 
     for p in sorted(pages_seen):
-        doc.add_page(page_no=p, size=Size(width=612.0, height=792.0),
+        doc.add_page(page_no=p, size=Size(width=PAGE_W, height=PAGE_H),
                      metadata={})
     return doc, ref_to_offset
 
