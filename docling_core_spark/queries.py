@@ -318,7 +318,8 @@ LIMIT 20
 
 # ----------------------------------------------------------------------
 def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from docling_core_spark import textops
+    out = {
         # document engine (pytest parity gate; rows-only driver check)
         "chunks_hybrid": q_chunks_hybrid,
         "chunks_hierarchical": q_chunks_hierarchical,
@@ -336,10 +337,13 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "knn_cosine": q_knn_cosine,
     }
+    out.update(textops.REGISTRY)
+    return out
 
 
 def oracles() -> Dict[str, str]:
-    return {
+    from docling_core_spark import textops
+    out = {
         "pricing_summary": SQL_PRICING_SUMMARY,
         "nation_revenue": SQL_NATION_REVENUE,
         "events_by_type": SQL_EVENTS_BY_TYPE,
@@ -349,3 +353,5 @@ def oracles() -> Dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "knn_cosine": SQL_KNN_COSINE,
     }
+    out.update(textops.ORACLES)
+    return out

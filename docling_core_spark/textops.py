@@ -1,0 +1,601 @@
+"""Training-data text/embedding operators over the driver's tables.
+
+Every operator here exists in two exactly-equivalent forms: a Spark
+DataFrame builder and a DuckDB oracle SQL string, generated from the
+same templates so the hash arithmetic stays in lockstep. Shared
+primitives (all pure integer math - no float divergence between JVM
+and C++):
+
+* wordhash(w)    - polynomial rolling hash of ascii codes, seeded with
+                   the first code (DuckDB list_reduce semantics),
+                   ``(acc*31 + c) % 1e9+7``
+* seeded hash j  - ``((2j+31)*h + 17j+7) % P`` (minhash permutations)
+* shingles       - word 3-grams of ``[a-z0-9]+`` tokens of lower(text);
+                   docs with <3 words fall back to the whole token join
+* simhash30      - 30-bit simhash over wordhashes (+1/-1 bit votes)
+* LSH bands      - minhash sig k=16 in 8 bands of r=2; simhash in
+                   3 bands of 10 bits; hyperplane sigs of 16 bits over
+                   integer-quantized embeddings
+
+Scale notes (100 TB): every per-doc signature is a single JVM-side
+projection (whole-stage codegen, no UDF, no shuffle); candidate
+generation shuffles only (band_key, doc_id) pairs - the classic
+MinHashLSH / SimHash-band plan; verification joins touch only the
+candidate set. The exact n-gram Jaccard uses the explode-join
+(inverted index) plan, never an all-pairs cross join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+P = 1000000007
+WORD_RE = "[a-z0-9]+"
+# "BPE-ish": word pieces plus each punctuation mark as its own token.
+# Spark SQL string literals eat single backslashes; DuckDB does not -
+# keep a dialect pair so '\s' survives both parsers.
+BPE_RE = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+BPE_RE_SPARK = BPE_RE.replace("\\", "\\\\")
+PUNCT_CLASS = r"[a-zA-Z0-9_\s]"
+PUNCT_CLASS_SPARK = PUNCT_CLASS.replace("\\", "\\\\")
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "auf",
+           "nicht"],
+    "es": ["el", "los", "las", "y", "un", "una", "es", "por", "como",
+           "pero"],
+    "fr": ["le", "les", "des", "et", "une", "est", "dans", "pour", "que",
+           "pas"],
+}
+
+N_MINHASH = 16
+MINHASH_BANDS = 8  # r = 2
+SIMHASH_BITS = 30
+SIMHASH_BANDS = 3  # 10 bits each
+HAMMING_MAX = 1
+JACCARD_MIN = 0.5
+N_PLANES = 16
+ANN_HAMMING_MAX = 5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ----------------------------------------------------------------------
+# dialect templates
+# ----------------------------------------------------------------------
+
+def words_spark() -> str:
+    return f"regexp_extract_all(lower(text), '{WORD_RE}', 0)"
+
+
+def words_duck() -> str:
+    return f"regexp_extract_all(lower(text), '{WORD_RE}')"
+
+
+# wordhash over a lambda variable named ``w``
+WORDHASH_SPARK = (
+    "aggregate(transform(split(w, ''), c -> ascii(c)), -1L, "
+    f"(acc, c) -> IF(acc < 0, CAST(c AS LONG), (acc*31 + c) % {P}))")
+WORDHASH_DUCK = (
+    "list_reduce(list_transform(string_split(w, ''), "
+    f"c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc*31 + c) % {P})")
+
+# word 3-gram shingle strings from a words column ``ws``
+SHINGLES_SPARK = (
+    "CASE WHEN size(ws) >= 3 THEN array_distinct(transform("
+    "sequence(1, size(ws) - 2), "
+    "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))) "
+    "ELSE array(concat_ws(' ', ws)) END")
+SHINGLES_DUCK = (
+    "CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform("
+    "range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) "
+    "ELSE [array_to_string(ws, ' ')] END")
+
+# shingle hashes from a shingle-strings column ``sh`` (w = shingle)
+SHASH_SPARK = f"transform(sh, w -> {WORDHASH_SPARK})"
+SHASH_DUCK = f"list_transform(sh, w -> {WORDHASH_DUCK})"
+
+# minhash signature (array of N_MINHASH mins) from hash column ``hs``
+MINSIG_SPARK = (
+    f"transform(sequence(0, {N_MINHASH - 1}), j -> "
+    f"aggregate(hs, CAST({P} AS LONG), "
+    f"(m, h) -> least(m, ((2*j + 31)*h + 17*j + 7) % {P})))")
+MINSIG_DUCK = (
+    f"list_transform(range(0, {N_MINHASH}), j -> "
+    f"list_min(list_transform(hs, h -> ((2*j + 31)*h + 17*j + 7) % {P})))")
+
+# 30-bit simhash from wordhash column ``hs`` (bit votes +1/-1)
+SIMHASH_SPARK = (
+    "CASE WHEN size(hs) = 0 THEN 0L ELSE "
+    f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), i -> "
+    "IF(aggregate(transform(hs, h -> IF((shiftright(h, i) & 1) = 1, 1, -1)), "
+    "0L, (a, x) -> a + x) >= 0, shiftleft(1L, i), 0L)), "
+    "0L, (a, x) -> a + x) END")
+SIMHASH_DUCK = (
+    "CASE WHEN len(hs) = 0 THEN 0 ELSE "
+    f"CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), i -> "
+    "CASE WHEN list_sum(list_transform(hs, h -> "
+    "CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 "
+    "THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS BIGINT) END")
+
+
+# round-half-up via integer floor - bit-identical on any IEEE engine,
+# unlike ROUND whose tie behavior differs between Spark and DuckDB
+def _r2(col):
+    return F.floor(col * 100 + F.lit(0.5)) / 100.0
+
+
+def _r4(col):
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000.0
+
+
+def _sql_r(expr: str, digits: int) -> str:
+    scale = 10 ** digits
+    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}.0"
+
+
+def _stop_count_spark(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter(ws, w -> array_contains(array({lst}), w)))"
+
+
+def _stop_count_duck(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(ws, w -> list_contains([{lst}], w)))"
+
+
+# argmax with fixed tie-break order en > de > es > fr; no hits -> 'und'
+LANG_PRED_CASE = (
+    "CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_es AND c_en >= c_fr"
+    " THEN 'en'"
+    " WHEN c_de > 0 AND c_de >= c_es AND c_de >= c_fr THEN 'de'"
+    " WHEN c_es > 0 AND c_es >= c_fr THEN 'es'"
+    " WHEN c_fr > 0 THEN 'fr'"
+    " ELSE 'und' END")
+
+
+# ----------------------------------------------------------------------
+# quality scoring
+# ----------------------------------------------------------------------
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals - all whole-stage-codegen projections
+    over the scan, so at 100 TB this runs at I/O speed with zero
+    shuffle (the final orderBy is for the small result only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("ws", F.expr(words_spark()))
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            F.expr(f"CAST(size(regexp_extract_all(text, '{BPE_RE_SPARK}', "
+                   "0)) AS LONG)").alias("n_tokens_bpe"),
+            F.when(F.size("ws") > 0, _r2(
+                F.expr("aggregate(ws, 0L, (a, w) -> a + length(w))")
+                / F.size("ws"))).otherwise(F.lit(0.0))
+            .alias("avg_word_len"),
+            _r4(F.length(F.expr(
+                f"regexp_replace(text, '{PUNCT_CLASS_SPARK}', '')"))
+                / F.greatest(F.length("text"), F.lit(1)))
+            .alias("punct_ratio"),
+            F.when(F.size("ws") > 0, _r4(
+                F.expr(_stop_count_spark("en")) / F.size("ws")))
+            .otherwise(F.lit(0.0)).alias("stopword_ratio"),
+        )
+        .withColumn(
+            "quality_ok",
+            (F.col("n_words") >= 5) & (F.col("n_words") <= 100000)
+            & (F.col("stopword_ratio") >= 0.01))
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUALITY_SCORES = f"""
+WITH t AS (SELECT doc_id, text, {words_duck()} AS ws FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
+             AS n_tokens_bpe,
+         CASE WHEN len(ws) > 0 THEN {_sql_r(
+             "CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)"
+             " / len(ws)", 2)} ELSE 0.0 END AS avg_word_len,
+         {_sql_r("CAST(length(regexp_replace(text, '" + PUNCT_CLASS +
+                 "', '', 'g')) AS DOUBLE) / greatest(length(text), 1)", 4)}
+             AS punct_ratio,
+         CASE WHEN len(ws) > 0 THEN {_sql_r(
+             "CAST(" + _stop_count_duck("en") + " AS DOUBLE) / len(ws)", 4)}
+         ELSE 0.0 END AS stopword_ratio
+  FROM t)
+SELECT *, (n_words >= 5 AND n_words <= 100000 AND stopword_ratio >= 0.01)
+       AS quality_ok
+FROM s ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# language ID (stopword vote heuristic)
+# ----------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.withColumn("ws", F.expr(words_spark()))
+    for lang in STOPWORDS:
+        out = out.withColumn(f"c_{lang}", F.expr(_stop_count_spark(lang)))
+    return (
+        out.select(
+            "doc_id", F.col("lang").alias("lang_label"),
+            F.expr(LANG_PRED_CASE).alias("pred_lang"),
+            *[F.col(f"c_{lang}").cast("long").alias(f"c_{lang}")
+              for lang in STOPWORDS])
+        .orderBy("doc_id")
+    )
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, lang, {words_duck()} AS ws FROM documents),
+c AS (
+  SELECT doc_id, lang AS lang_label,
+         {", ".join(f'CAST({_stop_count_duck(lang)} AS BIGINT) AS c_{lang}'
+                    for lang in STOPWORDS)}
+  FROM t)
+SELECT doc_id, lang_label, {LANG_PRED_CASE} AS pred_lang,
+       {", ".join(f"c_{lang}" for lang in STOPWORDS)}
+FROM c ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# fingerprints: md5 + winnowing-min + simhash
+# ----------------------------------------------------------------------
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("ws", F.expr(words_spark()))
+        .withColumn("sh", F.expr(SHINGLES_SPARK))
+        .withColumn("hs", F.expr(SHASH_SPARK))
+        .select(
+            "doc_id",
+            F.md5("text").alias("content_md5"),
+            F.expr("aggregate(hs, CAST(%d AS LONG), (m, h) -> least(m, h))"
+                   % P).alias("fp_min"),
+            F.expr(SIMHASH_SPARK.replace("hs", "hs")).alias("simhash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, text, {words_duck()} AS ws FROM documents),
+s AS (SELECT doc_id, text, {SHINGLES_DUCK} AS sh FROM t),
+h AS (SELECT doc_id, text, {SHASH_DUCK} AS hs FROM s)
+SELECT doc_id, md5(text) AS content_md5,
+       list_min(hs) AS fp_min,
+       {SIMHASH_DUCK} AS simhash
+FROM h ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH near-dup candidate pairs (verified Jaccard)
+# ----------------------------------------------------------------------
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "documents")
+            .withColumn("ws", F.expr(words_spark()))
+            .withColumn("sh", F.expr(SHINGLES_SPARK))
+            .select("doc_id", "sh"))
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH plan: per-doc signature (projection, no shuffle) ->
+    explode to (band, band_hash) keys -> shuffle only those pairs ->
+    candidate pairs -> Jaccard verification join on the candidate set.
+    At 100 TB the band shuffle carries ~8 small rows per doc; the
+    quadratic blowup is confined to same-bucket groups."""
+    sig = (_shingled(spark, sf_dir)
+           .withColumn("hs", F.expr(SHASH_SPARK))
+           .withColumn("sig", F.expr(MINSIG_SPARK))
+           .select("doc_id", "sh", "sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {MINHASH_BANDS - 1}), b -> "
+            f"named_struct('band', b, 'bh', "
+            f"(sig[2*b]*31 + sig[2*b+1]) % {P}))")).alias("bb"))
+    bands = bands.select("doc_id", "bb.band", "bb.bh")
+    cand = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+    sh = sig.select("doc_id", "sh")
+    verified = (cand
+                .join(sh.select(F.col("doc_id").alias("doc_a"),
+                                F.col("sh").alias("sh_a")), "doc_a")
+                .join(sh.select(F.col("doc_id").alias("doc_b"),
+                                F.col("sh").alias("sh_b")), "doc_b")
+                .withColumn("jaccard", F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")), 4)))
+    return (verified.filter(F.col("jaccard") >= JACCARD_MIN)
+            .select("doc_a", "doc_b", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+SQL_MINHASH_LSH_DUPS = f"""
+WITH t AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+s AS (SELECT doc_id, {SHINGLES_DUCK} AS sh FROM t),
+g AS (SELECT doc_id, sh, {SHASH_DUCK} AS hs FROM s),
+sig AS (SELECT doc_id, sh, {MINSIG_DUCK} AS sig FROM g),
+bands AS (
+  SELECT doc_id, b.band, (sig[2*b.band + 1]*31 + sig[2*b.band + 2]) % {P}
+         AS bh
+  FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+v AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM v
+WHERE jaccard >= {JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ----------------------------------------------------------------------
+# exact n-gram Jaccard via inverted-index join (ground truth for LSH)
+# ----------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard >= threshold without a cross join:
+    explode distinct shingles (inverted index), self-join on shingle,
+    count co-occurrences per pair, |A∪B| = |A|+|B|-c. The shuffle key
+    is the shingle - high-frequency shingles are the skew hazard at
+    scale; production caps posting-list length (stopword-shingle drop),
+    which is exact for thresholds above the resulting loss."""
+    sh = _shingled(spark, sf_dir).withColumn("n_sh", F.size("sh"))
+    inv = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    pairs = (inv.alias("a").join(
+        inv.alias("b"),
+        (F.col("a.s") == F.col("b.s"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    return (pairs
+            .withColumn("jaccard", F.round(
+                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4))
+            .filter(F.col("jaccard") >= JACCARD_MIN)
+            .select("doc_a", "doc_b", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH t AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+s AS (SELECT doc_id, {SHINGLES_DUCK} AS sh FROM t),
+inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM s),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_a, doc_b,
+       ROUND(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
+FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {JACCARD_MIN}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ----------------------------------------------------------------------
+# SimHash near-dup pairs (banded hamming)
+# ----------------------------------------------------------------------
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash plan: 30-bit signature as a projection, 3 bands of 10
+    bits as LSH keys, hamming verification by bit_count(xor) on the
+    candidate set. Recall bound: hamming <= 2 pairs are guaranteed
+    found (pigeonhole over 3 bands); deeper hamming is best-effort -
+    identical logic on both engines, so results match exactly."""
+    sim = (_t(spark, sf_dir, "documents")
+           .withColumn("ws", F.expr(words_spark()))
+           .withColumn("hs", F.expr(
+               f"transform(ws, w -> {WORDHASH_SPARK})"))
+           .select("doc_id", F.expr(SIMHASH_SPARK).alias("simhash")))
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.explode(F.expr(
+            f"transform(sequence(0, {SIMHASH_BANDS - 1}, 1), b -> "
+            "named_struct('band', b, "
+            "'bv', shiftright(simhash, 10*b) & 1023))")).alias("bb"))
+    bands = bands.select("doc_id", "simhash", "bb.band", "bb.bv")
+    cand = (bands.alias("a").join(
+        bands.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bv") == F.col("b.bv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("ha"),
+                F.col("b.simhash").alias("hb"))
+        .distinct())
+    return (cand
+            .withColumn("hamming", F.expr(
+                "bit_count(ha ^ hb)").cast("int"))
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .select("doc_a", "doc_b", "hamming")
+            .orderBy("doc_a", "doc_b"))
+
+
+SQL_SIMHASH_DUPS = f"""
+WITH t AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+g AS (SELECT doc_id, list_transform(ws, w -> {WORDHASH_DUCK}) AS hs FROM t),
+sim AS (SELECT doc_id, {SIMHASH_DUCK} AS simhash FROM g),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (10*b.band)) & 1023 AS bv
+  FROM sim, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ----------------------------------------------------------------------
+# embedding near-dup pairs (label-blocked cosine)
+# ----------------------------------------------------------------------
+
+_DOT_SPARK = (
+    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * "
+    "CAST(y AS DOUBLE)), 0D, (a, x) -> a + x)")
+_NORM_SPARK = ("sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * "
+               "CAST(x AS DOUBLE)), 0D, (a, x) -> a + x))")
+
+
+def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-similar embedding pairs inside each label block. The label
+    is the blocking key (stand-in for the LSH bucket id that the ann
+    query computes); blocking turns the O(n^2) global cross join into
+    per-block quadratics - the production near-dup plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label",
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("label").alias("label_b"),
+                   F.col("embedding").alias("eb"))
+    pairs = a.join(b, (F.col("label") == F.col("label_b"))
+                   & (F.col("vec_a") < F.col("vec_b")))
+    cos = (F.expr(_DOT_SPARK)
+           / (F.expr(_NORM_SPARK.format(c="ea"))
+              * F.expr(_NORM_SPARK.format(c="eb"))))
+    return (pairs.select("vec_a", "vec_b", "label",
+                         F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+            .limit(20))
+
+
+SQL_EMBEDDING_TOP_PAIRS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a, vec_b
+LIMIT 20
+"""
+
+
+# ----------------------------------------------------------------------
+# ANN: random-hyperplane LSH bucketing + exact re-rank
+# ----------------------------------------------------------------------
+# deterministic integer "hyperplanes": w(p,d) in [-1000, 1000], from an
+# LCG over the (plane, dim) index; embeddings quantized to 1e-3 ints so
+# the signature bit (sign of an integer dot product) is exactly
+# reproducible on any engine.
+
+_QEMB = "transform({c}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS LONG))"
+_W_SPARK = "((1103515245L * (p*64 + d) + 12345L) % 2001) - 1000"
+_W_DUCK = "((1103515245::BIGINT * (p*64 + d) + 12345) % 2001) - 1000"
+
+_PLANE_SIG_SPARK = (
+    f"aggregate(transform(sequence(0, {N_PLANES - 1}), p -> "
+    "IF(aggregate(sequence(0, 63), 0L, (a, d) -> a + qe[d] * "
+    f"({_W_SPARK})) >= 0, shiftleft(1L, p), 0L)), 0L, (a, x) -> a + x)")
+_PLANE_SIG_DUCK = (
+    f"CAST(list_sum(list_transform(range(0, {N_PLANES}), p -> "
+    "CASE WHEN list_sum(list_transform(range(0, 64), d -> qe[d+1] * "
+    f"({_W_DUCK}))) >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) "
+    "AS BIGINT)")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN for the vec_id=0 query: 16-bit hyperplane signature per
+    vector (pure projection), candidates = hamming <= ANN_HAMMING_MAX
+    from the query signature, exact cosine re-rank of candidates only.
+    At 100 TB the signature becomes the partition/bucket key and the
+    query touches only matching buckets instead of the full scan."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .withColumn("qe", F.expr(_QEMB.format(c="embedding")))
+           .withColumn("sig", F.expr(_PLANE_SIG_SPARK))
+           .select("vec_id", "embedding", "sig"))
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("eb"),
+                 F.col("sig").alias("qsig")))
+    cand = (emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+            .withColumn("hamming",
+                        F.expr("bit_count(sig ^ qsig)").cast("int"))
+            .filter(F.col("hamming") <= ANN_HAMMING_MAX))
+    cos = (F.expr(_DOT_SPARK.replace("ea", "embedding"))
+           / (F.expr(_NORM_SPARK.format(c="embedding"))
+              * F.expr(_NORM_SPARK.format(c="eb"))))
+    return (cand.select("vec_id", "hamming",
+                        F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10))
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qe
+  FROM embeddings),
+s AS (SELECT vec_id, embedding, {_PLANE_SIG_DUCK} AS sig FROM e),
+q AS (SELECT embedding AS qemb, sig AS qsig FROM s WHERE vec_id = 0),
+c AS (
+  SELECT vec_id,
+         CAST(bit_count(CAST(xor(sig, qsig) AS BIGINT)) AS INTEGER)
+             AS hamming,
+         ROUND(list_cosine_similarity(embedding, qemb), 4) AS cos_sim
+  FROM s, q WHERE vec_id <> 0)
+SELECT vec_id, hamming, cos_sim FROM c
+WHERE hamming <= {ANN_HAMMING_MAX}
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------------
+REGISTRY = {
+    "quality_scores": q_quality_scores,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "minhash_lsh_dups": q_minhash_lsh_dups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_dups": q_simhash_dups,
+    "embedding_top_pairs": q_embedding_top_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+}
+
+ORACLES = {
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprints": SQL_DOC_FINGERPRINTS,
+    "minhash_lsh_dups": SQL_MINHASH_LSH_DUPS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "simhash_dups": SQL_SIMHASH_DUPS,
+    "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+}
