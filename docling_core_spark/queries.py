@@ -81,6 +81,15 @@ def q_doc_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(corpus_df(spark, sf_dir))
 
 
+def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: corpus -> media table (binary payloads) ->
+    stubbed decode + feature extraction -> per-kind rollup. Rows-only
+    driver check (byte-level decode is not SQL-expressible)."""
+    from docling_core_spark.mediaops import media_feature_stats
+
+    return media_feature_stats(corpus_df(spark, sf_dir))
+
+
 def q_export_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_documents(corpus_df(spark, sf_dir), fmt="dt")
 
@@ -327,6 +336,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_doctags": q_export_doctags,
         "parse_doctags": q_parse_doctags,
         "doc_pipeline_stats": q_doc_pipeline_stats,
+        "media_feature_stats": q_media_feature_stats,
         # relational + training-data ops (DuckDB oracle)
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
