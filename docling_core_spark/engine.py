@@ -191,21 +191,23 @@ def chunk_documents(df: DataFrame, mode: str = "hybrid",
 def export_documents(df: DataFrame, fmt: str = "md",
                      page_break_placeholder: Optional[str] = None
                      ) -> DataFrame:
-    """documents -> exports(doc_id, fmt, text); fmt in {md, txt, dt}."""
+    """documents -> exports(doc_id, fmt, text); fmt in {md, txt, dt,
+    html}."""
     import pyarrow as pa
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from docling_core_spark.model.spans import doc_from_spans
         from docling_core_spark.serializers.doctags import export_to_doctags
+        from docling_core_spark.serializers.html import export_to_html
         from docling_core_spark.serializers.markdown import (
             export_to_markdown,
             export_to_text,
         )
         kw = {}
-        if page_break_placeholder is not None and fmt != "dt":
+        if page_break_placeholder is not None and fmt not in ("dt", "html"):
             kw["page_break_placeholder"] = page_break_placeholder
         fn = {"md": export_to_markdown, "txt": export_to_text,
-              "dt": export_to_doctags}[fmt]
+              "dt": export_to_doctags, "html": export_to_html}[fmt]
         for batch in batches:
             ids, txts = [], []
             for doc_id, tuples in _iter_span_tuples(batch):

@@ -94,6 +94,10 @@ def q_export_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_documents(corpus_df(spark, sf_dir), fmt="dt")
 
 
+def q_export_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return export_documents(corpus_df(spark, sf_dir), fmt="html")
+
+
 def q_parse_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction stage: doctags token streams -> span documents ->
     chunks. Exercises the parser (sources/doctags.py) at scale."""
@@ -334,6 +338,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_hierarchical": q_chunks_hierarchical,
         "export_markdown": q_export_markdown,
         "export_doctags": q_export_doctags,
+        "export_html": q_export_html,
         "parse_doctags": q_parse_doctags,
         "doc_pipeline_stats": q_doc_pipeline_stats,
         "media_feature_stats": q_media_feature_stats,

@@ -274,3 +274,7 @@ def reference_markdown(doc: DoclingDocument, **kw) -> str:
 
 def reference_text(doc: DoclingDocument, **kw) -> str:
     return doc.export_to_text(**kw)
+
+
+def reference_html(doc: DoclingDocument, **kw) -> str:
+    return doc.export_to_html(**kw)

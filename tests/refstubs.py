@@ -97,6 +97,16 @@ def install() -> None:
 
     _stub("semchunk", chunkerify=chunkerify)
 
+    # --- latex2mathml: always raise -> the reference html serializer
+    # takes its deterministic <pre> fallback (html.py:298-310), which is
+    # the exact behavior this engine reproduces at scale
+    def _convert_to_element(formula, display="block", **kw):
+        raise RuntimeError("mathml disabled (deterministic fallback)")
+
+    conv = _stub("latex2mathml.converter",
+                 convert_to_element=_convert_to_element)
+    _stub("latex2mathml", converter=conv)
+
     sys.path.insert(0, REFERENCE_PATH)
 
 

@@ -57,3 +57,32 @@ def test_page_filter_markdown_parity(i):
     engine_doc, ref_doc = _doc(i)
     assert export_to_markdown(engine_doc, pages={2}) == \
         reference_markdown(ref_doc, page_no=2)
+
+
+def test_html_parity_all():
+    from tests.oracle import reference_html
+    from docling_core_spark.serializers.html import export_to_html
+
+    for i in range(N_DOCS):
+        engine_doc, ref_doc = _doc(i)
+        assert export_to_html(engine_doc) == reference_html(ref_doc), i
+
+
+@pytest.mark.parametrize("i", range(0, N_DOCS, 5))
+def test_sliced_html_parity(i):
+    from tests.oracle import reference_html
+    from docling_core_spark.serializers.html import export_to_html
+
+    engine_doc, ref_doc = _doc(i)
+    assert export_to_html(engine_doc, start_idx=3, stop_idx=17) == \
+        reference_html(ref_doc, from_element=3, to_element=17)
+
+
+@pytest.mark.parametrize("i", range(0, N_DOCS, 5))
+def test_page_filter_html_parity(i):
+    from tests.oracle import reference_html
+    from docling_core_spark.serializers.html import export_to_html
+
+    engine_doc, ref_doc = _doc(i)
+    assert export_to_html(engine_doc, pages={2}) == \
+        reference_html(ref_doc, page_no=2)
