@@ -1,0 +1,96 @@
+"""Document-level DataFrame operators: concatenate (M9), range
+extraction (M7).
+
+Both are pure Spark column transforms over the ``spans`` array - no
+Python UDF, no per-doc object graph. This is the SURVEY §2.3 mapping:
+the reference's in-place tree mutations become span-array arithmetic.
+
+* ``concatenate_documents`` re-expresses DoclingDocument.concatenate
+  (document.py:5752-5761 + _DocIndex.index 5621-5750): pool re-indexing
+  becomes an offset shift by the running span count (window prefix sum),
+  and the reference's page renumbering (``page_delta = max_page_so_far -
+  min(doc.pages) + 1``, document.py:5643) becomes a rewrite of
+  ``page_break:P`` kinds plus one synthetic break at each document
+  boundary.
+* ``extract_spans_range`` re-expresses extract_items_range
+  (document.py:3764-3874) on span offsets: slice + re-offset. The span
+  codec is tolerant of group-boundary cuts (orphan ``end_group`` pops an
+  empty stack; unclosed groups close at document end), mirroring the
+  reference's re-rooting of partial subtrees.
+
+Scale notes: concatenation shuffles once on the grouping key (inherent
+- the output row IS the group); the window runs inside each group
+partition. Range extraction is a pure projection (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# max page touched by a document: page_break:P spans carry the explicit
+# target page; a document with no breaks is a single page 1
+_MAX_PAGE = (
+    "aggregate(spans, CAST(1 AS LONG), (acc, s) -> "
+    "IF(s.kind LIKE 'page_break:%', "
+    "greatest(acc, CAST(split(s.kind, ':')[1] AS LONG)), acc))")
+
+_SHIFTED = (
+    "transform(spans, s -> named_struct("
+    "'kind', CASE WHEN s.kind LIKE 'page_break:%' THEN "
+    "concat('page_break:', CAST(CAST(split(s.kind, ':')[1] AS LONG) "
+    "+ base_page AS STRING)) ELSE s.kind END, "
+    "'text', s.text, 'media_ref', s.media_ref, "
+    "'offset', CAST(s.offset + base_off + IF(seq > 1, 1, 0) AS INT)))")
+
+_WITH_BOUNDARY_BREAK = (
+    "CASE WHEN seq > 1 THEN concat(array(named_struct("
+    "'kind', concat('page_break:', CAST(base_page + 1 AS STRING)), "
+    "'text', '', 'media_ref', '', "
+    "'offset', CAST(base_off AS INT))), shifted) ELSE shifted END")
+
+
+def concatenate_documents(docs: DataFrame, group_col=None,
+                          ) -> DataFrame:
+    """documents(doc_id, spans) -> concatenated documents, one row per
+    group (default: the whole input -> a single document). Order inside
+    a group is doc_id order, like the reference's input sequence."""
+    grp = group_col if group_col is not None else F.lit("all")
+    d = (docs.withColumn("grp", grp)
+         .withColumn("n", F.size("spans"))
+         .withColumn("maxp", F.expr(_MAX_PAGE)))
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    d = (d.withColumn("seq", F.row_number().over(w))
+         .withColumn("base_off", F.coalesce(
+             F.sum(F.col("n") + 1).over(before), F.lit(0)))
+         .withColumn("base_page", F.coalesce(
+             F.sum("maxp").over(before), F.lit(0)))
+         .withColumn("shifted", F.expr(_SHIFTED))
+         .withColumn("spans2", F.expr(_WITH_BOUNDARY_BREAK)))
+    return (d.groupBy("grp")
+            .agg(
+                F.concat_ws(" + ", F.array_sort(
+                    F.collect_list(F.struct("seq", "doc_id"))).getField(
+                        "doc_id")).alias("doc_id"),
+                F.flatten(F.array_sort(F.collect_list(
+                    F.struct("seq", "spans2"))).getField("spans2"))
+                .alias("spans"))
+            .select("doc_id", "spans"))
+
+
+def extract_spans_range(docs: DataFrame, start: int, stop: int
+                        ) -> DataFrame:
+    """Sub-document extraction by span-offset range [start, stop):
+    filter + re-offset, purely columnar."""
+    kept = F.expr(
+        f"filter(spans, s -> s.offset >= {start} AND s.offset < {stop})")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "transform(filter(spans, s -> s.offset >= {0} AND "
+            "s.offset < {1}), s -> named_struct('kind', s.kind, "
+            "'text', s.text, 'media_ref', s.media_ref, "
+            "'offset', CAST(s.offset - {0} AS INT)))".format(start, stop))
+        .alias("spans"),
+    ).filter(F.size(kept) > 0)

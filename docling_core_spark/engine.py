@@ -157,6 +157,7 @@ def chunk_documents(df: DataFrame, mode: str = "hybrid",
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from docling_core_spark.chunking.hierarchical import hierarchical_chunk
         from docling_core_spark.chunking.hybrid import hybrid_chunk
+        from docling_core_spark.chunking.page import page_chunk
         from docling_core_spark.chunking.tokenizer import RegexTokenizer
         from docling_core_spark.model.spans import doc_from_spans
 
@@ -168,6 +169,8 @@ def chunk_documents(df: DataFrame, mode: str = "hybrid",
                 if mode == "hybrid":
                     chunks = hybrid_chunk(doc, tokenizer=tok,
                                           merge_peers=merge_peers)
+                elif mode == "page":
+                    chunks = page_chunk(doc)
                 else:
                     chunks = hierarchical_chunk(doc)
                 for ci, c in enumerate(chunks):

@@ -73,12 +73,36 @@ def q_chunks_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(corpus_df(spark, sf_dir), mode="hier")
 
 
+def q_chunks_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(corpus_df(spark, sf_dir), mode="page")
+
+
 def q_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_documents(corpus_df(spark, sf_dir), fmt="md")
 
 
 def q_doc_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(corpus_df(spark, sf_dir))
+
+
+def q_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 concatenate as a DataFrame op (window prefix-sum offset/page
+    shifts, no UDF) feeding the chunker; groups of ~10 docs each."""
+    from docling_core_spark.docops import concatenate_documents
+
+    docs = corpus_df(spark, sf_dir)
+    merged = concatenate_documents(
+        docs, group_col=F.pmod(F.xxhash64("doc_id"), F.lit(10)))
+    return chunk_documents(merged, mode="hier")
+
+
+def q_extract_range_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 sub-document extraction (span-offset slice, pure projection)
+    feeding the chunker."""
+    from docling_core_spark.docops import extract_spans_range
+
+    return chunk_documents(
+        extract_spans_range(corpus_df(spark, sf_dir), 2, 30), mode="hier")
 
 
 def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,12 +360,15 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # document engine (pytest parity gate; rows-only driver check)
         "chunks_hybrid": q_chunks_hybrid,
         "chunks_hierarchical": q_chunks_hierarchical,
+        "chunks_page": q_chunks_page,
         "export_markdown": q_export_markdown,
         "export_doctags": q_export_doctags,
         "export_html": q_export_html,
         "parse_doctags": q_parse_doctags,
         "doc_pipeline_stats": q_doc_pipeline_stats,
         "media_feature_stats": q_media_feature_stats,
+        "concat_chunks": q_concat_chunks,
+        "extract_range_chunks": q_extract_range_chunks,
         # relational + training-data ops (DuckDB oracle)
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,

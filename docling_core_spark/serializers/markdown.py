@@ -165,35 +165,55 @@ class MarkdownSerializer:
     """Visitor-style markdown serializer (DocSerializer analogue,
     serializer/common.py:203-437 + markdown.py:483-723)."""
 
-    def __init__(self, doc: Doc, params: Optional[MarkdownParams] = None):
+    def __init__(self, doc: Doc, params: Optional[MarkdownParams] = None,
+                 base_params: Optional[MarkdownParams] = None):
         self.doc = doc
         self.params = params if params is not None else MarkdownParams()
+        # ``base_params``: the serializer-construction params BEFORE any
+        # per-call patch. The reference's markdown KV serializer calls
+        # get_excluded_refs() without forwarding the call kwargs
+        # (markdown.py:480), so KV exclusion sees only these; the page
+        # chunker exploits this distinction (pages arrive per-call).
+        self.base_params = base_params if base_params is not None \
+            else self.params
         self._excluded: Optional[Set[int]] = None
+        self._base_excluded: Optional[Set[int]] = None
         self._captions_of_some_item = doc.captions_of_some_item()
 
     # ------------------------------------------------------------------
     def get_excluded_refs(self) -> Set[int]:
         """ids of excluded nodes (common.py:239-274)."""
         if self._excluded is None:
-            p = self.params
-            excluded: Set[int] = set()
-            ix = 0
-            for node, _lvl in self.doc.iterate_items(
-                    with_groups=True, layers=p.layers):
-                # traverse_pictures=True in the reference's exclusion scan:
-                # our iterate skips picture children; pictures in the span
-                # grammar only carry caption children, which ARE traversed,
-                # so the enumeration matches.
-                if ix < p.start_idx or ix >= p.stop_idx:
-                    excluded.add(id(node))
-                elif not node.is_group:
-                    if node.label not in p.labels or node.layer not in p.layers:
-                        excluded.add(id(node))
-                    elif p.pages is not None and node.page_no not in p.pages:
-                        excluded.add(id(node))
-                ix += 1
-            self._excluded = excluded
+            self._excluded = self._compute_excluded(self.params)
         return self._excluded
+
+    def get_excluded_refs_unpatched(self) -> Set[int]:
+        """Exclusions computed from the pre-patch params (the reference
+        KV serializer's get_excluded_refs() call without kwargs)."""
+        if self.base_params is self.params:
+            return self.get_excluded_refs()
+        if self._base_excluded is None:
+            self._base_excluded = self._compute_excluded(self.base_params)
+        return self._base_excluded
+
+    def _compute_excluded(self, p: MarkdownParams) -> Set[int]:
+        excluded: Set[int] = set()
+        ix = 0
+        for node, _lvl in self.doc.iterate_items(
+                with_groups=True, layers=p.layers):
+            # traverse_pictures=True in the reference's exclusion scan:
+            # our iterate skips picture children; pictures in the span
+            # grammar only carry caption children, which ARE traversed,
+            # so the enumeration matches.
+            if ix < p.start_idx or ix >= p.stop_idx:
+                excluded.add(id(node))
+            elif not node.is_group:
+                if node.label not in p.labels or node.layer not in p.layers:
+                    excluded.add(id(node))
+                elif p.pages is not None and node.page_no not in p.pages:
+                    excluded.add(id(node))
+            ix += 1
+        return excluded
 
     # ------------------------------------------------------------------
     def _iterate(self, root: Optional[Node]) -> Iterator[Node]:
@@ -447,8 +467,11 @@ class MarkdownSerializer:
 
     # ------------------------------------------------------------------
     def _serialize_key_value(self, node: Node) -> SerResult:
-        """MarkdownKeyValueSerializer placeholder (markdown.py:424-447)."""
-        if id(node) not in self.get_excluded_refs():
+        """MarkdownKeyValueSerializer placeholder (markdown.py:466-486).
+        NB: the reference checks get_excluded_refs() WITHOUT forwarding
+        the per-call kwargs, so patched-in page filters don't exclude
+        KV items - replicated via the unpatched exclusion set."""
+        if id(node) not in self.get_excluded_refs_unpatched():
             return _ser(text="<!-- missing-key-value-item -->", source=node)
         return _ser()
 

@@ -278,3 +278,18 @@ def reference_text(doc: DoclingDocument, **kw) -> str:
 
 def reference_html(doc: DoclingDocument, **kw) -> str:
     return doc.export_to_html(**kw)
+
+
+def reference_page_chunks(doc: DoclingDocument,
+                          ref_to_offset: Dict[str, int]
+                          ) -> List[Tuple[str, Optional[List[str]], List[int]]]:
+    from docling_core.transforms.chunker.page_chunker import PageChunker
+
+    out = []
+    for c in PageChunker().chunk(doc):
+        out.append((
+            c.text,
+            list(c.meta.headings) if c.meta.headings else None,
+            [ref_to_offset[it.self_ref] for it in c.meta.doc_items],
+        ))
+    return out
