@@ -40,19 +40,49 @@ def corpus_docs_for(sf_dir: str) -> int:
     return _SF_DOCS.get(base, 500)
 
 
+def corpus_path(sf_dir: str) -> str:
+    n_docs = corpus_docs_for(sf_dir)
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_corpus_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{n_docs}.parquet")
+
+
+def ensure_corpus_local(sf_dir: str) -> str:
+    """Materialize the span corpus WITHOUT Spark (pure pyarrow) - used
+    by the DuckDB oracles, which may run before any Spark query has
+    cached it. Rows are a pure function of (seed, index), so this is
+    bit-identical to the Spark-side writer."""
+    path = corpus_path(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.corpus import gen_corpus
+
+    rows = gen_corpus(corpus_docs_for(sf_dir), seed=42)
+    span_t = pa.struct([("kind", pa.string()), ("text", pa.string()),
+                        ("media_ref", pa.string()), ("offset", pa.int32())])
+    table = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "spans": pa.array([r["spans"] for r in rows], pa.list_(span_t)),
+    })
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
 def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic span corpus for this sf, materialized once as
     parquet (stand-in for the Iceberg documents table) and read back -
     so every query sees the production shape: JVM columnar scan feeding
     the UDF, and generation cost is paid once per process fleet."""
-    n_docs = corpus_docs_for(sf_dir)
-    path = os.path.join(
-        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
-        f"docling_corpus_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{n_docs}.parquet")
+    path = corpus_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        synth_documents(spark, n_docs, seed=42).write.mode(
-            "overwrite").parquet(path)
+        synth_documents(spark, corpus_docs_for(sf_dir), seed=42) \
+            .write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
@@ -83,6 +113,80 @@ def q_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(corpus_df(spark, sf_dir))
+
+
+def q_caption_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-to-picture/table resolution via media_ref (north-star
+    query): explode the span arrays, equi-join caption spans to their
+    floating owners on (doc_id, media_ref). Both sides co-partition on
+    the join key after one shuffle; at 100 TB this is the standard
+    within-corpus edge resolution - no broadcast needed, AQE sizes the
+    join."""
+    docs = corpus_df(spark, sf_dir)
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    owners = (s.filter((F.col("s.media_ref") != "")
+                       & ~F.col("s.kind").startswith("caption"))
+              .select("doc_id",
+                      F.col("s.media_ref").alias("media_ref"),
+                      F.col("s.kind").alias("owner_kind"),
+                      F.col("s.offset").alias("owner_offset")))
+    caps = (s.filter(F.col("s.kind").startswith("caption:"))
+            .select("doc_id",
+                    F.expr("substring(s.kind, 9)").alias("media_ref"),
+                    F.col("s.text").alias("caption_text"),
+                    F.col("s.offset").alias("caption_offset")))
+    return (owners.join(caps, ["doc_id", "media_ref"])
+            .orderBy("doc_id", "caption_offset"))
+
+
+def _sql_caption_resolution(sf_dir: str) -> str:
+    path = ensure_corpus_local(sf_dir)
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{path}/*.parquet')),
+o AS (SELECT doc_id, sp.media_ref AS media_ref, sp.kind AS owner_kind,
+             sp.offset AS owner_offset
+      FROM s WHERE sp.media_ref <> '' AND sp.kind NOT LIKE 'caption%'),
+c AS (SELECT doc_id, substr(sp.kind, 9) AS media_ref,
+             sp.text AS caption_text, sp.offset AS caption_offset
+      FROM s WHERE sp.kind LIKE 'caption:%')
+SELECT o.doc_id AS doc_id, o.media_ref AS media_ref, owner_kind,
+       owner_offset, caption_text, caption_offset
+FROM o JOIN c ON o.doc_id = c.doc_id AND o.media_ref = c.media_ref
+ORDER BY o.doc_id, caption_offset
+"""
+
+
+def q_span_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile: span counts/chars by base kind (exploded scan +
+    partial aggregation; the shuffle carries one row per kind)."""
+    docs = corpus_df(spark, sf_dir)
+    s = docs.select(F.explode("spans").alias("s"))
+    return (s.groupBy(F.split(F.col("s.kind"), ":").getItem(0)
+                      .alias("base_kind"))
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.length(F.col("s.text"))).cast("long")
+                 .alias("total_chars"))
+            .orderBy("base_kind"))
+
+
+def _sql_span_kind_stats(sf_dir: str) -> str:
+    path = ensure_corpus_local(sf_dir)
+    return f"""
+WITH s AS (SELECT unnest(spans) AS sp
+           FROM read_parquet('{path}/*.parquet'))
+SELECT string_split(sp.kind, ':')[1] AS base_kind,
+       COUNT(*) AS n_spans,
+       CAST(SUM(length(sp.text)) AS BIGINT) AS total_chars
+FROM s GROUP BY 1 ORDER BY base_kind
+"""
+
+
+def _oracle_sf_dir() -> str:
+    """The sf the driver's DuckDB correctness pass runs at (sf0.01);
+    tests override via TEST_SF_DIR so both sides stay aligned."""
+    return (os.environ.get("TEST_SF_DIR")
+            or "/root/testdata/sf0.01")
 
 
 def q_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,6 +473,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_stats": q_media_feature_stats,
         "concat_chunks": q_concat_chunks,
         "extract_range_chunks": q_extract_range_chunks,
+        "caption_resolution": q_caption_resolution,
+        "span_kind_stats": q_span_kind_stats,
         # relational + training-data ops (DuckDB oracle)
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
@@ -396,4 +502,7 @@ def oracles() -> Dict[str, str]:
         "knn_cosine": SQL_KNN_COSINE,
     }
     out.update(textops.ORACLES)
+    sf = _oracle_sf_dir()
+    out["caption_resolution"] = _sql_caption_resolution(sf)
+    out["span_kind_stats"] = _sql_span_kind_stats(sf)
     return out
