@@ -1,0 +1,75 @@
+"""Physical-plan properties: the scale contract, checked in CI.
+
+These assertions encode what SURVEY §4 promises: filters and column
+pruning reach the parquet scan, small dims broadcast, the relational
+queries stay fully JVM-side (no Python in the plan), and the document
+pipeline is exactly one Arrow-crossing stage with no shuffle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    p = _plan(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p          # filter pushed to scan
+    # column pruning: the scan must not read unrelated lineitem columns
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    p = _plan(spark, "nation_revenue")
+    # customer + nation joins (each appears in tree + details sections)
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert read_schema.count(":") <= 3                # orders scan pruned
+
+
+def test_relational_queries_stay_jvm_side(spark):
+    """No Python evaluation anywhere in the relational/training-data
+    plans - everything compiles to JVM expressions."""
+    for name in ("pricing_summary", "events_by_type", "exact_dup_groups",
+                 "token_counts", "quality_scores", "lang_id",
+                 "doc_fingerprints", "simhash_dups", "knn_cosine",
+                 "ann_lsh_topk"):
+        p = _plan(spark, name)
+        assert "Python" not in p and "ArrowEval" not in p, name
+
+
+def test_chunk_pipeline_is_single_stage_no_shuffle(spark):
+    """The flagship path: parquet scan -> one MapInArrow -> done.
+    No Exchange anywhere (chunking is embarrassingly parallel)."""
+    p = _plan(spark, "chunks_hybrid")
+    assert "MapInArrow" in p
+    assert "Exchange" not in p
+    # exactly one UDF stage: operator (3) is the only MapInArrow node
+    tree = p.split("(1)")[0]
+    assert tree.count("MapInArrow") == 1
+
+
+def test_caption_resolution_plan(spark):
+    """Exploded-span equi-join: shuffles only on the join key, no
+    nested-loop / cartesian fallback."""
+    p = _plan(spark, "caption_resolution")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
