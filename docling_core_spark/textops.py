@@ -257,20 +257,31 @@ FROM c ORDER BY doc_id
 # ----------------------------------------------------------------------
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fingerprints per doc - exact (md5), winnowing-min (min
+    shingle hash), simhash - each from its relational sub-plan, joined
+    on doc_id (co-partitioned after the aggregations)."""
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.withColumn("ws", F.expr(words_spark()))
-        .withColumn("sh", F.expr(SHINGLES_SPARK))
-        .withColumn("hs", F.expr(SHASH_SPARK))
-        .select(
-            "doc_id",
-            F.md5("text").alias("content_md5"),
-            F.expr("aggregate(hs, CAST(%d AS LONG), (m, h) -> least(m, h))"
-                   % P).alias("fp_min"),
-            F.expr(SIMHASH_SPARK.replace("hs", "hs")).alias("simhash"),
-        )
-        .orderBy("doc_id")
-    )
+    md5 = docs.select("doc_id", F.md5("text").alias("content_md5"))
+    hashed = (_shingle_rows(spark, sf_dir)
+              .withColumnRenamed("sh", "w")
+              .select("doc_id", F.expr(WORDHASH_SPARK).alias("h")))
+    # fp_min and the 30 simhash bit votes in ONE aggregation pass;
+    # this simhash is over shingle hashes (winnowing-compatible), vs.
+    # q_simhash_dups' word-level simhash
+    agg = hashed.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"),
+        *[F.sum(F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1)
+                .otherwise(-1)).alias(f"v{i}")
+          for i in range(SIMHASH_BITS)])
+    bits = [F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(SIMHASH_BITS)]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    fp = agg.select("doc_id", "fp_min", total.cast("long").alias("simhash"))
+    return (md5.join(fp, "doc_id")
+            .select("doc_id", "content_md5", "fp_min", "simhash")
+            .orderBy("doc_id"))
 
 
 SQL_DOC_FINGERPRINTS = f"""
@@ -289,29 +300,60 @@ FROM h ORDER BY doc_id
 # ----------------------------------------------------------------------
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh array) - array form, for small-side verification."""
     return (_t(spark, sf_dir, "documents")
             .withColumn("ws", F.expr(words_spark()))
             .withColumn("sh", F.expr(SHINGLES_SPARK))
             .select("doc_id", "sh"))
 
 
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct shingles, one row each - the relational
+    build: posexplode words once, 3-grams via window lead() within the
+    doc partition. Same shingle set as SHINGLES_SPARK, but the word
+    regexp runs once per doc instead of once per indexed reference
+    (interpreted lambdas re-evaluate referenced array expressions)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.size(F.expr(words_spark())).alias("n"),
+        F.posexplode(F.expr(words_spark())).alias("pos", "w"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (w.filter(F.col("n") >= 3)
+           .select("doc_id", "w",
+                   F.lead("w", 1).over(win).alias("w1"),
+                   F.lead("w", 2).over(win).alias("w2"))
+           .filter(F.col("w2").isNotNull())
+           .select("doc_id",
+                   F.concat_ws(" ", "w", "w1", "w2").alias("sh")))
+    short = (docs.select("doc_id", F.expr(words_spark()).alias("ws"))
+             .filter(F.size("ws") < 3)
+             .select("doc_id", F.concat_ws(" ", "ws").alias("sh")))
+    return tri.unionByName(short).distinct()
+
+
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH plan: per-doc signature (projection, no shuffle) ->
-    explode to (band, band_hash) keys -> shuffle only those pairs ->
-    candidate pairs -> Jaccard verification join on the candidate set.
-    At 100 TB the band shuffle carries ~8 small rows per doc; the
-    quadratic blowup is confined to same-bucket groups."""
-    sig = (_shingled(spark, sf_dir)
-           .withColumn("hs", F.expr(SHASH_SPARK))
-           .withColumn("sig", F.expr(MINSIG_SPARK))
-           .select("doc_id", "sh", "sig"))
+    """MinHashLSH plan, relational formulation: explode shingles (one
+    row each, hashed once), groupBy(doc_id) with one MIN aggregate per
+    signature slot - whole-stage-codegen hash aggregation with map-side
+    partials, instead of per-row lambda towers (Catalyst re-evaluates a
+    referenced array expression inside interpreted higher-order
+    functions, which makes the nested form quadratic). Bands explode to
+    (band, band_hash) keys -> candidate pairs -> Jaccard verification
+    join on the candidate set only. At 100 TB the shuffles carry
+    (doc_id, h) and ~8 band rows per doc."""
+    hashed = (_shingle_rows(spark, sf_dir)
+              .withColumnRenamed("sh", "w")
+              .select("doc_id", F.expr(WORDHASH_SPARK).alias("h")))
+    sig = hashed.groupBy("doc_id").agg(*[
+        F.min((F.lit(2 * j + 31) * F.col("h") + F.lit(17 * j + 7)) % P)
+        .alias(f"s{j}") for j in range(N_MINHASH)])
     bands = sig.select(
         "doc_id",
-        F.explode(F.expr(
-            f"transform(sequence(0, {MINHASH_BANDS - 1}), b -> "
-            f"named_struct('band', b, 'bh', "
-            f"(sig[2*b]*31 + sig[2*b+1]) % {P}))")).alias("bb"))
-    bands = bands.select("doc_id", "bb.band", "bb.bh")
+        F.posexplode(F.array(*[
+            ((F.col(f"s{2 * b}") * 31 + F.col(f"s{2 * b + 1}")) % P)
+            for b in range(MINHASH_BANDS)])).alias("band", "bh"))
     cand = (bands.alias("a").join(
         bands.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -320,7 +362,8 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct())
-    sh = sig.select("doc_id", "sh")
+    sh = (_shingle_rows(spark, sf_dir)
+          .groupBy("doc_id").agg(F.collect_list("sh").alias("sh")))
     verified = (cand
                 .join(sh.select(F.col("doc_id").alias("doc_a"),
                                 F.col("sh").alias("sh_a")), "doc_a")
@@ -371,8 +414,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the shingle - high-frequency shingles are the skew hazard at
     scale; production caps posting-list length (stopword-shingle drop),
     which is exact for thresholds above the resulting loss."""
-    sh = _shingled(spark, sf_dir).withColumn("n_sh", F.size("sh"))
-    inv = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    from pyspark.sql import Window
+
+    inv = (_shingle_rows(spark, sf_dir)
+           .withColumn("n_sh",
+                       F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+           .select("doc_id", "n_sh", F.col("sh").alias("s")))
     pairs = (inv.alias("a").join(
         inv.alias("b"),
         (F.col("a.s") == F.col("b.s"))
@@ -409,24 +456,39 @@ ORDER BY doc_a, doc_b
 # SimHash near-dup pairs (banded hamming)
 # ----------------------------------------------------------------------
 
+def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) via the relational plan: explode words, hash
+    each once, groupBy(doc_id) with one conditional SUM per bit -
+    codegen'd aggregation (see minhash note on why not nested lambdas).
+    """
+    hashed = (_t(spark, sf_dir, "documents")
+              .withColumn("ws", F.expr(words_spark()))
+              .select("doc_id", F.explode("ws").alias("w"))
+              .select("doc_id", F.expr(WORDHASH_SPARK).alias("h")))
+    votes = hashed.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1)
+              .otherwise(-1)).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)])
+    bits = [F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(SIMHASH_BITS)]
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return votes.select("doc_id", total.cast("long").alias("simhash"))
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash plan: 30-bit signature as a projection, 3 bands of 10
-    bits as LSH keys, hamming verification by bit_count(xor) on the
+    """SimHash plan: 30-bit signature via explode+groupBy, 3 bands of
+    10 bits as LSH keys, hamming verification by bit_count(xor) on the
     candidate set. Recall bound: hamming <= 2 pairs are guaranteed
     found (pigeonhole over 3 bands); deeper hamming is best-effort -
     identical logic on both engines, so results match exactly."""
-    sim = (_t(spark, sf_dir, "documents")
-           .withColumn("ws", F.expr(words_spark()))
-           .withColumn("hs", F.expr(
-               f"transform(ws, w -> {WORDHASH_SPARK})"))
-           .select("doc_id", F.expr(SIMHASH_SPARK).alias("simhash")))
+    sim = _simhash_table(spark, sf_dir)
     bands = sim.select(
         "doc_id", "simhash",
-        F.explode(F.expr(
-            f"transform(sequence(0, {SIMHASH_BANDS - 1}, 1), b -> "
-            "named_struct('band', b, "
-            "'bv', shiftright(simhash, 10*b) & 1023))")).alias("bb"))
-    bands = bands.select("doc_id", "simhash", "bb.band", "bb.bv")
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 10 * b).bitwiseAND(1023)
+            for b in range(SIMHASH_BANDS)])).alias("band", "bv"))
     cand = (bands.alias("a").join(
         bands.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -515,14 +577,31 @@ LIMIT 20
 # the signature bit (sign of an integer dot product) is exactly
 # reproducible on any engine.
 
-_QEMB = "transform({c}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS LONG))"
-_W_SPARK = "((1103515245L * (p*64 + d) + 12345L) % 2001) - 1000"
 _W_DUCK = "((1103515245::BIGINT * (p*64 + d) + 12345) % 2001) - 1000"
 
-_PLANE_SIG_SPARK = (
-    f"aggregate(transform(sequence(0, {N_PLANES - 1}), p -> "
-    "IF(aggregate(sequence(0, 63), 0L, (a, d) -> a + qe[d] * "
-    f"({_W_SPARK})) >= 0, shiftleft(1L, p), 0L)), 0L, (a, x) -> a + x)")
+
+def _plane_weights(p: int) -> list:
+    """The deterministic integer hyperplane, identical to _W_DUCK."""
+    return [((1103515245 * (p * 64 + d) + 12345) % 2001) - 1000
+            for d in range(64)]
+
+
+def _plane_sig_spark(emb_col: str = "embedding") -> str:
+    """16-bit signature: one zip_with per plane against a LITERAL
+    weight vector, quantization fused into the lambda. Constant-folded
+    weights keep this linear in dims*planes - indexing a transform()'d
+    array inside interpreted lambdas re-evaluates the whole array per
+    access, which is the quadratic trap the literal form avoids."""
+    plane_bits = []
+    for p in range(N_PLANES):
+        w_lit = "array(" + ",".join(f"{w}L" for w in _plane_weights(p)) + ")"
+        dot = (f"aggregate(zip_with({emb_col}, {w_lit}, (x, w) -> "
+               "CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS LONG) * w), "
+               "0L, (a, v) -> a + v)")
+        plane_bits.append(f"IF({dot} >= 0, {1 << p}L, 0L)")
+    return " + ".join(plane_bits)
+
+
 _PLANE_SIG_DUCK = (
     f"CAST(list_sum(list_transform(range(0, {N_PLANES}), p -> "
     "CASE WHEN list_sum(list_transform(range(0, 64), d -> qe[d+1] * "
@@ -537,9 +616,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the signature becomes the partition/bucket key and the
     query touches only matching buckets instead of the full scan."""
     emb = (_t(spark, sf_dir, "embeddings")
-           .withColumn("qe", F.expr(_QEMB.format(c="embedding")))
-           .withColumn("sig", F.expr(_PLANE_SIG_SPARK))
-           .select("vec_id", "embedding", "sig"))
+           .select("vec_id", "embedding",
+                   F.expr(_plane_sig_spark()).alias("sig")))
     q = (emb.filter(F.col("vec_id") == 0)
          .select(F.col("embedding").alias("eb"),
                  F.col("sig").alias("qsig")))
