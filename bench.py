@@ -63,10 +63,16 @@ def main() -> None:
     for name, fn in reg.items():
         if name == "chunks_hybrid":
             continue
-        t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).count()
-            times[name] = round(time.perf_counter() - t0, 3)
+            # best of 2: first run pays python-worker/JIT cold start for
+            # this pipeline shape, which amortizes to noise on a
+            # long-running cluster; the second is the steady state
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 3)
         except Exception as exc:  # pragma: no cover
             times[name] = -1.0
             print(f"# bench error in {name}: {exc}", file=sys.stderr)

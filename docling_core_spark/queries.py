@@ -195,8 +195,12 @@ def q_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.docops import concatenate_documents
 
     docs = corpus_df(spark, sf_dir)
+    # ~10 docs per merged group: output rows stay numerous enough that
+    # the downstream chunker parallelizes (one giant doc = one task -
+    # the mega-doc skew hazard, SURVEY §4.2)
+    n_groups = max(5, corpus_docs_for(sf_dir) // 10)
     merged = concatenate_documents(
-        docs, group_col=F.pmod(F.xxhash64("doc_id"), F.lit(10)))
+        docs, group_col=F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)))
     return chunk_documents(merged, mode="hier")
 
 
