@@ -115,6 +115,17 @@ def q_doc_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(corpus_df(spark, sf_dir))
 
 
+def q_parse_docjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interop round trip: export reference-schema JSON (S2), re-ingest
+    it (S1), chunk. Exercises both sides of the DoclingDocument-JSON
+    boundary at scale."""
+    from docling_core_spark.sources.docjson import load_docjson_documents
+
+    js = (export_documents(corpus_df(spark, sf_dir), fmt="json")
+          .withColumnRenamed("text", "doc_json"))
+    return chunk_documents(load_docjson_documents(js), mode="hier")
+
+
 def q_caption_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption-to-picture/table resolution via media_ref (north-star
     query): explode the span arrays, equi-join caption spans to their
@@ -473,6 +484,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_doctags": q_export_doctags,
         "export_html": q_export_html,
         "parse_doctags": q_parse_doctags,
+        "parse_docjson": q_parse_docjson,
         "doc_pipeline_stats": q_doc_pipeline_stats,
         "media_feature_stats": q_media_feature_stats,
         "concat_chunks": q_concat_chunks,

@@ -1,0 +1,249 @@
+"""DoclingDocument-JSON export: engine doc tree -> reference-format
+JSON (S2, document.py:4301-4342).
+
+Produces a dict that validates against the reference's pydantic schema
+(schema_name "DoclingDocument", version 1.6.0): typed pools + a body
+tree of ``{"$ref": ...}`` pointers, synthetic provenance from the span
+offsets (model/doc.py node_bbox), chart pictures carrying
+classification + tabular_chart_data annotations. The parity tests load
+this JSON with the live reference library and assert identical
+markdown/chunk output - the interop contract in both directions
+(sources/docjson.py is the load side).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+from docling_core_spark.model.doc import (
+    PAGE_H,
+    PAGE_W,
+    K_CODE,
+    K_FORMULA,
+    K_INLINE_GROUP,
+    K_KEY_VALUE,
+    K_LIST_GROUP,
+    K_LIST_ITEM,
+    K_PICTURE,
+    K_SECTION_HEADER,
+    K_TABLE,
+    K_TITLE,
+    LAYER_FURNITURE,
+    Doc,
+    Node,
+    node_bbox,
+)
+from docling_core_spark.model.otsl import parse_otsl
+
+VERSION = "1.6.0"
+
+
+def _prov(node: Node, text: str = "") -> List[dict]:
+    l, t, r, b = node_bbox(node.offset)
+    return [{
+        "page_no": node.page_no,
+        "bbox": {"l": l, "t": t, "r": r, "b": b,
+                 "coord_origin": "TOPLEFT"},
+        "charspan": [0, len(text)],
+    }]
+
+
+def _table_data(otsl: str) -> dict:
+    table = parse_otsl(otsl)
+    return {
+        "table_cells": [{
+            "row_span": c.row_span, "col_span": c.col_span,
+            "start_row_offset_idx": c.start_row,
+            "end_row_offset_idx": c.end_row,
+            "start_col_offset_idx": c.start_col,
+            "end_col_offset_idx": c.end_col,
+            "text": c.text,
+            "column_header": c.column_header,
+            "row_header": c.row_header,
+            "row_section": c.row_section,
+        } for c in table.cells],
+        "num_rows": table.num_rows,
+        "num_cols": table.num_cols,
+    }
+
+
+def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
+    """Engine tree -> reference-format document dict."""
+    pools: Dict[str, List[dict]] = {
+        "groups": [], "texts": [], "pictures": [], "tables": [],
+        "key_value_items": [],
+    }
+    pages = set()
+
+    def alloc(pool: str) -> str:
+        return f"#/{pool}/{len(pools[pool])}"
+
+    def text_item(node: Node, parent_ref: str, label: str,
+                  extra: Optional[dict] = None) -> str:
+        ref = alloc("texts")
+        item = {
+            "self_ref": ref, "parent": {"$ref": parent_ref},
+            "children": [],
+            "content_layer": ("furniture"
+                              if node.layer == LAYER_FURNITURE else "body"),
+            "label": label,
+            "prov": _prov(node, node.text),
+            "orig": node.text, "text": node.text,
+        }
+        if extra:
+            item.update(extra)
+        pools["texts"].append(item)
+        pages.add(node.page_no)
+        return ref
+
+    def caption_refs(node: Node, parent_ref: str) -> List[dict]:
+        refs = []
+        for cap in node.captions:
+            refs.append({"$ref": text_item(cap, parent_ref, "caption")})
+        return refs
+
+    def walk(node: Node, parent_ref: str) -> List[dict]:
+        children: List[dict] = []
+        for c in node.children:
+            kind = c.kind
+            if kind == "caption" or c.label == "caption":
+                # captions serialize with their owner; standalone
+                # captions (no owner) keep their body position
+                if id(c) in doc.caption_owner:
+                    continue
+                children.append(
+                    {"$ref": text_item(c, parent_ref, "caption")})
+                continue
+            if kind in (K_LIST_GROUP, K_INLINE_GROUP):
+                ref = alloc("groups")
+                item = {
+                    "self_ref": ref, "parent": {"$ref": parent_ref},
+                    "children": [], "content_layer": "body",
+                    "name": "group",
+                    "label": ("list" if kind == K_LIST_GROUP
+                              else "inline"),
+                }
+                pools["groups"].append(item)
+                item["children"] = walk(c, ref)
+                children.append({"$ref": ref})
+            elif kind == K_TITLE:
+                children.append({"$ref": text_item(c, parent_ref,
+                                                   "title")})
+            elif kind == K_SECTION_HEADER:
+                children.append({"$ref": text_item(
+                    c, parent_ref, "section_header",
+                    {"level": c.level})})
+            elif kind == K_LIST_ITEM:
+                # marker must be serialized even when empty: the model
+                # default is "-", which would change rendering
+                ref = text_item(c, parent_ref, "list_item", {
+                    "enumerated": c.enumerated,
+                    "marker": c.marker,
+                })
+                # nested groups under a list item stay siblings in the
+                # span grammar, so list items have no children here
+                children.append({"$ref": ref})
+            elif kind == K_CODE:
+                ref = text_item(c, parent_ref, "code", {
+                    "captions": [], "references": [], "footnotes": [],
+                    "code_language": "unknown",
+                })
+                item = pools["texts"][-1]
+                item["captions"] = caption_refs(c, parent_ref)
+                children.append({"$ref": ref})
+            elif kind == K_FORMULA:
+                children.append({"$ref": text_item(
+                    c, parent_ref, "formula",
+                    {"orig": c.orig or c.text})})
+            elif kind == K_PICTURE:
+                ref = alloc("pictures")
+                anns: List[dict] = []
+                if c.chart_class:
+                    anns.append({
+                        "kind": "classification",
+                        "provenance": "synthetic",
+                        "predicted_classes": [{
+                            "class_name": c.chart_class,
+                            "confidence": 1.0}],
+                    })
+                    if c.text:
+                        anns.append({
+                            "kind": "tabular_chart_data",
+                            "title": c.chart_class,
+                            "chart_data": _table_data(c.text),
+                        })
+                item = {
+                    "self_ref": ref, "parent": {"$ref": parent_ref},
+                    "children": [], "content_layer": "body",
+                    "label": "picture", "prov": _prov(c),
+                    "captions": [], "references": [], "footnotes": [],
+                    "annotations": anns,
+                }
+                pools["pictures"].append(item)
+                pages.add(c.page_no)
+                item["captions"] = caption_refs(c, parent_ref)
+                children.append({"$ref": ref})
+            elif kind == K_TABLE:
+                ref = alloc("tables")
+                item = {
+                    "self_ref": ref, "parent": {"$ref": parent_ref},
+                    "children": [], "content_layer": "body",
+                    "label": "table", "prov": _prov(c),
+                    "captions": [], "references": [], "footnotes": [],
+                    "annotations": [],
+                    "data": _table_data(c.text),
+                }
+                pools["tables"].append(item)
+                pages.add(c.page_no)
+                item["captions"] = caption_refs(c, parent_ref)
+                children.append({"$ref": ref})
+            elif kind == K_KEY_VALUE:
+                ref = alloc("key_value_items")
+                pools["key_value_items"].append({
+                    "self_ref": ref, "parent": {"$ref": parent_ref},
+                    "children": [], "content_layer": "body",
+                    "label": "key_value_region", "prov": _prov(c),
+                    "captions": [], "references": [], "footnotes": [],
+                    "graph": {"cells": [], "links": []},
+                })
+                pages.add(c.page_no)
+                children.append({"$ref": ref})
+            else:  # plain text-likes incl. furniture
+                children.append({"$ref": text_item(c, parent_ref,
+                                                   c.label)})
+        return children
+
+    body = {
+        "self_ref": "#/body", "children": [],
+        "content_layer": "body", "name": "_root_",
+        "label": "unspecified",
+    }
+    body["children"] = walk(doc.body, "#/body")
+
+    return {
+        "schema_name": "DoclingDocument",
+        "version": VERSION,
+        "name": name if name is not None else doc.doc_id,
+        "furniture": {
+            "self_ref": "#/furniture", "children": [],
+            "content_layer": "furniture", "name": "_root_",
+            "label": "unspecified",
+        },
+        "body": body,
+        "groups": pools["groups"],
+        "texts": pools["texts"],
+        "pictures": pools["pictures"],
+        "tables": pools["tables"],
+        "key_value_items": pools["key_value_items"],
+        "form_items": [],
+        "pages": {
+            str(p): {"size": {"width": PAGE_W, "height": PAGE_H},
+                     "page_no": p, "metadata": {}}
+            for p in sorted(pages)
+        },
+    }
+
+
+def export_to_docjson_str(doc: Doc, name: Optional[str] = None) -> str:
+    return json.dumps(export_to_docjson(doc, name=name))

@@ -1,0 +1,226 @@
+"""DoclingDocument-JSON ingestion: reference-format JSON -> span rows.
+
+The reference persists documents as pydantic JSON (S1/S2,
+document.py:4301-4342): typed item pools (``texts``, ``tables``,
+``pictures``, ``groups``, ``key_value_items``) plus a ``body`` tree of
+``{"$ref": "#/pool/idx"}`` pointers. This module walks that tree
+depth-first and emits the engine's span encoding, so existing
+reference corpora load directly into the Spark pipeline.
+
+Media refs are synthesized by encounter order (``tbl_000000``,
+``img_000001``, ...) - the JSON format has no media-ref field; caption
+binding uses the synthesized refs, so serialization/chunking semantics
+are preserved exactly (captions always render with their owner).
+
+``load_docjson_documents`` is the Spark operator: DataFrame(doc_id,
+json) -> documents(doc_id, spans), one mapInArrow stage.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+from docling_core_spark.model.otsl import Cell, Table, encode_otsl
+
+_TEXTUAL = {"text", "paragraph", "footnote", "checkbox_selected",
+            "checkbox_unselected", "document_index", "reference"}
+
+
+def _resolve(doc: dict, ref: str) -> Optional[dict]:
+    # "#/texts/42" -> doc["texts"][42]; "#/body" -> doc["body"]
+    parts = ref.lstrip("#/").split("/")
+    if parts == ["body"]:
+        return doc.get("body")
+    if len(parts) == 2:
+        pool = doc.get(parts[0]) or []
+        idx = int(parts[1])
+        if 0 <= idx < len(pool):
+            return pool[idx]
+    return None
+
+
+def _otsl_from_table_data(data: dict) -> str:
+    cells = [
+        Cell(c.get("text", ""),
+             c["start_row_offset_idx"], c["end_row_offset_idx"],
+             c["start_col_offset_idx"], c["end_col_offset_idx"],
+             column_header=c.get("column_header", False),
+             row_header=c.get("row_header", False),
+             row_section=c.get("row_section", False))
+        for c in data.get("table_cells", [])
+    ]
+    return encode_otsl(Table(cells, data.get("num_rows", 0),
+                             data.get("num_cols", 0)))
+
+
+def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
+    """One reference-format document -> span rows."""
+    doc = (json.loads(doc_json) if isinstance(doc_json, str)
+           else doc_json)
+    spans: List[Dict] = []
+    off = 0
+    media_i = 0
+    prev_page: Optional[int] = None
+    caption_refs = set()
+    # pre-scan: which text refs are captions of some floating item
+    for pool in ("pictures", "tables", "texts"):
+        for item in doc.get(pool) or []:
+            for cap in item.get("captions") or []:
+                caption_refs.add(cap["$ref"])
+
+    def emit(kind: str, text: str = "", media_ref: str = "") -> None:
+        nonlocal off
+        spans.append({"kind": kind, "text": text, "media_ref": media_ref,
+                      "offset": off})
+        off += 1
+
+    def first_page(item: dict) -> Optional[int]:
+        prov = item.get("prov") or []
+        return prov[0]["page_no"] if prov else None
+
+    def emit_captions(item: dict, mref: str) -> None:
+        for cap in item.get("captions") or []:
+            cap_item = _resolve(doc, cap["$ref"])
+            if cap_item is not None:
+                emit(f"caption:{mref}", cap_item.get("text", ""))
+
+    def walk(node: dict) -> None:
+        nonlocal prev_page, media_i
+        for child_ref in node.get("children") or []:
+            c = _resolve(doc, child_ref["$ref"])
+            if c is None:
+                continue
+            label = c.get("label", "")
+            is_group = c.get("self_ref", "").startswith("#/groups")
+
+            if c.get("content_layer") == "furniture":
+                emit(f"furniture:{label}", c.get("text", ""))
+                continue
+            if not is_group:
+                page = first_page(c)
+                if prev_page is not None and page is not None \
+                        and page > prev_page:
+                    emit(f"page_break:{page}")
+                if page is not None:
+                    prev_page = page
+
+            if is_group:
+                if label in ("list", "ordered_list"):
+                    emit("list_group")
+                    walk(c)
+                    emit("end_group")
+                elif label == "inline":
+                    emit("inline_group")
+                    walk(c)
+                    emit("end_group")
+                else:  # generic group: transparent container
+                    walk(c)
+                continue
+
+            if child_ref["$ref"] in caption_refs:
+                continue  # emitted with its owner
+
+            if label == "title":
+                emit("title", c.get("text", ""))
+            elif label == "section_header":
+                emit(f"section_header:{c.get('level', 1)}",
+                     c.get("text", ""))
+            elif label == "list_item":
+                marker = c.get("marker") or ""
+                enum = c.get("enumerated", False)
+                if enum and marker:
+                    emit(f"list_item:enum:{marker}", c.get("text", ""))
+                elif enum:
+                    emit("list_item:enum", c.get("text", ""))
+                elif marker:
+                    emit(f"list_item:plain:{marker}", c.get("text", ""))
+                else:
+                    emit("list_item", c.get("text", ""))
+                walk(c)
+            elif label == "code":
+                caps = c.get("captions") or []
+                mref = ""
+                if caps:
+                    mref = f"cod_{media_i:06d}"
+                    media_i += 1
+                emit("code", c.get("text", ""), mref)
+                emit_captions(c, mref)
+            elif label == "formula":
+                emit("formula", c.get("text", ""),
+                     c.get("orig", "") if not c.get("text") else "")
+            elif label == "caption":
+                # standalone caption (no owner)
+                emit("caption", c.get("text", ""))
+            elif label == "table":
+                mref = f"tbl_{media_i:06d}"
+                media_i += 1
+                emit("table", _otsl_from_table_data(c.get("data") or {}),
+                     mref)
+                emit_captions(c, mref)
+            elif label == "picture" or label == "chart":
+                anns = c.get("annotations") or []
+                cls_name = None
+                chart_data = None
+                for ann in anns:
+                    if ann.get("kind") == "classification":
+                        preds = ann.get("predicted_classes") or []
+                        if preds:
+                            cls_name = preds[0].get("class_name")
+                    elif ann.get("kind") == "tabular_chart_data":
+                        chart_data = ann.get("chart_data")
+                mref = f"img_{media_i:06d}"
+                media_i += 1
+                if cls_name is not None:
+                    emit(f"chart:{cls_name}",
+                         _otsl_from_table_data(chart_data)
+                         if chart_data else "", mref)
+                else:
+                    emit("picture", "", mref)
+                emit_captions(c, mref)
+            elif "graph" in c:  # key_value_region / form
+                emit("key_value_region")
+            elif label in _TEXTUAL:
+                emit(label, c.get("text", ""))
+            else:
+                emit("text", c.get("text", ""))
+
+    body = doc.get("body") or {}
+    walk(body)
+    return spans
+
+
+# ----------------------------------------------------------------------
+def load_docjson_documents(df, json_col: str = "doc_json",
+                           id_col: str = "doc_id"):
+    """DataFrame(doc_id, doc_json) -> documents(doc_id, spans), one
+    mapInArrow stage - the S1 ingestion operator."""
+    import pyarrow as pa
+
+    from docling_core_spark.engine import DOCUMENTS_SCHEMA
+
+    def run(batches):
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            docs = batch.column(json_col).to_pylist()
+            kinds, texts, mrefs, offs = [], [], [], []
+            bounds = [0]
+            for doc_json in docs:
+                for s in docjson_to_spans(doc_json or "{}"):
+                    kinds.append(s["kind"])
+                    texts.append(s["text"])
+                    mrefs.append(s["media_ref"])
+                    offs.append(s["offset"])
+                bounds.append(len(kinds))
+            struct = pa.StructArray.from_arrays(
+                [pa.array(kinds, pa.string()), pa.array(texts, pa.string()),
+                 pa.array(mrefs, pa.string()), pa.array(offs, pa.int32())],
+                names=["kind", "text", "media_ref", "offset"])
+            spans = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()),
+                                             struct)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([str(x) for x in ids], pa.string()), spans],
+                names=["doc_id", "spans"])
+
+    return df.select(id_col, json_col).mapInArrow(
+        run, schema=DOCUMENTS_SCHEMA)
