@@ -168,6 +168,64 @@ ORDER BY o.doc_id, caption_offset
 """
 
 
+def q_bbox_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry at scale: synthetic per-span bboxes (model/doc.py
+    node_bbox), IoU of consecutive items within each doc - pure JVM
+    column math over the exploded span table (geometry.iou_col), one
+    self-join on (doc_id, offset+1)."""
+    from docling_core_spark.model.geometry import iou_col, overlaps_col
+
+    docs = corpus_df(spark, sf_dir)
+    s = (docs.select("doc_id", F.explode("spans").alias("s"))
+         .select("doc_id", F.col("s.offset").alias("off"))
+         .withColumn("l", (F.col("off") * 37 % 512).cast("double"))
+         .withColumn("t", (F.col("off") * 53 % 704).cast("double"))
+         .withColumn("bb", F.struct(
+             F.col("l"),
+             F.col("t"),
+             (F.col("l") + 40.0 + F.col("off") % 60).alias("r"),
+             (F.col("t") + 14.0).alias("b"))))
+    a = s.select("doc_id", F.col("off").alias("off_a"),
+                 F.col("bb").alias("ba"))
+    b = s.select("doc_id", (F.col("off") - 1).alias("off_a"),
+                 F.col("bb").alias("bbx"))
+    pairs = a.join(b, ["doc_id", "off_a"])
+    return (pairs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(overlaps_col(F.col("ba"), F.col("bbx"))
+                       .cast("int")).cast("long").alias("n_overlapping"),
+                 F.round(F.sum(iou_col(F.col("ba"), F.col("bbx"))), 4)
+                 .alias("sum_iou"))
+            .orderBy("doc_id"))
+
+
+def _sql_bbox_overlap_stats(sf_dir: str) -> str:
+    path = ensure_corpus_local(sf_dir)
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{path}/*.parquet')),
+g AS (SELECT doc_id, sp.offset AS off,
+             CAST(sp.offset * 37 % 512 AS DOUBLE) AS l,
+             CAST(sp.offset * 53 % 704 AS DOUBLE) AS t
+      FROM s),
+bb AS (SELECT doc_id, off, l, t,
+              l + 40.0 + (off % 60) AS r, t + 14.0 AS b FROM g),
+p AS (
+  SELECT a.doc_id,
+         GREATEST(LEAST(a.r, x.r) - GREATEST(a.l, x.l), 0) *
+         GREATEST(LEAST(a.b, x.b) - GREATEST(a.t, x.t), 0) AS inter,
+         (LEAST(a.r, x.r) - GREATEST(a.l, x.l) > 0 AND
+          LEAST(a.b, x.b) - GREATEST(a.t, x.t) > 0) AS ov,
+         ABS(a.r-a.l)*ABS(a.b-a.t) + ABS(x.r-x.l)*ABS(x.b-x.t) AS areas
+  FROM bb a JOIN bb x ON a.doc_id = x.doc_id AND x.off = a.off + 1)
+SELECT doc_id, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN ov THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_overlapping,
+       ROUND(SUM(inter / (areas - inter + 1.0e-6)), 4) AS sum_iou
+FROM p GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_span_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profile: span counts/chars by base kind (exploded scan +
     partial aggregation; the shuffle carries one row per kind)."""
@@ -491,6 +549,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_range_chunks": q_extract_range_chunks,
         "caption_resolution": q_caption_resolution,
         "span_kind_stats": q_span_kind_stats,
+        "bbox_overlap_stats": q_bbox_overlap_stats,
         # relational + training-data ops (DuckDB oracle)
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
@@ -521,4 +580,5 @@ def oracles() -> Dict[str, str]:
     sf = _oracle_sf_dir()
     out["caption_resolution"] = _sql_caption_resolution(sf)
     out["span_kind_stats"] = _sql_span_kind_stats(sf)
+    out["bbox_overlap_stats"] = _sql_bbox_overlap_stats(sf)
     return out
