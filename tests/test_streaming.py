@@ -1,0 +1,58 @@
+"""Streaming ingestion: availableNow drains, checkpointed resume."""
+
+from __future__ import annotations
+
+import os
+
+from docling_core_spark.engine import chunk_documents, synth_documents
+from docling_core_spark.streaming import stream_once
+
+
+def _land(spark, tmp, lo, hi, batch):
+    docs = synth_documents(spark, hi, seed=42).filter(
+        f"doc_id >= 'doc_{lo:012d}' AND doc_id < 'doc_{hi:012d}'")
+    docs.write.mode("append").parquet(os.path.join(tmp, "in"))
+    return docs
+
+
+def test_stream_matches_batch_and_resumes(spark, tmp_path):
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    _land(spark, tmp, 0, 12, 1)
+    stream_once(spark, in_dir, out_dir, ckpt)
+    got1 = spark.read.parquet(out_dir)
+    n_docs1 = got1.select("doc_id").distinct().count()
+    assert n_docs1 == 12
+
+    # second batch of files -> only the new docs are processed
+    _land(spark, tmp, 12, 20, 2)
+    stream_once(spark, in_dir, out_dir, ckpt)
+    got2 = spark.read.parquet(out_dir)
+    assert got2.select("doc_id").distinct().count() == 20
+    # no duplicates from reprocessing batch 1
+    assert got2.count() == got2.dropDuplicates(
+        ["doc_id", "chunk_idx"]).count()
+
+    # content identical to the batch pipeline
+    batch = chunk_documents(synth_documents(spark, 20, seed=42),
+                            mode="hier")
+    a = sorted((r["doc_id"], r["chunk_idx"], r["text"])
+               for r in got2.collect())
+    b = sorted((r["doc_id"], r["chunk_idx"], r["text"])
+               for r in batch.collect())
+    assert a == b
+
+
+def test_rerun_without_new_files_is_noop(spark, tmp_path):
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    _land(spark, tmp, 0, 8, 1)
+    stream_once(spark, in_dir, out_dir, ckpt)
+    n1 = spark.read.parquet(out_dir).count()
+    stream_once(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == n1
