@@ -79,6 +79,43 @@ def concatenate_documents(docs: DataFrame, group_col=None,
             .select("doc_id", "spans"))
 
 
+def split_outlier_documents(docs: DataFrame, span_threshold: int = 2000
+                            ) -> DataFrame:
+    """Mega-document defusal (SURVEY §4.2 hazard 3): documents above
+    ``span_threshold`` spans are split at page boundaries into
+    ``doc_id#pK`` sub-documents (PageChunker-style semantics for the
+    outliers - heading context does not cross the cut, documented
+    divergence); everything else passes through untouched.
+
+    One mega-doc is one Arrow record AND one sequential chunking task -
+    at 10^12-doc scale the straggler tail is set by the largest doc, so
+    outliers pay one small shuffle (their spans only) to become
+    parallelizable. The split point is the page break, so every
+    sub-document stays a valid span sequence."""
+    from pyspark.sql import Window
+
+    big = docs.filter(F.size("spans") > span_threshold)
+    small = docs.filter(F.size("spans") <= span_threshold)
+
+    s = big.select("doc_id", F.explode("spans").alias("s"))
+    w = (Window.partitionBy("doc_id").orderBy(F.col("s.offset"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    parts = (s.withColumn(
+        "part",
+        F.sum(F.when(F.col("s.kind").startswith("page_break"), 1)
+              .otherwise(0)).over(w)))
+    split = (parts.groupBy("doc_id", "part")
+             .agg(F.array_sort(F.collect_list(F.struct(
+                 F.col("s.offset").alias("o"), F.col("s").alias("s"))))
+                 .getField("s").alias("spans"))
+             .select(
+                 F.concat_ws("#", "doc_id",
+                             F.concat(F.lit("p"), F.col("part")))
+                 .alias("doc_id"),
+                 "spans"))
+    return small.unionByName(split)
+
+
 def extract_spans_range(docs: DataFrame, start: int, stop: int
                         ) -> DataFrame:
     """Sub-document extraction by span-offset range [start, stop):

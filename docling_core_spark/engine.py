@@ -135,8 +135,8 @@ def _iter_span_tuples(batch):
 
 
 def chunk_documents(df: DataFrame, mode: str = "hybrid",
-                    max_tokens: int = 64, merge_peers: bool = True
-                    ) -> DataFrame:
+                    max_tokens: int = 64, merge_peers: bool = True,
+                    salt_partitions: Optional[int] = None) -> DataFrame:
     """documents(doc_id, spans) -> chunks(doc_id, chunk_idx, text,
     headings, span_refs).
 
@@ -187,7 +187,14 @@ def chunk_documents(df: DataFrame, mode: str = "hybrid",
                 pa.array(refs, pa.list_(pa.int32())),
             ], schema=out_type)
 
-    return df.select("doc_id", "spans").mapInArrow(run, schema=CHUNKS_SCHEMA)
+    out = df.select("doc_id", "spans")
+    if salt_partitions:
+        # round-robin repartition: when upstream partitioning is skewed
+        # (few huge files, or a groupBy that emitted mega-documents),
+        # this rebalances rows across tasks; the chunker itself is
+        # per-row so any partitioning is semantically identical
+        out = out.repartition(salt_partitions)
+    return out.mapInArrow(run, schema=CHUNKS_SCHEMA)
 
 
 # ----------------------------------------------------------------------

@@ -112,3 +112,42 @@ def test_extract_range_chunks_flow(spark):
     docs = synth_documents(spark, 6, seed=42)
     sub = extract_spans_range(docs, 2, 20)
     assert chunk_documents(sub, mode="hier").count() > 0
+
+
+def test_split_outlier_documents(spark):
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.docops import split_outlier_documents
+
+    docs = synth_documents(spark, 30, seed=42, mega_every=10)
+    sizes = {r["doc_id"]: r["n"] for r in
+             docs.select("doc_id", F.size("spans").alias("n")).collect()}
+    thresh = 1000
+    out = split_outlier_documents(docs, span_threshold=thresh)
+    rows = out.collect()
+    # no sub-document dominates, small docs untouched
+    n_big_in = sum(1 for v in sizes.values() if v > thresh)
+    assert n_big_in >= 2
+    split_ids = [r["doc_id"] for r in rows if "#p" in r["doc_id"]]
+    assert split_ids
+    orig = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+            for r in docs.collect()}
+    for r in rows:
+        if "#p" not in r["doc_id"]:
+            assert [tuple(s) for s in r["spans"]] == orig[r["doc_id"]]
+        else:
+            offs = [s["offset"] for s in r["spans"]]
+            assert offs == sorted(offs)
+    # span conservation: every original span of split docs survives
+    by_doc: dict = {}
+    for r in rows:
+        base = r["doc_id"].split("#")[0]
+        if "#p" in r["doc_id"]:
+            by_doc.setdefault(base, []).extend(
+                (s["offset"]) for s in r["spans"])
+    for base, offsets in by_doc.items():
+        assert sorted(offsets) == [s[3] for s in
+                                   sorted(orig[base], key=lambda x: x[3])]
+    # the pipeline consumes the split output unchanged
+    assert chunk_documents(out, mode="hier",
+                           salt_partitions=8).count() > 0
