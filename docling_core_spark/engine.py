@@ -240,6 +240,20 @@ def export_documents(df: DataFrame, fmt: str = "md",
 
 
 # ----------------------------------------------------------------------
+def contextualize_chunks(chunks: DataFrame, delim: str = "\n"
+                         ) -> DataFrame:
+    """C4 as a DataFrame op (SURVEY §2.6): the embed-ready string is
+    the heading path + chunk text joined by the delimiter
+    (chunker/base.py:69-96) - pure JVM concat, no UDF."""
+    ctx = F.when(
+        F.col("headings").isNull() | (F.size("headings") == 0),
+        F.col("text"),
+    ).otherwise(
+        F.concat_ws(delim, F.array_join("headings", delim), F.col("text")))
+    return chunks.withColumn("contextualized", ctx)
+
+
+# ----------------------------------------------------------------------
 def doc_stats(df: DataFrame, mode: str = "hybrid", max_tokens: int = 64
               ) -> DataFrame:
     """Per-doc span/chunk/char counts - cheap lineage-style metrics."""

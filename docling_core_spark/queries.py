@@ -107,6 +107,15 @@ def q_chunks_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(corpus_df(spark, sf_dir), mode="page")
 
 
+def q_chunks_contextualized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 contextualize: embed-ready strings (headings + text)."""
+    from docling_core_spark.engine import contextualize_chunks
+
+    return contextualize_chunks(
+        chunk_documents(corpus_df(spark, sf_dir), mode="hybrid",
+                        max_tokens=64))
+
+
 def q_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return export_documents(corpus_df(spark, sf_dir), fmt="md")
 
@@ -538,6 +547,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunks_hybrid": q_chunks_hybrid,
         "chunks_hierarchical": q_chunks_hierarchical,
         "chunks_page": q_chunks_page,
+        "chunks_contextualized": q_chunks_contextualized,
         "export_markdown": q_export_markdown,
         "export_doctags": q_export_doctags,
         "export_html": q_export_html,

@@ -656,6 +656,88 @@ LIMIT 10
 
 
 # ----------------------------------------------------------------------
+# ANN, IVF variant: coarse quantizer cells + probed exact re-rank
+# ----------------------------------------------------------------------
+
+N_CELLS = 8
+N_PROBES = 3
+
+_QINT = ("transform({c}, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) "
+         "AS LONG))")
+_L2Q = ("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), 0L, "
+        "(a, v) -> a + v)")
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the first N_CELLS vectors act as coarse
+    centroids; every vector is assigned to its nearest centroid
+    (integer-quantized L2, exact and engine-independent), the query
+    probes its N_PROBES nearest cells, and only those cells' members
+    get the exact cosine re-rank. At scale the cell id becomes the
+    partition/bucket key, so a query touches N_PROBES partitions
+    instead of the full corpus - the classic IVF trade."""
+    from pyspark.sql import Window
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   F.expr(_QINT.format(c="embedding")).alias("qa")))
+    cent = (emb.filter(F.col("vec_id") < N_CELLS)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("qa").alias("qb")))
+    dists = (emb.crossJoin(F.broadcast(cent))
+             .withColumn("d2", F.expr(_L2Q)))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (dists.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "embedding", F.col("cid").alias("cell")))
+    probe_cells = (dists.filter(F.col("vec_id") == 0)
+                   .orderBy("d2", "cid").limit(N_PROBES)
+                   .select(F.col("cid").alias("cell")))
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("eb")))
+    cand = (assigned.join(F.broadcast(probe_cells), "cell")
+            .filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q)))
+    cos = (F.expr(_DOT_SPARK.replace("ea", "embedding"))
+           / (F.expr(_NORM_SPARK.format(c="embedding"))
+              * F.expr(_NORM_SPARK.format(c="eb"))))
+    return (cand.select("vec_id", F.col("cell").cast("long").alias("cell"),
+                        F.round(cos, 4).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10))
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qa
+  FROM embeddings),
+cent AS (SELECT vec_id AS cid, qa AS qb FROM e WHERE vec_id < {N_CELLS}),
+d AS (
+  SELECT e.vec_id, e.embedding, cent.cid,
+         list_sum(list_transform(range(0, 64),
+             i -> (qa[i+1] - qb[i+1]) * (qa[i+1] - qb[i+1]))) AS d2
+  FROM e, cent),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn FROM d)
+  WHERE rn = 1),
+probes AS (
+  SELECT cid AS cell FROM d WHERE vec_id = 0 ORDER BY d2, cid
+  LIMIT {N_PROBES}),
+q AS (SELECT embedding AS qemb FROM e WHERE vec_id = 0)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       ROUND(list_cosine_similarity(a.embedding, qemb), 4) AS cos_sim
+FROM assigned a JOIN probes p ON a.cell = p.cell, q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -665,6 +747,7 @@ REGISTRY = {
     "simhash_dups": q_simhash_dups,
     "embedding_top_pairs": q_embedding_top_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {
@@ -676,4 +759,5 @@ ORACLES = {
     "simhash_dups": SQL_SIMHASH_DUPS,
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
 }

@@ -58,3 +58,48 @@ def test_hybrid_parity(i, max_tokens, merge):
                                        merge_peers=merge)
     actual = _engine_hybrid(f"doc_{i}", spans, max_tokens, merge)
     assert actual == expected
+
+
+@pytest.mark.parametrize("i", range(0, N_DOCS, 3))
+def test_contextualize_parity(i):
+    """C4: the embed-ready string matches the reference's
+    HybridChunker.contextualize chunk-for-chunk."""
+    from tests.oracle import OracleTokenizer
+
+    from docling_core_spark.chunking.hierarchical import contextualize
+    from docling_core_spark.chunking.hybrid import hybrid_chunk
+
+    spans = gen_doc_spans(i, seed=42)
+    ref_doc, _ = build_doc(f"doc_{i}", spans)
+    from docling_core.transforms.chunker.hybrid_chunker import HybridChunker
+
+    chunker = HybridChunker(tokenizer=OracleTokenizer(max_tokens=64))
+    exp = [chunker.contextualize(c) for c in chunker.chunk(ref_doc)]
+    doc = doc_from_spans(f"doc_{i}", [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in spans])
+    got = [contextualize(c)
+           for c in hybrid_chunk(doc, tokenizer=RegexTokenizer(64))]
+    assert got == exp
+
+
+def test_contextualize_dataframe_op(spark):
+    """The JVM-side contextualize column equals the Python function."""
+    from docling_core_spark.chunking.hierarchical import (
+        Chunk,
+        contextualize,
+    )
+    from docling_core_spark.engine import (
+        chunk_documents,
+        contextualize_chunks,
+        synth_documents,
+    )
+
+    docs = synth_documents(spark, 20, seed=42)
+    rows = contextualize_chunks(
+        chunk_documents(docs, mode="hybrid", max_tokens=64)).collect()
+    assert rows
+    for r in rows:
+        chunk = Chunk(r["text"], list(r["headings"]) if r["headings"]
+                      else None, [])
+        assert r["contextualized"] == contextualize(chunk)
