@@ -213,7 +213,11 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 for cap in c.captions:
                     emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_CAPTION:
-                continue  # emitted with owner
+                if id(c) in doc.caption_owner:
+                    continue  # emitted with owner
+                # orphan caption (no floating item claimed it): keep it
+                # as a standalone caption span - it renders standalone
+                emit("caption", c.text)
             elif c.kind == K_KEY_VALUE:
                 emit("key_value_region", c.text)
             else:
