@@ -124,6 +124,26 @@ def _otsl_table(rng: random.Random) -> str:
     return "".join(body)
 
 
+def _fmt_suffix(rng: random.Random) -> str:
+    """E8 formatting flags: b/i/u/s + q(sub)|p(super), ~1 in 6 spans."""
+    if rng.random() < 0.18:
+        flags = "".join(f for f in "bius" if rng.random() < 0.35)
+        r = rng.random()
+        if r < 0.15:
+            flags += "q"
+        elif r < 0.3:
+            flags += "p"
+        if flags:
+            return f"+fmt={flags}"
+    return ""
+
+
+def _href(rng: random.Random, doc_index: int) -> str:
+    if rng.random() < 0.08:
+        return f"https://ex{doc_index % 7}.org/p_{rng.randrange(1000)}"
+    return ""
+
+
 def gen_doc_spans(doc_index: int, seed: int = 42,
                   mega_every: Optional[int] = None) -> List[Dict]:
     """Spans for one document; pure function of (seed, doc_index)."""
@@ -155,20 +175,25 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
             lvl = rng.randint(1, 4)
             emit(f"section_header:{lvl}", _words(rng, 2, 6).title())
         elif r < 0.50:
-            emit(rng.choice(("text", "paragraph")), _words(rng, 4, 60))
+            emit(rng.choice(("text", "paragraph")) + _fmt_suffix(rng),
+                 _words(rng, 4, 60), _href(rng, doc_index))
         elif r < 0.68:
             # list group, possibly nested / enumerated / inline-merged
             emit("list_group")
             enum = rng.random() < 0.4
             for _i in range(rng.randint(1, 6)):
                 marker = rng.choice(_MARKERS)
+                fs = _fmt_suffix(rng)
                 if enum:
-                    emit(f"list_item:enum:{marker}" if marker
-                         else "list_item:enum", _words(rng, 2, 12))
+                    emit((f"list_item:enum:{marker}" if marker
+                          else "list_item:enum") + fs, _words(rng, 2, 12),
+                         _href(rng, doc_index))
                 elif marker:
-                    emit(f"list_item:plain:{marker}", _words(rng, 2, 12))
+                    emit(f"list_item:plain:{marker}{fs}",
+                         _words(rng, 2, 12), _href(rng, doc_index))
                 else:
-                    emit("list_item", _words(rng, 2, 12))
+                    emit(f"list_item{fs}", _words(rng, 2, 12),
+                         _href(rng, doc_index))
                 if rng.random() < 0.15:
                     emit("list_group")
                     for _k in range(rng.randint(1, 3)):

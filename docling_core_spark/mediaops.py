@@ -92,6 +92,9 @@ def media_table(docs: DataFrame) -> DataFrame:
     strings, payloads are attached after dedup."""
     refs = (docs
             .select(F.explode("spans").alias("s"))
+            # only floating kinds carry media ids; textual kinds reuse
+            # the media_ref slot for hyperlinks (FIXTURES.md §1)
+            .filter(F.col("s.kind").rlike("^(picture|table|chart|code)"))
             .select(F.col("s.media_ref").alias("media_ref"))
             .filter(F.col("media_ref").isNotNull()
                     & (F.col("media_ref") != ""))

@@ -69,7 +69,7 @@ class Node:
     __slots__ = (
         "kind", "label", "level", "text", "media_ref", "marker",
         "enumerated", "offset", "children", "parent", "captions",
-        "page_no", "layer", "orig", "chart_class",
+        "page_no", "layer", "orig", "chart_class", "fmt", "hyperlink",
     )
 
     def __init__(
@@ -86,6 +86,8 @@ class Node:
         label: Optional[str] = None,
         orig: str = "",
         chart_class: str = "",
+        fmt: str = "",
+        hyperlink: str = "",
     ) -> None:
         self.kind = kind
         self.label = label if label is not None else kind
@@ -105,6 +107,11 @@ class Node:
         # chart data (OTSL in .text), cf. PictureClassificationData /
         # PictureTabularChartData annotations (document.py:5062-5161)
         self.chart_class = chart_class
+        # E8 text formatting (document.py:1165-1172): flag string with
+        # b=bold i=italic u=underline s=strikethrough p=superscript
+        # q=subscript; hyperlink is the raw URL ("" = none)
+        self.fmt = fmt
+        self.hyperlink = hyperlink
 
     # --- tree helpers -------------------------------------------------
     def add_child(self, child: "Node") -> "Node":

@@ -66,6 +66,11 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
     for kind, text, media_ref, offset in ordered:
         text = text or ""
         media_ref = media_ref or ""
+        # E8 formatting suffix: "<kind>+fmt=<flags>"; for textual kinds
+        # the (otherwise unused) media_ref carries the hyperlink
+        fmt = ""
+        if "+fmt=" in kind:
+            kind, fmt = kind.split("+fmt=", 1)
         if kind == "end_group":
             if group_stack:
                 group_stack.pop()
@@ -87,24 +92,27 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
 
         node: Optional[Node] = None
         if kind == "title":
-            node = Node(K_TITLE, text=text, offset=offset, page_no=page)
+            node = Node(K_TITLE, text=text, offset=offset, page_no=page,
+                        fmt=fmt, hyperlink=media_ref)
         elif kind.startswith("section_header"):
             try:
                 lvl = int(kind.split(":", 1)[1])
             except (IndexError, ValueError):
                 lvl = 1
             node = Node(K_SECTION_HEADER, text=text, offset=offset,
-                        level=lvl, page_no=page)
+                        level=lvl, page_no=page, fmt=fmt,
+                        hyperlink=media_ref)
         elif kind in TEXTUAL_LABELS:
             node = Node(K_TEXT, text=text, offset=offset, page_no=page,
-                        label=kind)
+                        label=kind, fmt=fmt, hyperlink=media_ref)
         elif kind.startswith("list_item"):
             # list_item | list_item:enum[:MARKER] | list_item:plain:MARKER
             parts = kind.split(":", 2)
             enumerated = len(parts) > 1 and parts[1] == "enum"
             marker = parts[2] if len(parts) > 2 else ""
             node = Node(K_LIST_ITEM, text=text, offset=offset, page_no=page,
-                        enumerated=enumerated, marker=marker)
+                        enumerated=enumerated, marker=marker, fmt=fmt,
+                        hyperlink=media_ref)
         elif kind == "code":
             node = Node(K_CODE, text=text, media_ref=media_ref,
                         offset=offset, page_no=page)
@@ -163,6 +171,9 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                     "offset": off})
         off += 1
 
+    def fmt_suffix(c: Node) -> str:
+        return f"+fmt={c.fmt}" if c.fmt else ""
+
     def walk(node: Node) -> None:
         nonlocal prev_page
         for c in node.children:
@@ -182,18 +193,20 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 walk(c)
                 emit("end_group")
             elif c.kind == K_TITLE:
-                emit("title", c.text)
+                emit(f"title{fmt_suffix(c)}", c.text, c.hyperlink)
             elif c.kind == K_SECTION_HEADER:
-                emit(f"section_header:{c.level}", c.text)
+                emit(f"section_header:{c.level}{fmt_suffix(c)}", c.text,
+                     c.hyperlink)
             elif c.kind == K_LIST_ITEM:
                 if c.enumerated and c.marker:
-                    emit(f"list_item:enum:{c.marker}", c.text)
+                    base = f"list_item:enum:{c.marker}"
                 elif c.enumerated:
-                    emit("list_item:enum", c.text)
+                    base = "list_item:enum"
                 elif c.marker:
-                    emit(f"list_item:plain:{c.marker}", c.text)
+                    base = f"list_item:plain:{c.marker}"
                 else:
-                    emit("list_item", c.text)
+                    base = "list_item"
+                emit(f"{base}{fmt_suffix(c)}", c.text, c.hyperlink)
                 walk(c)
             elif c.kind == K_CODE:
                 emit("code", c.text, c.media_ref)
@@ -221,8 +234,8 @@ def spans_from_doc(doc: Doc) -> List[dict]:
             elif c.kind == K_KEY_VALUE:
                 emit("key_value_region", c.text)
             else:
-                emit(c.label if c.label in TEXTUAL_LABELS else "text",
-                     c.text)
+                base = c.label if c.label in TEXTUAL_LABELS else "text"
+                emit(f"{base}{fmt_suffix(c)}", c.text, c.hyperlink)
 
     walk(doc.body)
     return out

@@ -91,6 +91,17 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
             "prov": _prov(node, node.text),
             "orig": node.text, "text": node.text,
         }
+        if node.fmt:
+            item["formatting"] = {
+                "bold": "b" in node.fmt, "italic": "i" in node.fmt,
+                "underline": "u" in node.fmt,
+                "strikethrough": "s" in node.fmt,
+                "script": ("sub" if "q" in node.fmt
+                           else "super" if "p" in node.fmt
+                           else "baseline"),
+            }
+        if node.hyperlink:
+            item["hyperlink"] = node.hyperlink
         if extra:
             item.update(extra)
         pools["texts"].append(item)

@@ -143,9 +143,11 @@ class DocTagsSerializer(MarkdownSerializer):
                         self.params.ysize)
 
     def post_process(self, text: str, escape_html: bool = True,
-                     escape_underscores: bool = True) -> str:
-        """DocTags uses the base post-process (formatting hooks only -
-        not in the span model), no escaping."""
+                     escape_underscores: bool = True, fmt: str = "",
+                     hyperlink: str = "") -> str:
+        """DocTags uses the base DocSerializer hooks, which are all
+        no-ops (common.py:468-506) - formatting/hyperlinks do not
+        appear in the token stream."""
         return text
 
     # -- captions (doctags.py:526-557) ----------------------------------

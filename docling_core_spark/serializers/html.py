@@ -210,10 +210,49 @@ class HtmlSerializer(MarkdownSerializer):
     def __init__(self, doc: Doc, params: Optional[HtmlParams] = None):
         super().__init__(doc, params if params is not None else HtmlParams())
 
-    # HTML post-processing only applies formatting/hyperlink hooks
-    # (common.py:439-506), none of which exist in the span model
-    def post_process(self, text: str, **_kw) -> str:
-        return text
+    # E8 formatting hooks (html.py:866-904)
+    def serialize_bold(self, text: str) -> str:
+        return f"<strong>{text}</strong>"
+
+    def serialize_italic(self, text: str) -> str:
+        return f"<em>{text}</em>"
+
+    def serialize_underline(self, text: str) -> str:
+        return f"<u>{text}</u>"
+
+    def serialize_strikethrough(self, text: str) -> str:
+        return f"<del>{text}</del>"
+
+    def serialize_subscript(self, text: str) -> str:
+        return f"<sub>{text}</sub>"
+
+    def serialize_superscript(self, text: str) -> str:
+        return f"<sup>{text}</sup>"
+
+    def serialize_hyperlink(self, text: str, hyperlink: str) -> str:
+        return f'<a href="{hyperlink}">{text}</a>'
+
+    def post_process(self, text: str, fmt: str = "", hyperlink: str = "",
+                     **_kw) -> str:
+        """Formatting/hyperlink hooks only (common.py:439-466 order) -
+        HTML applies no markdown-style escaping here."""
+        res = text
+        if fmt:
+            if "b" in fmt:
+                res = self.serialize_bold(res)
+            if "i" in fmt:
+                res = self.serialize_italic(res)
+            if "u" in fmt:
+                res = self.serialize_underline(res)
+            if "s" in fmt:
+                res = self.serialize_strikethrough(res)
+            if "q" in fmt:
+                res = self.serialize_subscript(res)
+            elif "p" in fmt:
+                res = self.serialize_superscript(res)
+        if hyperlink:
+            res = self.serialize_hyperlink(res, hyperlink)
+        return res
 
     # ------------------------------------------------------------------
     def serialize_captions(self, node: Node, tag: str = "figcaption"
@@ -274,6 +313,8 @@ class HtmlSerializer(MarkdownSerializer):
         elif kind == K_LIST_ITEM:
             text_parts: List[str] = []
             if item_text := _prepare(node.text):
+                item_text = self.post_process(item_text, fmt=node.fmt,
+                                              hyperlink=node.hyperlink)
                 text_parts.append(item_text)
             nested = [r.text for r in self.get_parts(
                 node, is_inline_scope=is_inline_scope, visited=visited)]
@@ -289,6 +330,12 @@ class HtmlSerializer(MarkdownSerializer):
             text = _prepare(node.text)
         else:
             text = _tag("p", _prepare(node.text))
+
+        # html.py:214-220: everything except the list-item branch runs
+        # the formatting/hyperlink hooks over the wrapped tag text
+        if kind != K_LIST_ITEM:
+            text = self.post_process(text, fmt=node.fmt,
+                                     hyperlink=node.hyperlink)
 
         if text:
             res_parts.append(_ser(text=text, source=node))

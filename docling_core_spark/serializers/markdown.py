@@ -254,15 +254,55 @@ class MarkdownSerializer:
             yield node
 
     # ------------------------------------------------------------------
+    # E8 formatting hooks (markdown.py:629-652; underline/sub/super are
+    # no-ops in markdown, common.py:468-497 base hooks)
+    def serialize_bold(self, text: str) -> str:
+        return f"**{text}**"
+
+    def serialize_italic(self, text: str) -> str:
+        return f"*{text}*"
+
+    def serialize_underline(self, text: str) -> str:
+        return text
+
+    def serialize_strikethrough(self, text: str) -> str:
+        return f"~~{text}~~"
+
+    def serialize_subscript(self, text: str) -> str:
+        return text
+
+    def serialize_superscript(self, text: str) -> str:
+        return text
+
+    def serialize_hyperlink(self, text: str, hyperlink: str) -> str:
+        return f"[{text}]({hyperlink})"
+
     def post_process(self, text: str, escape_html: bool = True,
-                     escape_underscores: bool = True) -> str:
-        """markdown.py:622-646 (formatting/hyperlink hooks not in the
-        span data model)."""
+                     escape_underscores: bool = True, fmt: str = "",
+                     hyperlink: str = "") -> str:
+        """markdown.py:679-701: escapes, then the formatting hooks in
+        the reference's fixed order (common.py:439-466), then the
+        hyperlink wrap."""
         res = text
         if escape_underscores and self.params.escape_underscores:
             res = _escape_underscores(text)
         if escape_html and self.params.escape_html:
             res = _html.escape(res, quote=False)
+        if fmt:
+            if "b" in fmt:
+                res = self.serialize_bold(res)
+            if "i" in fmt:
+                res = self.serialize_italic(res)
+            if "u" in fmt:
+                res = self.serialize_underline(res)
+            if "s" in fmt:
+                res = self.serialize_strikethrough(res)
+            if "q" in fmt:
+                res = self.serialize_subscript(res)
+            elif "p" in fmt:
+                res = self.serialize_superscript(res)
+        if hyperlink:
+            res = self.serialize_hyperlink(res, hyperlink)
         return res
 
     # ------------------------------------------------------------------
@@ -351,7 +391,8 @@ class MarkdownSerializer:
         kind = node.kind
         if kind in (K_LIST_ITEM, K_TITLE, K_SECTION_HEADER):
             processing_pending = False
-            text = self.post_process(text)
+            text = self.post_process(text, fmt=node.fmt,
+                                     hyperlink=node.hyperlink)
             if kind == K_LIST_ITEM:
                 pieces: List[str] = []
                 case_auto = bool(_ALNUM_RE.search(node.marker))
@@ -409,7 +450,9 @@ class MarkdownSerializer:
             r.text for r in res_parts)
         if processing_pending:
             out_text = self.post_process(out_text, escape_html=escape_html,
-                                         escape_underscores=escape_underscores)
+                                         escape_underscores=escape_underscores,
+                                         fmt=node.fmt,
+                                         hyperlink=node.hyperlink)
         return _ser(text=out_text, source=res_parts)
 
     # ------------------------------------------------------------------

@@ -85,6 +85,22 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
             if cap_item is not None:
                 emit(f"caption:{mref}", cap_item.get("text", ""))
 
+    def fmt_of(c: dict) -> str:
+        f = c.get("formatting") or {}
+        flags = "".join(k for k, fl in (("b", "bold"), ("i", "italic"),
+                                        ("u", "underline"),
+                                        ("s", "strikethrough"))
+                        if f.get(fl))
+        script = f.get("script", "baseline")
+        if script == "sub":
+            flags += "q"
+        elif script == "super":
+            flags += "p"
+        return f"+fmt={flags}" if flags else ""
+
+    def href_of(c: dict) -> str:
+        return str(c.get("hyperlink") or "")
+
     def walk(node: dict) -> None:
         nonlocal prev_page, media_i
         for child_ref in node.get("children") or []:
@@ -122,21 +138,22 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                 continue  # emitted with its owner
 
             if label == "title":
-                emit("title", c.get("text", ""))
+                emit(f"title{fmt_of(c)}", c.get("text", ""), href_of(c))
             elif label == "section_header":
-                emit(f"section_header:{c.get('level', 1)}",
-                     c.get("text", ""))
+                emit(f"section_header:{c.get('level', 1)}{fmt_of(c)}",
+                     c.get("text", ""), href_of(c))
             elif label == "list_item":
                 marker = c.get("marker") or ""
                 enum = c.get("enumerated", False)
                 if enum and marker:
-                    emit(f"list_item:enum:{marker}", c.get("text", ""))
+                    base = f"list_item:enum:{marker}"
                 elif enum:
-                    emit("list_item:enum", c.get("text", ""))
+                    base = "list_item:enum"
                 elif marker:
-                    emit(f"list_item:plain:{marker}", c.get("text", ""))
+                    base = f"list_item:plain:{marker}"
                 else:
-                    emit("list_item", c.get("text", ""))
+                    base = "list_item"
+                emit(f"{base}{fmt_of(c)}", c.get("text", ""), href_of(c))
                 walk(c)
             elif label == "code":
                 caps = c.get("captions") or []
@@ -181,9 +198,9 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
             elif "graph" in c:  # key_value_region / form
                 emit("key_value_region")
             elif label in _TEXTUAL:
-                emit(label, c.get("text", ""))
+                emit(f"{label}{fmt_of(c)}", c.get("text", ""), href_of(c))
             else:
-                emit("text", c.get("text", ""))
+                emit(f"text{fmt_of(c)}", c.get("text", ""), href_of(c))
 
     body = doc.get("body") or {}
     walk(body)

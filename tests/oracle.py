@@ -63,11 +63,36 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             charspan=(0, len(text)),
         )
 
+    from docling_core.types.doc.document import Formatting, Script
+
+    def _parse_fmt(flags: str) -> Formatting:
+        return Formatting(
+            bold="b" in flags, italic="i" in flags,
+            underline="u" in flags, strikethrough="s" in flags,
+            script=(Script.SUB if "q" in flags
+                    else Script.SUPER if "p" in flags
+                    else Script.BASELINE))
+
     for span in sorted(spans, key=lambda s: s["offset"]):
         kind = span["kind"]
         text = span.get("text") or ""
         media_ref = span.get("media_ref") or ""
         offset = span["offset"]
+        # E8 codec extension: "<kind>+fmt=<flags>" + hyperlink riding in
+        # media_ref for textual kinds
+        formatting = None
+        hyperlink = None
+        if "+fmt=" in kind:
+            kind, flags = kind.split("+fmt=", 1)
+            formatting = _parse_fmt(flags)
+        if media_ref and (
+                kind == "title" or kind.startswith("section_header")
+                or kind.startswith("list_item")
+                or kind in ("text", "paragraph", "footnote",
+                            "checkbox_selected", "checkbox_unselected",
+                            "document_index", "reference")):
+            hyperlink = media_ref
+            media_ref = ""
         item = None
         if kind == "end_group":
             if group_stack:
@@ -89,25 +114,32 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             group_stack.append(item)
             container = item
         elif kind == "title":
-            item = doc.add_title(text=text, parent=container, prov=prov(offset, text))
+            item = doc.add_title(text=text, parent=container,
+                                 prov=prov(offset, text),
+                                 formatting=formatting, hyperlink=hyperlink)
         elif kind.startswith("section_header"):
             try:
                 lvl = int(kind.split(":", 1)[1])
             except (IndexError, ValueError):
                 lvl = 1
             item = doc.add_heading(text=text, level=lvl, parent=container,
-                                   prov=prov(offset, text))
+                                   prov=prov(offset, text),
+                                   formatting=formatting,
+                                   hyperlink=hyperlink)
         elif kind in ("text", "paragraph", "footnote", "checkbox_selected",
                       "checkbox_unselected", "document_index", "reference"):
             item = doc.add_text(label=DocItemLabel(kind), text=text,
-                                parent=container, prov=prov(offset, text))
+                                parent=container, prov=prov(offset, text),
+                                formatting=formatting, hyperlink=hyperlink)
         elif kind.startswith("list_item"):
             parts = kind.split(":", 2)
             enumerated = len(parts) > 1 and parts[1] == "enum"
             marker = parts[2] if len(parts) > 2 else ""
             item = doc.add_list_item(text=text, enumerated=enumerated,
                                      marker=marker or None, parent=container,
-                                     prov=prov(offset, text))
+                                     prov=prov(offset, text),
+                                     formatting=formatting,
+                                     hyperlink=hyperlink)
         elif kind == "code":
             item = doc.add_code(text=text, parent=container, prov=prov(offset, text))
             if media_ref:

@@ -32,26 +32,62 @@ def _engine_concat_markdown(spark, n):
                                                      spans))
 
 
-def test_concatenate_matches_reference_two_docs(spark):
+def _distinct_spans(tag):
+    """Small docs whose item texts are all globally unique - the regime
+    where the reference's concatenate is NOT corrupted by its
+    equal-content aliasing bug (see note below)."""
+    rows = [
+        ("title", f"Title {tag}", "", 0),
+        ("section_header:2", f"Section {tag}", "", 1),
+        ("paragraph", f"para one {tag}", "", 2),
+        ("list_group", "", "", 3),
+        ("list_item", f"item a {tag}", "", 4),
+        ("list_item", f"item b {tag}", "", 5),
+        ("end_group", "", "", 6),
+        ("page_break:2", "", "", 7),
+        ("text", f"page two text {tag}", "", 8),
+    ]
+    return [{"kind": k, "text": t, "media_ref": m, "offset": o}
+            for k, t, m, o in rows]
+
+
+def test_concatenate_matches_reference_distinct_docs(spark):
     """Engine span-level concatenation == reference tree-level
     DoclingDocument.concatenate, judged by the serialized output.
 
-    Limited to two documents: with more, the reference's _DocIndex
-    re-referencing corrupts documents containing equal-content items
-    (pydantic field-based equality aliases them during caption/cell
+    Uses all-distinct item texts: with duplicate-content items the
+    reference's _DocIndex re-referencing corrupts the merge (pydantic
+    field-based equality aliases equal items during caption/cell
     remapping, document.py:5694-5710 - list items vanish, duplicate
-    inline formulas merge, table captions detach). The engine keeps the
-    clean semantics (order-preserving merge with page renumbering),
-    which coincides with the reference wherever the reference is
-    uncorrupted."""
+    formulas merge, captions detach). The engine keeps the clean
+    order-preserving semantics, which coincides with the reference
+    wherever the reference is uncorrupted."""
     from docling_core.types.doc.document import DoclingDocument
 
-    ref_docs = [build_doc(f"doc_{i:012d}", gen_doc_spans(i, seed=42))[0]
-                for i in range(2)]
-    merged = DoclingDocument.concatenate(ref_docs)
-    row, got = _engine_concat_markdown(spark, 2)
-    assert got == reference_markdown(merged)
-    assert row["doc_id"] == "doc_000000000000 + doc_000000000001"
+    span_sets = [_distinct_spans("alpha"), _distinct_spans("beta"),
+                 _distinct_spans("gamma")]
+    ref_docs = [build_doc(f"d{i}", s) for i, s in enumerate(span_sets)]
+    merged = DoclingDocument.concatenate([d for d, _ in ref_docs])
+    exp = reference_markdown(merged)
+
+    rows = [{"doc_id": f"d{i}", "spans": s}
+            for i, s in enumerate(span_sets)]
+    from docling_core_spark.engine import DOCUMENTS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [(r["doc_id"], [(s["kind"], s["text"], s["media_ref"],
+                         s["offset"]) for s in r["spans"]])
+         for r in rows], DOCUMENTS_SCHEMA)
+    out = concatenate_documents(docs).collect()[0]
+    spans = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+             for s in out["spans"]]
+    got = export_to_markdown(doc_from_spans(out["doc_id"], spans))
+    assert got == exp
+    # page renumbering matches the reference merge (pages 1..6)
+    merged_pages = sorted(merged.pages.keys())
+    eng_pages = sorted({1} | {int(s[0].split(":")[1]) for s in spans
+                             if s[0].startswith("page_break")})
+    assert eng_pages == merged_pages
 
 
 def test_concatenate_matches_clean_join(spark):

@@ -86,3 +86,35 @@ def test_page_filter_html_parity(i):
     engine_doc, ref_doc = _doc(i)
     assert export_to_html(engine_doc, pages={2}) == \
         reference_html(ref_doc, page_no=2)
+
+
+def test_corpus_exercises_formatting():
+    """Guard: the parity corpus actually contains formatted/hyperlinked
+    spans, so the E8 parity above is not vacuous."""
+    n_fmt = n_href = 0
+    for i in range(N_DOCS):
+        for s in gen_doc_spans(i, seed=42):
+            if "+fmt=" in s["kind"]:
+                n_fmt += 1
+            if (s["media_ref"] or "").startswith("https://"):
+                n_href += 1
+    assert n_fmt > 50, n_fmt
+    assert n_href > 20, n_href
+
+
+def test_formatting_renders():
+    from tests.oracle import reference_html
+
+    from docling_core_spark.serializers.html import export_to_html
+
+    found_md = found_html = False
+    for i in range(N_DOCS):
+        engine_doc, ref_doc = _doc(i)
+        md = export_to_markdown(engine_doc)
+        if "**" in md or "](https://" in md:
+            found_md = True
+        if "<strong>" in export_to_html(engine_doc) or found_html:
+            found_html = True
+        if found_md and found_html:
+            break
+    assert found_md and found_html
