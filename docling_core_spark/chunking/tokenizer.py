@@ -20,6 +20,9 @@ from __future__ import annotations
 import re
 
 _PIECE_RE = re.compile(r"[A-Za-z0-9]{1,4}|[^\sA-Za-z0-9]")
+# run-level decomposition for O(runs) counting (see count_tokens)
+_ALNUM_RUN_RE = re.compile(r"[A-Za-z0-9]+")
+_WS_RE = re.compile(r"\s+")
 
 
 class RegexTokenizer:
@@ -44,7 +47,19 @@ class RegexTokenizer:
         self.max_tokens = max_tokens
 
     def count_tokens(self, text: str) -> int:
-        return len(_PIECE_RE.findall(text))
+        # arithmetic identity with len(_PIECE_RE.findall(text)):
+        # an alnum run of length L greedily splits into ceil(L/4)
+        # pieces; every other non-whitespace char is one piece. Run-
+        # level findalls allocate ~4x fewer objects than piece-level
+        # (token counting is the chunking hot path).
+        alnum = 0
+        n = 0
+        for r in _ALNUM_RUN_RE.findall(text):
+            lr = len(r)
+            alnum += lr
+            n += (lr + 3) >> 2
+        ws = sum(map(len, _WS_RE.findall(text)))
+        return n + (len(text) - alnum - ws)
 
     def get_max_tokens(self) -> int:
         return self.max_tokens

@@ -87,3 +87,16 @@ def test_doctags_parser_total(s):
     spans = doctags_to_spans(s)
     offs = [sp["offset"] for sp in spans]
     assert offs == sorted(offs)
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=500, deadline=None)
+def test_token_count_arithmetic_identity(s):
+    """The run-level count must equal the piece-regex count exactly
+    (it defines chunk boundaries)."""
+    from docling_core_spark.chunking.tokenizer import (
+        _PIECE_RE,
+        RegexTokenizer,
+    )
+
+    assert RegexTokenizer(64).count_tokens(s) == len(_PIECE_RE.findall(s))
