@@ -198,6 +198,67 @@ def chunk_documents(df: DataFrame, mode: str = "hybrid",
 
 
 # ----------------------------------------------------------------------
+def parse_and_chunk(df: DataFrame, to_spans, text_col: str,
+                    id_col: str = "doc_id", mode: str = "hier",
+                    max_tokens: int = 64,
+                    merge_peers: bool = True) -> DataFrame:
+    """DataFrame(doc_id, <text_col>) -> chunks: parse (via ``to_spans``,
+    a str -> [span dict] function such as doctags_to_spans /
+    docjson_to_spans) + reconstruct + chunk, fused into ONE mapInArrow
+    stage.
+
+    Fusion rationale: chaining ``chunk_documents(parse_x_documents(df))``
+    puts two Python runners in series per task - each hop is a full
+    JVM<->Python Arrow round-trip carrying the intermediate span table,
+    and each runner level forks its own worker pool. Per-row sequential
+    transforms belong in one UDF; only relational ops (joins, aggs) need
+    plan-level composition. Measured ~2x on doctags->chunks at sf0.1."""
+    import pyarrow as pa
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from docling_core_spark.chunking.hierarchical import (
+            hierarchical_chunk,
+        )
+        from docling_core_spark.chunking.hybrid import hybrid_chunk
+        from docling_core_spark.chunking.page import page_chunk
+        from docling_core_spark.chunking.tokenizer import RegexTokenizer
+        from docling_core_spark.model.spans import doc_from_spans
+
+        tok = RegexTokenizer(max_tokens)
+        for batch in batches:
+            doc_ids = batch.column(id_col).to_pylist()
+            payloads = batch.column(text_col).to_pylist()
+            ids, idxs, txts, heads, refs = [], [], [], [], []
+            for doc_id, payload in zip(doc_ids, payloads):
+                tuples = [(s["kind"], s["text"], s["media_ref"],
+                           s["offset"]) for s in to_spans(payload)]
+                doc = doc_from_spans(str(doc_id), tuples)
+                if mode == "hybrid":
+                    chunks = hybrid_chunk(doc, tokenizer=tok,
+                                          merge_peers=merge_peers)
+                elif mode == "page":
+                    chunks = page_chunk(doc)
+                else:
+                    chunks = hierarchical_chunk(doc)
+                for ci, c in enumerate(chunks):
+                    ids.append(str(doc_id))
+                    idxs.append(ci)
+                    txts.append(c.text)
+                    heads.append(c.headings)
+                    refs.append(c.offsets)
+            yield pa.RecordBatch.from_arrays([
+                pa.array(ids, pa.string()),
+                pa.array(idxs, pa.int32()),
+                pa.array(txts, pa.string()),
+                pa.array(heads, pa.list_(pa.string())),
+                pa.array(refs, pa.list_(pa.int32())),
+            ], names=["doc_id", "chunk_idx", "text", "headings",
+                      "span_refs"])
+
+    return df.select(id_col, text_col).mapInArrow(run, schema=CHUNKS_SCHEMA)
+
+
+# ----------------------------------------------------------------------
 def export_documents(df: DataFrame, fmt: str = "md",
                      page_break_placeholder: Optional[str] = None
                      ) -> DataFrame:

@@ -127,12 +127,12 @@ def q_doc_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_parse_docjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interop round trip: export reference-schema JSON (S2), re-ingest
     it (S1), chunk. Exercises both sides of the DoclingDocument-JSON
-    boundary at scale."""
-    from docling_core_spark.sources.docjson import load_docjson_documents
+    boundary at scale; ingest + chunk run fused in one Arrow stage."""
+    from docling_core_spark.sources.docjson import parse_and_chunk_docjson
 
     js = (export_documents(corpus_df(spark, sf_dir), fmt="json")
           .withColumnRenamed("text", "doc_json"))
-    return chunk_documents(load_docjson_documents(js), mode="hier")
+    return parse_and_chunk_docjson(js, json_col="doc_json", mode="hier")
 
 
 def q_caption_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,13 +310,16 @@ def q_export_html(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_parse_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extraction stage: doctags token streams -> span documents ->
-    chunks. Exercises the parser (sources/doctags.py) at scale."""
-    from docling_core_spark.sources.doctags import parse_doctags_documents
+    chunks. Exercises the parser (sources/doctags.py) at scale. Parse
+    and chunk are per-row sequential, so they run fused in one Arrow
+    stage (parse_and_chunk_doctags) rather than two chained Python
+    runners; the doctags input itself is synthesized by the export
+    serializer (its own stage, as a doctags table would be in prod)."""
+    from docling_core_spark.sources.doctags import parse_and_chunk_doctags
 
     dt = (export_documents(corpus_df(spark, sf_dir), fmt="dt")
           .withColumnRenamed("text", "doctags"))
-    parsed = parse_doctags_documents(dt, doctags_col="doctags")
-    return chunk_documents(parsed, mode="hier")
+    return parse_and_chunk_doctags(dt, doctags_col="doctags", mode="hier")
 
 
 # ----------------------------------------------------------------------

@@ -241,3 +241,15 @@ def load_docjson_documents(df, json_col: str = "doc_json",
 
     return df.select(id_col, json_col).mapInArrow(
         run, schema=DOCUMENTS_SCHEMA)
+
+
+def parse_and_chunk_docjson(df, json_col: str = "doc_json",
+                            id_col: str = "doc_id", mode: str = "hier",
+                            max_tokens: int = 64, merge_peers: bool = True):
+    """DataFrame(doc_id, doc_json) -> chunks, S1 ingest + chunk fused
+    into ONE mapInArrow stage (see engine.parse_and_chunk for why)."""
+    from docling_core_spark.engine import parse_and_chunk
+
+    return parse_and_chunk(df, lambda s: docjson_to_spans(s or "{}"),
+                           text_col=json_col, id_col=id_col, mode=mode,
+                           max_tokens=max_tokens, merge_peers=merge_peers)

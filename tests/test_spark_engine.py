@@ -75,3 +75,63 @@ def test_doc_stats(spark):
     assert len(stats) == N
     for r in stats.values():
         assert r.n_spans > 0 and r.n_chunks >= 0
+
+@pytest.mark.parametrize("mode", ["hier", "hybrid"])
+def test_fused_doctags_parse_chunk_equals_chained(spark, mode):
+    """parse_and_chunk_doctags (one Arrow stage) must emit exactly what
+    the chained parse -> chunk composition emits."""
+    from docling_core_spark.sources.doctags import (
+        parse_and_chunk_doctags,
+        parse_doctags_documents,
+    )
+
+    docs = synth_documents(spark, N, seed=42, partitions=4)
+    dt = (export_documents(docs, fmt="dt")
+          .withColumnRenamed("text", "doctags"))
+
+    def keyed(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.text,
+                 list(r.headings) if r.headings is not None else None,
+                 list(r.span_refs)))
+        for v in out.values():
+            v.sort()
+        return out
+
+    chained = keyed(chunk_documents(
+        parse_doctags_documents(dt, doctags_col="doctags"),
+        mode=mode, max_tokens=64).collect())
+    fused = keyed(parse_and_chunk_doctags(
+        dt, doctags_col="doctags", mode=mode, max_tokens=64).collect())
+    assert fused == chained
+    assert len(fused) == N
+
+
+def test_fused_docjson_parse_chunk_equals_chained(spark):
+    from docling_core_spark.sources.docjson import (
+        load_docjson_documents,
+        parse_and_chunk_docjson,
+    )
+
+    docs = synth_documents(spark, N, seed=42, partitions=4)
+    js = (export_documents(docs, fmt="json")
+          .withColumnRenamed("text", "doc_json"))
+
+    def keyed(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.doc_id, []).append(
+                (r.chunk_idx, r.text,
+                 list(r.headings) if r.headings is not None else None,
+                 list(r.span_refs)))
+        for v in out.values():
+            v.sort()
+        return out
+
+    chained = keyed(chunk_documents(
+        load_docjson_documents(js), mode="hier").collect())
+    fused = keyed(parse_and_chunk_docjson(js, mode="hier").collect())
+    assert fused == chained
+    assert len(fused) == N
