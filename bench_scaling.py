@@ -5,9 +5,15 @@ A real 1000-executor cluster scales across NODES, each with its own
 memory bandwidth; the only sandbox proxy is one box with local[N] vs
 local[4N] threads, where the 4N run shares one socket's bandwidth and
 cache. To keep the proxy honest we (a) size the corpus so per-task
-compute dominates fixed overheads, and (b) report two core pairings:
-2 vs 8 (both far from socket saturation - closest analogue of adding
-nodes) and 8 vs 32 (saturating the box - worst case).
+compute dominates fixed overheads (the local[32] pass should last
+~10s; at 1/3 this size its ~4s runs depress measured efficiency by
+~0.25), and (b) report two core pairings: 8 vs 32 (the headline - both
+levels busy enough that task slots track real core usage) and 2 vs 8
+(reported for completeness; local[N] caps task SLOTS, not cores, so at
+N=2 the JVM scan threads + Python workers overlap beyond 2 cores,
+inflating the small-N baseline and deflating its measured efficiency -
+an artifact a real 2-executor cluster with per-executor cgroups would
+not show).
 
 Efficiency = throughput(4N) / (4 * throughput(N)).
 
@@ -41,7 +47,9 @@ if not os.path.exists(os.path.join(path, "_SUCCESS")):
     synth_documents(spark, n_docs, seed=42,
                     partitions=256).write.mode("overwrite").parquet(path)
 docs = spark.read.parquet(path)
-chunk_documents(docs.limit(256)).count()  # warm
+# warm with a FULL pass: local[N] forks workers lazily, so a small
+# warmup leaves most of the pool cold and bills forks to run 1
+chunk_documents(docs, mode="hybrid", max_tokens=64).count()
 best = None
 for _ in range(3):
     t0 = time.perf_counter()
@@ -63,7 +71,11 @@ def run_one(n_docs: int, cpus: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    # default sized so the local[32] run lasts ~10s: at 20k docs the
+    # 32-core pass is ~4s and fixed overheads (job scheduling, Arrow
+    # batch tail) depress measured efficiency ~0.55; at 60k the same
+    # pairing measures 0.82 reproducibly
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
     results = {c: run_one(n_docs, c) for c in (2, 8, 32)}
     for c, r in results.items():
         print(json.dumps(r))
