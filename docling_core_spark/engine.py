@@ -263,14 +263,16 @@ def export_documents(df: DataFrame, fmt: str = "md",
                      page_break_placeholder: Optional[str] = None
                      ) -> DataFrame:
     """documents -> exports(doc_id, fmt, text); fmt in {md, txt, dt,
-    html, json}. json is the reference's DoclingDocument schema - the
-    interop sink (S2); sources/docjson.py is the matching source."""
+    html, json, yaml}. json/yaml are the reference's DoclingDocument
+    schema - the interop sinks (S2/S3); sources/docjson.py is the
+    matching source."""
     import pyarrow as pa
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from docling_core_spark.model.spans import doc_from_spans
         from docling_core_spark.serializers.docjson import (
             export_to_docjson_str,
+            export_to_docyaml_str,
         )
         from docling_core_spark.serializers.doctags import export_to_doctags
         from docling_core_spark.serializers.html import export_to_html
@@ -280,11 +282,13 @@ def export_documents(df: DataFrame, fmt: str = "md",
         )
         kw = {}
         if page_break_placeholder is not None and fmt not in ("dt", "html",
-                                                              "json"):
+                                                              "json",
+                                                              "yaml"):
             kw["page_break_placeholder"] = page_break_placeholder
         fn = {"md": export_to_markdown, "txt": export_to_text,
               "dt": export_to_doctags, "html": export_to_html,
-              "json": export_to_docjson_str}[fmt]
+              "json": export_to_docjson_str,
+              "yaml": export_to_docyaml_str}[fmt]
         for batch in batches:
             ids, txts = [], []
             for doc_id, tuples in _iter_span_tuples(batch):

@@ -258,3 +258,13 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
 
 def export_to_docjson_str(doc: Doc, name: Optional[str] = None) -> str:
     return json.dumps(export_to_docjson(doc, name=name))
+
+
+def export_to_docyaml_str(doc: Doc, name: Optional[str] = None) -> str:
+    """S3 YAML sink (save_as_yaml, document.py:4344-4369): the reference
+    yaml.dump()s the same dict that the JSON sink writes; loadable by
+    its load_from_yaml (document.py:4371-4385)."""
+    import yaml
+
+    return yaml.safe_dump(export_to_docjson(doc, name=name),
+                          default_flow_style=False, allow_unicode=True)

@@ -243,6 +243,14 @@ def load_docjson_documents(df, json_col: str = "doc_json",
         run, schema=DOCUMENTS_SCHEMA)
 
 
+def docyaml_to_spans(doc_yaml: str) -> List[Dict]:
+    """S3 YAML source (load_from_yaml, document.py:4371-4385): YAML
+    carries the same reference-schema dict as JSON."""
+    import yaml
+
+    return docjson_to_spans(yaml.safe_load(doc_yaml) or {})
+
+
 def parse_and_chunk_docjson(df, json_col: str = "doc_json",
                             id_col: str = "doc_id", mode: str = "hier",
                             max_tokens: int = 64, merge_peers: bool = True):

@@ -78,3 +78,53 @@ def test_round_trip_json_json():
         assert len(js1["texts"]) == len(js2["texts"])
         assert len(js1["tables"]) == len(js2["tables"])
         assert len(js1["pictures"]) == len(js2["pictures"])
+
+
+# ----------------------------------------------------------------------
+# S3 YAML interop (save_as_yaml document.py:4344-4369 / load_from_yaml
+# 4371-4385): same dict as JSON, YAML-carried
+# ----------------------------------------------------------------------
+
+def test_export_yaml_loads_in_reference():
+    import yaml as _yaml
+
+    from docling_core.types.doc.document import DoclingDocument
+    from docling_core_spark.serializers.docjson import export_to_docyaml_str
+
+    for i in range(0, N_DOCS, 7):
+        eng, _ = _engine_doc(i)
+        loaded = DoclingDocument.model_validate(
+            _yaml.load(export_to_docyaml_str(eng), Loader=_yaml.FullLoader))
+        assert reference_markdown(loaded) == export_to_markdown(eng)
+
+
+def test_import_reference_yaml():
+    import yaml as _yaml
+
+    from docling_core_spark.sources.docjson import docyaml_to_spans
+
+    for i in range(0, N_DOCS, 7):
+        _, spans = _engine_doc(i)
+        ref_doc, _ = build_doc(f"doc_{i}", spans)
+        ref_yaml = _yaml.safe_dump(ref_doc.export_to_dict())
+        spans2 = docyaml_to_spans(ref_yaml)
+        imported = doc_from_spans(f"doc_{i}", [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in spans2])
+        assert export_to_markdown(imported) == reference_markdown(ref_doc)
+
+
+def test_yaml_json_same_spans():
+    from docling_core_spark.serializers.docjson import (
+        export_to_docjson,
+        export_to_docyaml_str,
+    )
+    from docling_core_spark.sources.docjson import (
+        docjson_to_spans,
+        docyaml_to_spans,
+    )
+
+    for i in range(0, N_DOCS, 7):
+        eng, _ = _engine_doc(i)
+        assert (docyaml_to_spans(export_to_docyaml_str(eng))
+                == docjson_to_spans(export_to_docjson(eng)))

@@ -1,0 +1,75 @@
+"""The operational launch path: spark-submit --py-files with the built
+zip, run from a directory where the package is NOT importable - proving
+the archive alone ships the engine to executors (the cluster story).
+Also exercises resume: a second submit over the same output is a no-op
+that still reports the committed totals.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+def _submit(args, cwd):
+    env = {k: v for k, v in os.environ.items()}
+    # the job must come from --py-files, not from the repo on sys.path
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    return subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", os.path.join(ROOT, "dist", "docling_core_spark.zip"),
+         os.path.join(ROOT, "jobs", "chunk_corpus.py"), *args],
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=300)
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit in PATH")
+def test_spark_submit_py_files(tmp_path):
+    sys.path.insert(0, ROOT)
+    import package
+    from docling_core_spark.queries import ensure_corpus_local
+
+    zip_path = package.build()
+    with zipfile.ZipFile(zip_path) as z:
+        names = z.namelist()
+    assert "docling_core_spark/engine.py" in names
+
+    corpus = ensure_corpus_local("/root/testdata/sf0.001")  # 50 docs
+    out_dir = str(tmp_path / "out")
+
+    r = _submit(["--input", corpus, "--output", out_dir,
+                 "--mode", "hier", "--n-buckets", "4"], cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    done_line = [ln for ln in r.stdout.splitlines()
+                 if ln.startswith("DONE")][-1]
+    n_chunks = int(done_line.split("chunks=")[1].split()[0])
+    assert n_chunks > 0
+    assert int(done_line.split("lineage_rows=")[1].split()[0]) > 0
+
+    # resume over committed output: no recompute, same totals
+    r2 = _submit(["--input", corpus, "--output", out_dir,
+                  "--mode", "hier", "--n-buckets", "4"], cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    done2 = [ln for ln in r2.stdout.splitlines()
+             if ln.startswith("DONE")][-1]
+    assert f"chunks={n_chunks}" in done2
+
+    # the submitted job's chunks == in-process chunk_documents
+    from docling_core_spark.engine import chunk_documents
+    from docling_core_spark.session import get_spark
+    spark = get_spark(app_name="submit-check", master="local[4]",
+                      shuffle_partitions=8)
+    got = {(r.doc_id, r.chunk_idx): r.text for r in spark.read.parquet(
+        os.path.join(out_dir, "chunks")).collect()}
+    exp = {(r.doc_id, r.chunk_idx): r.text for r in chunk_documents(
+        spark.read.parquet(corpus), mode="hier").collect()}
+    assert got == exp
