@@ -260,6 +260,131 @@ FROM s GROUP BY 1 ORDER BY base_kind
 """
 
 
+def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document outline: title + section headers in reading order with
+    the level parsed out of the kind grammar. Only heading spans survive
+    the explode, and the scan reads just (doc_id, spans) - the filter
+    runs codegen'd before any wide operation."""
+    docs = corpus_df(spark, sf_dir)
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    heads = s.filter((F.col("s.kind") == "title")
+                     | F.col("s.kind").startswith("section_header:"))
+    return (heads.select(
+        "doc_id",
+        F.col("s.offset").alias("span_offset"),
+        F.when(F.col("s.kind") == "title", F.lit(0))
+         .otherwise(F.split(F.col("s.kind"), ":").getItem(1).cast("int"))
+         .alias("level"),
+        F.col("s.text").alias("heading"))
+        .orderBy("doc_id", "span_offset"))
+
+
+def _sql_heading_outline(sf_dir: str) -> str:
+    path = ensure_corpus_local(sf_dir)
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{path}/*.parquet'))
+SELECT doc_id, sp."offset" AS span_offset,
+       CASE WHEN sp.kind = 'title' THEN 0
+            ELSE CAST(string_split(sp.kind, ':')[2] AS INTEGER) END AS level,
+       sp.text AS heading
+FROM s
+WHERE sp.kind = 'title' OR sp.kind LIKE 'section_header:%'
+ORDER BY doc_id, span_offset
+"""
+
+
+def q_list_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of max group-nesting depth per doc, via a reading-order
+    window prefix sum over the open/close markers - the same
+    Window.partitionBy(doc).orderBy(offset) pattern that powers
+    page-break interleave (T8) and concatenate offsets (M9). One
+    shuffle on doc_id; the two aggregations after it are partial+final."""
+    from pyspark.sql import Window
+
+    docs = corpus_df(spark, sf_dir)
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    delta = (F.when(F.col("s.kind").isin("list_group", "inline_group"),
+                    F.lit(1))
+             .when(F.col("s.kind") == "end_group", F.lit(-1))
+             .otherwise(F.lit(0)))
+    w = (Window.partitionBy("doc_id").orderBy(F.col("s.offset"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    depth = s.select("doc_id", F.sum(delta).over(w).alias("depth"))
+    return (depth.groupBy("doc_id")
+            .agg(F.max("depth").cast("int").alias("max_depth"))
+            .filter(F.col("max_depth") > 0)
+            .groupBy("max_depth")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("max_depth"))
+
+
+def _sql_list_depth_stats(sf_dir: str) -> str:
+    path = ensure_corpus_local(sf_dir)
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{path}/*.parquet')),
+d AS (SELECT doc_id,
+             SUM(CASE WHEN sp.kind IN ('list_group', 'inline_group') THEN 1
+                      WHEN sp.kind = 'end_group' THEN -1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY sp.offset) AS depth
+      FROM s),
+m AS (SELECT doc_id, CAST(MAX(depth) AS INTEGER) AS max_depth
+      FROM d GROUP BY doc_id)
+SELECT max_depth, COUNT(*) AS n_docs
+FROM m WHERE max_depth > 0 GROUP BY max_depth ORDER BY max_depth
+"""
+
+
+def q_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages-per-document histogram from page_break:P markers (P is the
+    next page number, so pages = max P; no markers = single page)."""
+    docs = corpus_df(spark, sf_dir)
+    s = docs.select("doc_id", F.explode("spans").alias("s"))
+    per = (s.filter(F.col("s.kind").startswith("page_break:"))
+           .groupBy("doc_id")
+           .agg(F.max(F.split(F.col("s.kind"), ":").getItem(1)
+                      .cast("int")).alias("last_page")))
+    joined = (docs.select("doc_id").join(per, "doc_id", "left")
+              .select(F.coalesce("last_page", F.lit(1)).alias("n_pages")))
+    return (joined.groupBy("n_pages")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("n_pages"))
+
+
+def _sql_page_counts(sf_dir: str) -> str:
+    path = ensure_corpus_local(sf_dir)
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{path}/*.parquet')),
+per AS (SELECT doc_id,
+               MAX(CAST(string_split(sp.kind, ':')[2] AS INTEGER)) AS last_page
+        FROM s WHERE sp.kind LIKE 'page_break:%' GROUP BY doc_id),
+j AS (SELECT COALESCE(per.last_page, 1) AS n_pages
+      FROM (SELECT DISTINCT doc_id FROM s) d LEFT JOIN per USING (doc_id))
+SELECT n_pages, COUNT(*) AS n_docs FROM j GROUP BY n_pages ORDER BY n_pages
+"""
+
+
+def q_doc_span_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 largest documents by span count - the mega-document skew
+    profile that motivates salting + outlier page-split (SURVEY §4.2).
+    size() on the array column needs no explode: the scan emits list
+    lengths straight off parquet offsets."""
+    docs = corpus_df(spark, sf_dir)
+    return (docs.select("doc_id", F.size("spans").alias("n_spans"))
+            .orderBy(F.desc("n_spans"), "doc_id").limit(20))
+
+
+def _sql_doc_span_skew(sf_dir: str) -> str:
+    path = ensure_corpus_local(sf_dir)
+    return f"""
+SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans
+FROM read_parquet('{path}/*.parquet')
+ORDER BY n_spans DESC, doc_id LIMIT 20
+"""
+
+
 def _oracle_sf_dir() -> str:
     """The sf the driver's DuckDB correctness pass runs at (sf0.01);
     tests override via TEST_SF_DIR so both sides stay aligned."""
@@ -563,6 +688,10 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_resolution": q_caption_resolution,
         "span_kind_stats": q_span_kind_stats,
         "bbox_overlap_stats": q_bbox_overlap_stats,
+        "heading_outline": q_heading_outline,
+        "list_depth_stats": q_list_depth_stats,
+        "page_counts": q_page_counts,
+        "doc_span_skew": q_doc_span_skew,
         # relational + training-data ops (DuckDB oracle)
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
@@ -594,4 +723,8 @@ def oracles() -> Dict[str, str]:
     out["caption_resolution"] = _sql_caption_resolution(sf)
     out["span_kind_stats"] = _sql_span_kind_stats(sf)
     out["bbox_overlap_stats"] = _sql_bbox_overlap_stats(sf)
+    out["heading_outline"] = _sql_heading_outline(sf)
+    out["list_depth_stats"] = _sql_list_depth_stats(sf)
+    out["page_counts"] = _sql_page_counts(sf)
+    out["doc_span_skew"] = _sql_doc_span_skew(sf)
     return out
