@@ -183,7 +183,12 @@ def spans_from_doc(doc: Doc) -> List[dict]:
             if prev_page is not None and c.page_no > prev_page and not c.is_group:
                 emit(f"page_break:{c.page_no}")
             if not c.is_group:
-                prev_page = c.page_no
+                # track the MAX page seen, not the last: malformed input
+                # can dip (3 -> 2 -> 3) and re-emitting the break to 3
+                # would not survive a round trip (breaks are monotone on
+                # rebuild, so the canonical form must be too)
+                prev_page = (c.page_no if prev_page is None
+                             else max(prev_page, c.page_no))
             if c.kind == K_LIST_GROUP:
                 emit("list_group")
                 walk(c)
