@@ -1,4 +1,6 @@
 from docling_core_spark.streaming.pipeline import (  # noqa: F401
+    run_metrics_once,
     stream_chunk_documents,
+    stream_chunk_metrics,
     stream_once,
 )

@@ -67,3 +67,62 @@ def stream_once(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_chunk_metrics(
+    spark: SparkSession,
+    input_dir: str,
+    mode: str = "hier",
+    max_tokens: int = 64,
+    window_duration: str = "10 seconds",
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Stateful streaming rollup: chunk/doc counts per event-time
+    window, with a watermark bounding state.
+
+    Event time is the ingestion timestamp (the file-stream analogue of
+    a Kafka record timestamp); the watermark lets Spark finalize and
+    evict windows older than ``watermark_delay``, so state stays O(open
+    windows) no matter how long the stream runs - the monitoring
+    counterpart of the per-bucket lineage rows in io/checkpoint.py.
+    Late files (re-delivered beyond the delay) are dropped from the
+    rollup but never from the chunk output, which is stateless."""
+    from pyspark.sql import functions as F
+
+    chunks = stream_chunk_documents(spark, input_dir, mode=mode,
+                                    max_tokens=max_tokens)
+    stamped = chunks.withColumn("ingest_ts", F.current_timestamp())
+    return (stamped
+            .withWatermark("ingest_ts", watermark_delay)
+            .groupBy(F.window("ingest_ts", window_duration).alias("win"))
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.approx_count_distinct("doc_id").alias("n_docs_approx"))
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    "n_chunks", "n_docs_approx"))
+
+
+def run_metrics_once(
+    spark: SparkSession,
+    input_dir: str,
+    table_name: str = "chunk_metrics",
+    mode: str = "hier",
+    max_tokens: int = 64,
+    window_duration: str = "10 seconds",
+    watermark_delay: str = "30 seconds",
+) -> DataFrame:
+    """Drain available files through the windowed rollup into an
+    in-memory table (complete mode - open windows included) and return
+    it. Production would writeStream the update stream to a metrics
+    sink instead; this is the inspectable one-shot form."""
+    metrics = stream_chunk_metrics(
+        spark, input_dir, mode=mode, max_tokens=max_tokens,
+        window_duration=window_duration, watermark_delay=watermark_delay)
+    q = (metrics.writeStream
+         .format("memory")
+         .queryName(table_name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)
