@@ -40,7 +40,8 @@ import os
 spark = get_spark(app_name=f"scal-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
-path = f"/tmp/docling_scaling_{n_docs}.parquet"
+from docling_core_spark.corpus import CORPUS_VERSION
+path = f"/tmp/docling_scaling_{n_docs}_v{CORPUS_VERSION}.parquet"
 if not os.path.exists(os.path.join(path, "_SUCCESS")):
     # many small files -> read partitions contain several files each,
     # which pipelines scan/UDF work and load-balances across waves

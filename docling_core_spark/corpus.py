@@ -39,6 +39,18 @@ _MARKERS = ["", "", "", "-", "*", "1.", "2.", "(1)", "a)", "i.", "•", "⁃"]
 _HTML_SPICE = ["AT&T", "<tag>", "x < y", "a > b", "A&B", "q&a"]
 
 
+def _kv_cells(rng: random.Random) -> str:
+    """Key-value graph cells in the kv grammar (model/kv.py); ~1/4 of
+    regions stay cell-less (the pre-v2 shape)."""
+    n_pairs = rng.choice((0, 1, 2, 2, 3, 4))
+    parts = []
+    for i in range(n_pairs):
+        k, v = 2 * i, 2 * i + 1
+        parts.append(f"<key_{k}>{_words(rng, 1, 3)}<link_{v}></key_{k}>")
+        parts.append(f"<value_{v}>{_words(rng, 1, 5)}</value_{v}>")
+    return "".join(parts)
+
+
 def _words(rng: random.Random, lo: int, hi: int) -> str:
     n = rng.randint(lo, hi)
     ws = [rng.choice(_WORDS) for _ in range(n)]
@@ -144,6 +156,12 @@ def _href(rng: random.Random, doc_index: int) -> str:
     return ""
 
 
+# bump when the generator's output changes: materialized corpus caches
+# (queries.corpus_path, bench_scaling) key on this so stale parquet
+# can't silently diverge from the in-process generator
+CORPUS_VERSION = 2
+
+
 def gen_doc_spans(doc_index: int, seed: int = 42,
                   mega_every: Optional[int] = None) -> List[Dict]:
     """Spans for one document; pure function of (seed, doc_index)."""
@@ -244,7 +262,7 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
                 emit(f"caption:{mref}", f"Chart {media_i}: " + _words(rng, 3, 8))
         elif r < 0.945:
             if rng.random() < 0.5:
-                emit("key_value_region")
+                emit("key_value_region", _kv_cells(rng))
             else:
                 emit(rng.choice(("footnote", "checkbox_selected",
                                  "checkbox_unselected", "reference")),

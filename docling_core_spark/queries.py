@@ -41,11 +41,13 @@ def corpus_docs_for(sf_dir: str) -> int:
 
 
 def corpus_path(sf_dir: str) -> str:
+    from docling_core_spark.corpus import CORPUS_VERSION
+
     n_docs = corpus_docs_for(sf_dir)
     return os.path.join(
         os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
         f"docling_corpus_{os.path.basename(os.path.normpath(sf_dir))}"
-        f"_{n_docs}.parquet")
+        f"_{n_docs}_v{CORPUS_VERSION}.parquet")
 
 
 def ensure_corpus_local(sf_dir: str) -> str:

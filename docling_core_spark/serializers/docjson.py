@@ -210,13 +210,24 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
                 item["captions"] = caption_refs(c, parent_ref)
                 children.append({"$ref": ref})
             elif kind == K_KEY_VALUE:
+                from docling_core_spark.model.kv import parse_kv
+
+                cells, links = parse_kv(c.text)
                 ref = alloc("key_value_items")
                 pools["key_value_items"].append({
                     "self_ref": ref, "parent": {"$ref": parent_ref},
                     "children": [], "content_layer": "body",
                     "label": "key_value_region", "prov": _prov(c),
                     "captions": [], "references": [], "footnotes": [],
-                    "graph": {"cells": [], "links": []},
+                    "graph": {
+                        "cells": [{"label": cl.label, "cell_id": cl.cell_id,
+                                   "text": cl.text, "orig": cl.text}
+                                  for cl in cells],
+                        "links": [{"label": ln.label,
+                                   "source_cell_id": ln.source,
+                                   "target_cell_id": ln.target}
+                                  for ln in links],
+                    },
                 })
                 pages.add(c.page_no)
                 children.append({"$ref": ref})

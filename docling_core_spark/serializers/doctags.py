@@ -248,10 +248,23 @@ class DocTagsSerializer(MarkdownSerializer):
             text_res = _wrap(text_res, "chart" if is_chart else "picture")
         return _ser(text=text_res, source=res_parts)
 
-    # -- key-value regions (doctags.py:285-364; graph cells are not part
-    # of the span data model, so only the location is emitted) -------------
+    # -- key-value regions (doctags.py:282-342): graph cells carried in
+    # the span text via the kv grammar; links of BOTH labels flatten to
+    # <link_N> exactly like the reference (source_to_targets is built
+    # from all graph.links regardless of label, doctags.py:312-315) ----
     def _serialize_key_value(self, node: Node) -> SerResult:
+        from docling_core_spark.model.kv import parse_kv
+
         body = self._loc(node)
+        cells, links = parse_kv(node.text)
+        by_src: dict = {}
+        for link in links:
+            by_src.setdefault(link.source, []).append(link.target)
+        for c in cells:
+            cell_txt = c.text.strip()
+            for target in by_src.get(c.cell_id, ()):
+                cell_txt += f"<link_{target}>"
+            body += _wrap(cell_txt, f"{c.label}_{c.cell_id}")
         cap = self.serialize_captions(node)
         body += cap.text
         return _ser(text=_wrap(body, "key_value_region"), source=node)

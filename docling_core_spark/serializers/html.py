@@ -417,19 +417,67 @@ class HtmlSerializer(MarkdownSerializer):
 
     # ------------------------------------------------------------------
     def _serialize_key_value(self, node: Node) -> SerResult:
-        """html.py:651-686 + _HTMLGraphDataSerializer (html.py:522-649).
-        The span schema v1 carries no graph cells, so the graph renders
-        as the reference's no-hierarchy definition-list shell."""
+        """html.py:651-686 + _HTMLGraphDataSerializer (html.py:522-649):
+        to_child links build a nested <ul> tree from root cells;
+        without hierarchy the to_value pairs render as a <dl>."""
         parts: List[SerResult] = []
         if id(node) not in self.get_excluded_refs():
-            cls = "key-value-region"
-            parts.append(_ser(text=(
-                f'<div class="{cls}">\n<dl class="{cls}">\n</dl>\n</div>'),
-                source=node))
+            parts.append(_ser(text=self._render_graph(
+                node.text, "key-value-region"), source=node))
         cap_res = self.serialize_captions(node)
         if cap_res.text:
             parts.append(cap_res)
         return _ser(text="\n".join(r.text for r in parts), source=parts)
+
+    def _render_graph(self, kv_text: str, class_name: str) -> str:
+        import html as _html
+
+        from docling_core_spark.model.kv import TO_CHILD, TO_VALUE, parse_kv
+
+        cells, links = parse_kv(kv_text)
+        cell_map = {c.cell_id: c for c in cells}
+        child_links: dict = {}
+        value_links: dict = {}
+        parents: set = set()
+        for link in links:
+            if link.source not in cell_map or link.target not in cell_map:
+                continue
+            if link.label == TO_CHILD:
+                child_links.setdefault(link.source, []).append(link.target)
+                parents.add(link.target)
+            elif link.label == TO_VALUE:
+                value_links.setdefault(link.source, []).append(link.target)
+
+        def render_tree(cell_id: int) -> str:
+            cell_text = _html.escape(cell_map[cell_id].text)
+            if cell_id in value_links:
+                vals = [_html.escape(cell_map[v].text)
+                        for v in value_links[cell_id] if v in cell_map]
+                cell_text = f"<strong>{cell_text}</strong>: {', '.join(vals)}"
+            if child_links.get(cell_id):
+                out = [f"<li>{cell_text}</li>", "<ul>"]
+                out += [render_tree(ch) for ch in child_links[cell_id]]
+                out.append("</ul>")
+                return "\n".join(out)
+            elif cell_id in value_links:
+                return f"<li>{cell_text}</li>"
+            return ""  # leaf: reference renders nothing (html.py:645-649)
+
+        out = [f'<div class="{class_name}">']
+        root_ids = [cid for cid in cell_map if cid not in parents]
+        if root_ids:
+            out.append(f'<ul class="{class_name}">')
+            out += [render_tree(r) for r in root_ids]
+            out.append("</ul>")
+        else:
+            out.append(f'<dl class="{class_name}">')
+            for key_id, value_ids in value_links.items():
+                out.append(f"<dt>{_html.escape(cell_map[key_id].text)}</dt>")
+                for vid in value_ids:
+                    out.append(f"<dd>{_html.escape(cell_map[vid].text)}</dd>")
+            out.append("</dl>")
+        out.append("</div>")
+        return "\n".join(out)
 
     # ------------------------------------------------------------------
     def _serialize_list(self, node: Node, list_level: int,

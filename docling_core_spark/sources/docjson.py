@@ -196,7 +196,22 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                     emit("picture", "", mref)
                 emit_captions(c, mref)
             elif "graph" in c:  # key_value_region / form
-                emit("key_value_region")
+                from docling_core_spark.model.kv import (
+                    KvCell,
+                    KvLink,
+                    encode_kv,
+                )
+
+                g = c.get("graph") or {}
+                cells = [KvCell(x.get("label", "key"),
+                                int(x.get("cell_id", 0)),
+                                x.get("text", "") or "")
+                         for x in g.get("cells", [])]
+                links = [KvLink(int(x.get("source_cell_id", 0)),
+                                int(x.get("target_cell_id", 0)),
+                                x.get("label", "to_value"))
+                         for x in g.get("links", [])]
+                emit("key_value_region", encode_kv(cells, links))
             elif label in _TEXTUAL:
                 emit(f"{label}{fmt_of(c)}", c.get("text", ""), href_of(c))
             else:

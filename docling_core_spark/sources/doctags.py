@@ -157,7 +157,20 @@ def doctags_to_spans(doctags: str) -> List[Dict]:
                                     _inner_text(im.group(0)))
                 emit("end_group")
             elif tag == "key_value_region":
-                emit("key_value_region")
+                # parse_key_value_item (document.py:4827-4914): cells
+                # from <{key|value}_N> tags, every <link_N> becomes a
+                # to_value link (the reference labels all parsed links
+                # TO_VALUE), links to missing cells dropped
+                from docling_core_spark.model.kv import (
+                    TO_VALUE,
+                    encode_kv,
+                    parse_kv,
+                )
+
+                cells, links = parse_kv(m.group("content"))
+                for link in links:
+                    link.label = TO_VALUE
+                emit("key_value_region", encode_kv(cells, links))
             else:
                 _emit_text_like(emit, tag, _inner_text(full_chunk))
     return spans

@@ -37,6 +37,9 @@ _TEXTS = st.one_of(
     st.sampled_from([
         "", "a _b_ c", "<fcel>x<nl>", "x < y & z", "line\nbreak",
         "<ched>h<fcel>v<nl>", "<ecel><nl>", "\\sum x", "]]][[[",
+        "<key_0>k<link_1></key_0><value_1>v</value_1>",
+        "<key_0>k<link_99></key_0>", "<key_0>unclosed",
+        "<key_0>a<childlink_0></key_0>", "<value_7><loc_3>x</value_7>",
     ]),
 )
 

@@ -1,0 +1,114 @@
+"""Key-value graph cells (GraphData, document.py:1824-1876) carried in
+the span grammar: parity vs the reference across doctags/html/docjson,
+plus codec round trips. The kv text grammar is the reference's own
+doctags cell format (parse_key_value_item, document.py:4827-4914)."""
+
+from __future__ import annotations
+
+import tests.refstubs  # noqa: F401  (must precede docling_core import)
+from tests.oracle import build_doc
+
+from docling_core_spark.model.kv import (
+    TO_CHILD,
+    TO_VALUE,
+    KvCell,
+    KvLink,
+    encode_kv,
+    parse_kv,
+)
+from docling_core_spark.model.spans import doc_from_spans, spans_from_doc
+from docling_core_spark.serializers.docjson import export_to_docjson
+from docling_core_spark.serializers.doctags import export_to_doctags
+from docling_core_spark.serializers.html import export_to_html
+from docling_core_spark.sources.docjson import docjson_to_spans
+from docling_core_spark.sources.doctags import doctags_to_spans
+
+KV_FLAT = ("<key_0>Name<link_1></key_0><value_1>Alice</value_1>"
+           "<key_2>Age<link_3></key_2><value_3>42</value_3>")
+KV_DANGLING = "<key_0>Name<link_99></key_0><value_1>Alice</value_1>"
+KV_TREE = ("<key_0>Root<childlink_1><childlink_2></key_0>"
+           "<key_1>Name<link_3></key_1><value_3>Alice</value_3>"
+           "<key_2>City<link_4></key_2><value_4>Oslo</value_4>")
+KV_EMPTY = ""
+
+
+def _doc(kv_text):
+    spans = [{"kind": "title", "text": "T", "media_ref": "", "offset": 0},
+             {"kind": "key_value_region", "text": kv_text,
+              "media_ref": "", "offset": 1},
+             {"kind": "text", "text": "after", "media_ref": "", "offset": 2}]
+    tup = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in spans]
+    return doc_from_spans("d", tup), build_doc("d", spans)[0]
+
+
+def test_codec_parse_semantics():
+    cells, links = parse_kv(KV_DANGLING)
+    assert [c.cell_id for c in cells] == [0, 1]
+    assert links == []  # link to missing id dropped (document.py:4904)
+    cells, links = parse_kv(KV_TREE)
+    assert {l.label for l in links} == {TO_VALUE, TO_CHILD}
+    assert parse_kv("garbage <key_x>") == ([], [])
+
+
+def test_codec_fixed_point():
+    for t in (KV_FLAT, KV_DANGLING, KV_TREE, KV_EMPTY,
+              "<key_0>  spaced <loc_5> text <link_0></key_0>"):
+        c1, l1 = parse_kv(t)
+        enc = encode_kv(c1, l1)
+        c2, l2 = parse_kv(enc)
+        assert (c2, l2) == (c1, l1)
+        assert encode_kv(c2, l2) == enc
+
+
+def test_doctags_and_html_parity():
+    for kv in (KV_FLAT, KV_DANGLING, KV_TREE, KV_EMPTY):
+        eng, ref = _doc(kv)
+        assert export_to_doctags(eng) == ref.export_to_doctags()
+        assert export_to_html(eng) == ref.export_to_html()
+
+
+def test_docjson_round_trip_and_reference_load():
+    from docling_core.types.doc.document import DoclingDocument
+
+    eng, ref = _doc(KV_TREE)
+    js = export_to_docjson(eng)
+    loaded = DoclingDocument.model_validate(js)  # schema-valid
+    g = loaded.key_value_items[0].graph
+    assert len(g.cells) == 5 and len(g.links) == 4
+    # import back: graph survives (to_child included, via childlink ext)
+    spans2 = docjson_to_spans(js)
+    kv2 = [s for s in spans2 if s["kind"] == "key_value_region"][0]["text"]
+    assert parse_kv(kv2) == parse_kv(KV_TREE)
+
+
+def test_doctags_parse_flattens_links_like_reference():
+    """Round trip through doctags: the reference's parser labels every
+    link to_value; ours must match."""
+    eng, ref = _doc(KV_TREE)
+    spans2 = doctags_to_spans(export_to_doctags(eng))
+    kv2 = [s for s in spans2 if s["kind"] == "key_value_region"][0]["text"]
+    cells, links = parse_kv(kv2)
+    assert len(cells) == 5
+    assert links and all(l.label == TO_VALUE for l in links)
+
+    # and the reference parses OUR doctags into the same graph
+    from docling_core.types.doc.document import (
+        DocTagsDocument,
+        DoclingDocument,
+    )
+    dt_doc = DocTagsDocument.from_doctags_and_image_pairs(
+        [export_to_doctags(eng)], [None])
+    ref_loaded = DoclingDocument.load_from_doctags(dt_doc)
+    g = ref_loaded.key_value_items[0].graph
+    assert sorted((c.cell_id, c.label.value, c.text) for c in g.cells) \
+        == sorted((c.cell_id, c.label, c.text) for c in cells)
+    assert sorted((l.source_cell_id, l.target_cell_id) for l in g.links) \
+        == sorted((l.source, l.target) for l in links)
+
+
+def test_span_round_trip_preserves_kv_text():
+    eng, _ = _doc(KV_FLAT)
+    out = spans_from_doc(eng)
+    kv = [s for s in out if s["kind"] == "key_value_region"][0]
+    assert kv["text"] == KV_FLAT
