@@ -159,7 +159,7 @@ def _href(rng: random.Random, doc_index: int) -> str:
 # bump when the generator's output changes: materialized corpus caches
 # (queries.corpus_path, bench_scaling) key on this so stale parquet
 # can't silently diverge from the in-process generator
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 
 def gen_doc_spans(doc_index: int, seed: int = 42,
@@ -261,8 +261,11 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
             if rng.random() < 0.4:
                 emit(f"caption:{mref}", f"Chart {media_i}: " + _words(rng, 3, 8))
         elif r < 0.945:
-            if rng.random() < 0.5:
+            rr = rng.random()
+            if rr < 0.4:
                 emit("key_value_region", _kv_cells(rng))
+            elif rr < 0.5:
+                emit("form", _kv_cells(rng))
             else:
                 emit(rng.choice(("footnote", "checkbox_selected",
                                  "checkbox_unselected", "reference")),

@@ -51,6 +51,7 @@ K_PICTURE = "picture"
 K_TABLE = "table"
 K_CAPTION = "caption"
 K_KEY_VALUE = "key_value_region"
+K_FORM = "form"
 
 # plain-text labels beyond text/paragraph that ride on K_TEXT nodes
 TEXTUAL_LABELS = ("text", "paragraph", "footnote", "checkbox_selected",

@@ -23,6 +23,7 @@ from typing import Dict, Iterable, List, Optional, Tuple
 
 from docling_core_spark.model.doc import (
     FLOATING_KINDS,
+    K_FORM,
     K_KEY_VALUE,
     TEXTUAL_LABELS,
     K_CAPTION,
@@ -133,6 +134,8 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
                         offset=offset, page_no=page, chart_class=cls_name)
         elif kind == "key_value_region":
             node = Node(K_KEY_VALUE, text=text, offset=offset, page_no=page)
+        elif kind == "form":
+            node = Node(K_FORM, text=text, offset=offset, page_no=page)
         elif kind.startswith("caption"):
             mref = kind.split(":", 1)[1] if ":" in kind else media_ref
             node = Node(K_CAPTION, text=text, offset=offset, page_no=page,
@@ -238,6 +241,8 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 emit("caption", c.text)
             elif c.kind == K_KEY_VALUE:
                 emit("key_value_region", c.text)
+            elif c.kind == K_FORM:
+                emit("form", c.text)
             else:
                 base = c.label if c.label in TEXTUAL_LABELS else "text"
                 emit(f"{base}{fmt_suffix(c)}", c.text, c.hyperlink)

@@ -13,6 +13,7 @@ from docling_core_spark.model.doc import (
     GROUP_KINDS,
     K_BODY,
     K_INLINE_GROUP,
+    K_FORM,
     K_KEY_VALUE,
     K_LIST_GROUP,
     K_PICTURE,
@@ -27,7 +28,7 @@ _GROUP_LABEL = {K_BODY: "unspecified", K_LIST_GROUP: "list",
 _GROUP_NAME = {K_BODY: "_root_", K_LIST_GROUP: "group",
                K_INLINE_GROUP: "group"}
 _NON_TEXT = {K_PICTURE: "picture", K_TABLE: "table",
-             K_KEY_VALUE: "key_value_region"}
+             K_KEY_VALUE: "key_value_region", K_FORM: "form"}
 
 
 def export_to_element_tree(doc: Doc) -> str:

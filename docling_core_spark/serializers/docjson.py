@@ -20,6 +20,7 @@ from docling_core_spark.model.doc import (
     PAGE_H,
     PAGE_W,
     K_CODE,
+    K_FORM,
     K_FORMULA,
     K_INLINE_GROUP,
     K_KEY_VALUE,
@@ -72,7 +73,7 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
     """Engine tree -> reference-format document dict."""
     pools: Dict[str, List[dict]] = {
         "groups": [], "texts": [], "pictures": [], "tables": [],
-        "key_value_items": [],
+        "key_value_items": [], "form_items": [],
     }
     pages = set()
 
@@ -209,15 +210,19 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
                 pages.add(c.page_no)
                 item["captions"] = caption_refs(c, parent_ref)
                 children.append({"$ref": ref})
-            elif kind == K_KEY_VALUE:
+            elif kind in (K_KEY_VALUE, K_FORM):
                 from docling_core_spark.model.kv import parse_kv
 
                 cells, links = parse_kv(c.text)
-                ref = alloc("key_value_items")
-                pools["key_value_items"].append({
+                pool = ("key_value_items" if kind == K_KEY_VALUE
+                        else "form_items")
+                label = ("key_value_region" if kind == K_KEY_VALUE
+                         else "form")
+                ref = alloc(pool)
+                pools[pool].append({
                     "self_ref": ref, "parent": {"$ref": parent_ref},
                     "children": [], "content_layer": "body",
-                    "label": "key_value_region", "prov": _prov(c),
+                    "label": label, "prov": _prov(c),
                     "captions": [], "references": [], "footnotes": [],
                     "graph": {
                         "cells": [{"label": cl.label, "cell_id": cl.cell_id,
@@ -258,7 +263,7 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
         "pictures": pools["pictures"],
         "tables": pools["tables"],
         "key_value_items": pools["key_value_items"],
-        "form_items": [],
+        "form_items": pools["form_items"],
         "pages": {
             str(p): {"size": {"width": PAGE_W, "height": PAGE_H},
                      "page_no": p, "metadata": {}}

@@ -269,6 +269,11 @@ class DocTagsSerializer(MarkdownSerializer):
         body += cap.text
         return _ser(text=_wrap(body, "key_value_region"), source=node)
 
+    # -- forms: the reference's DocTagsFormSerializer emits nothing
+    # (doctags.py:345-360, "TODO add actual implementation") ----------
+    def _serialize_form(self, node: Node) -> SerResult:
+        return _ser()
+
     # -- lists (doctags.py:367-417) ----------------------------------------
     def _serialize_list(self, node: Node, list_level: int,
                         is_inline_scope: bool, visited: Set[int]

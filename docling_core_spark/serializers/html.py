@@ -429,6 +429,18 @@ class HtmlSerializer(MarkdownSerializer):
             parts.append(cap_res)
         return _ser(text="\n".join(r.text for r in parts), source=parts)
 
+    def _serialize_form(self, node: Node) -> SerResult:
+        """HTMLFormSerializer (html.py:651-690): same graph rendering
+        with the form-container class."""
+        parts: List[SerResult] = []
+        if id(node) not in self.get_excluded_refs():
+            parts.append(_ser(text=self._render_graph(
+                node.text, "form-container"), source=node))
+        cap_res = self.serialize_captions(node)
+        if cap_res.text:
+            parts.append(cap_res)
+        return _ser(text="\n".join(r.text for r in parts), source=parts)
+
     def _render_graph(self, kv_text: str, class_name: str) -> str:
         import html as _html
 

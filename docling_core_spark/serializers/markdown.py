@@ -348,6 +348,8 @@ class MarkdownSerializer:
             return self._serialize_picture(node)
         if kind == "key_value_region":
             return self._serialize_key_value(node)
+        if kind == "form":
+            return self._serialize_form(node)
         if kind == "page_break":
             return SerResult(_PB_SENTINEL.format(node.level, node.page_no))
         # text-like items
@@ -516,6 +518,14 @@ class MarkdownSerializer:
         KV items - replicated via the unpatched exclusion set."""
         if id(node) not in self.get_excluded_refs_unpatched():
             return _ser(text="<!-- missing-key-value-item -->", source=node)
+        return _ser()
+
+    # ------------------------------------------------------------------
+    def _serialize_form(self, node: Node) -> SerResult:
+        """MarkdownFormSerializer placeholder (markdown.py:489-509);
+        same unpatched-exclusion quirk as key-value items."""
+        if id(node) not in self.get_excluded_refs_unpatched():
+            return _ser(text="<!-- missing-form-item -->", source=node)
         return _ser()
 
     # ------------------------------------------------------------------

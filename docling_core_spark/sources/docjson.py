@@ -211,7 +211,9 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                                 int(x.get("target_cell_id", 0)),
                                 x.get("label", "to_value"))
                          for x in g.get("links", [])]
-                emit("key_value_region", encode_kv(cells, links))
+                kind = ("form" if c.get("label") == "form"
+                        else "key_value_region")
+                emit(kind, encode_kv(cells, links))
             elif label in _TEXTUAL:
                 emit(f"{label}{fmt_of(c)}", c.get("text", ""), href_of(c))
             else:

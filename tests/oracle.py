@@ -205,6 +205,30 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
                                  target_cell_id=ln.target)
                        for ln in kv_links])
             item = doc.add_key_values(graph=graph, prov=prov(offset))
+        elif kind == "form":
+            from docling_core.types.doc.document import (
+                GraphCell,
+                GraphData,
+                GraphLink,
+            )
+            from docling_core.types.doc.labels import (
+                GraphCellLabel,
+                GraphLinkLabel,
+            )
+
+            from docling_core_spark.model.kv import parse_kv
+
+            kv_cells, kv_links = parse_kv(text)
+            graph = GraphData(
+                cells=[GraphCell(label=GraphCellLabel(c.label),
+                                 cell_id=c.cell_id, text=c.text,
+                                 orig=c.text, prov=None, item_ref=None)
+                       for c in kv_cells],
+                links=[GraphLink(label=GraphLinkLabel(ln.label),
+                                 source_cell_id=ln.source,
+                                 target_cell_id=ln.target)
+                       for ln in kv_links])
+            item = doc.add_form(graph=graph, prov=prov(offset))
         elif kind.startswith("caption"):
             mref = kind.split(":", 1)[1] if ":" in kind else media_ref
             item = doc.add_text(label=DocItemLabel.CAPTION, text=text,

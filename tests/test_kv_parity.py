@@ -112,3 +112,60 @@ def test_span_round_trip_preserves_kv_text():
     out = spans_from_doc(eng)
     kv = [s for s in out if s["kind"] == "key_value_region"][0]
     assert kv["text"] == KV_FLAT
+
+
+# ----------------------------------------------------------------------
+# FormItem (document.py:1920-1926): same GraphData, form-specific
+# serializer behaviors
+# ----------------------------------------------------------------------
+
+def _form_doc(kv_text):
+    spans = [{"kind": "title", "text": "T", "media_ref": "", "offset": 0},
+             {"kind": "form", "text": kv_text, "media_ref": "",
+              "offset": 1},
+             {"kind": "text", "text": "after", "media_ref": "",
+              "offset": 2}]
+    tup = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in spans]
+    return doc_from_spans("d", tup), build_doc("d", spans)[0]
+
+
+def test_form_parity_all_formats():
+    from docling_core_spark.serializers.markdown import (
+        export_to_markdown,
+        export_to_text,
+    )
+
+    for kv in (KV_FLAT, KV_TREE, KV_EMPTY):
+        eng, ref = _form_doc(kv)
+        assert export_to_markdown(eng) == ref.export_to_markdown()
+        assert export_to_text(eng) == ref.export_to_text()
+        assert export_to_html(eng) == ref.export_to_html()
+        assert export_to_doctags(eng) == ref.export_to_doctags()
+
+
+def test_form_docjson_round_trip():
+    from docling_core.types.doc.document import DoclingDocument
+
+    eng, _ = _form_doc(KV_TREE)
+    js = export_to_docjson(eng)
+    loaded = DoclingDocument.model_validate(js)
+    assert len(loaded.form_items) == 1
+    assert len(loaded.form_items[0].graph.cells) == 5
+    spans2 = docjson_to_spans(js)
+    fm = [s for s in spans2 if s["kind"] == "form"]
+    assert len(fm) == 1 and parse_kv(fm[0]["text"]) == parse_kv(KV_TREE)
+
+
+def test_form_chunk_parity():
+    from tests.oracle import reference_hierarchical_chunks
+
+    from docling_core_spark.chunking.hierarchical import hierarchical_chunk
+
+    eng, ref = _form_doc(KV_FLAT)
+    got = [(c.text, c.headings) for c in hierarchical_chunk(eng)]
+    ref_map = {}
+    for ix, (it, _) in enumerate(ref.iterate_items(with_groups=True)):
+        ref_map[it.self_ref] = ix
+    exp = [(t, h) for t, h, _ in reference_hierarchical_chunks(ref, ref_map)]
+    assert got == exp
