@@ -159,7 +159,7 @@ def _href(rng: random.Random, doc_index: int) -> str:
 # bump when the generator's output changes: materialized corpus caches
 # (queries.corpus_path, bench_scaling) key on this so stale parquet
 # can't silently diverge from the in-process generator
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 
 def gen_doc_spans(doc_index: int, seed: int = 42,
@@ -235,7 +235,9 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
                     emit("formula", "E = mc^2")
             emit("end_group")
         elif r < 0.80:
-            emit("code", f"def f_{doc_index}():\n    return {_words(rng, 1, 3)!r}")
+            lang = rng.choice(("", "Python", "Java", "C", "SQL", "Bash"))
+            emit("code" if not lang else f"code:{lang}",
+                 f"def f_{doc_index}():\n    return {_words(rng, 1, 3)!r}")
         elif r < 0.84:
             if rng.random() < 0.8:
                 emit("formula", "\\sum_i x_i^2")

@@ -71,6 +71,7 @@ class Node:
         "kind", "label", "level", "text", "media_ref", "marker",
         "enumerated", "offset", "children", "parent", "captions",
         "page_no", "layer", "orig", "chart_class", "fmt", "hyperlink",
+        "code_language",
     )
 
     def __init__(
@@ -89,6 +90,7 @@ class Node:
         chart_class: str = "",
         fmt: str = "",
         hyperlink: str = "",
+        code_language: str = "unknown",
     ) -> None:
         self.kind = kind
         self.label = label if label is not None else kind
@@ -113,6 +115,8 @@ class Node:
         # q=subscript; hyperlink is the raw URL ("" = none)
         self.fmt = fmt
         self.hyperlink = hyperlink
+        # CodeItem.code_language (document.py:1350, labels.py:203)
+        self.code_language = code_language
 
     # --- tree helpers -------------------------------------------------
     def add_child(self, child: "Node") -> "Node":

@@ -114,9 +114,11 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
             node = Node(K_LIST_ITEM, text=text, offset=offset, page_no=page,
                         enumerated=enumerated, marker=marker, fmt=fmt,
                         hyperlink=media_ref)
-        elif kind == "code":
+        elif kind == "code" or kind.startswith("code:"):
+            lang = kind.split(":", 1)[1] if ":" in kind else "unknown"
             node = Node(K_CODE, text=text, media_ref=media_ref,
-                        offset=offset, page_no=page)
+                        offset=offset, page_no=page,
+                        code_language=lang or "unknown")
         elif kind == "formula":
             node = Node(K_FORMULA, text=text, offset=offset, page_no=page,
                         orig=media_ref)  # orig used for formula fallback
@@ -217,7 +219,9 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 emit(f"{base}{fmt_suffix(c)}", c.text, c.hyperlink)
                 walk(c)
             elif c.kind == K_CODE:
-                emit("code", c.text, c.media_ref)
+                base = ("code" if c.code_language in ("", "unknown")
+                        else f"code:{c.code_language}")
+                emit(base, c.text, c.media_ref)
                 for cap in c.captions:
                     emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_FORMULA:

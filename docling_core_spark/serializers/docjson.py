@@ -159,7 +159,7 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
             elif kind == K_CODE:
                 ref = text_item(c, parent_ref, "code", {
                     "captions": [], "references": [], "footnotes": [],
-                    "code_language": "unknown",
+                    "code_language": c.code_language or "unknown",
                 })
                 item = pools["texts"][-1]
                 item["captions"] = caption_refs(c, parent_ref)

@@ -187,7 +187,7 @@ class DocTagsSerializer(MarkdownSerializer):
         if p.add_content:
             text_part = node.text
             if kind == K_CODE:
-                text_part = f"<_unknown_>{text_part}"
+                text_part = f"<_{node.code_language}_>{text_part}"
             else:
                 text_part = text_part.strip()
                 if kind == K_LIST_ITEM:

@@ -161,7 +161,9 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                 if caps:
                     mref = f"cod_{media_i:06d}"
                     media_i += 1
-                emit("code", c.get("text", ""), mref)
+                lang = c.get("code_language", "unknown") or "unknown"
+                kind = "code" if lang == "unknown" else f"code:{lang}"
+                emit(kind, c.get("text", ""), mref)
                 emit_captions(c, mref)
             elif label == "formula":
                 emit("formula", c.get("text", ""),

@@ -140,8 +140,13 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
                                      prov=prov(offset, text),
                                      formatting=formatting,
                                      hyperlink=hyperlink)
-        elif kind == "code":
-            item = doc.add_code(text=text, parent=container, prov=prov(offset, text))
+        elif kind == "code" or kind.startswith("code:"):
+            from docling_core.types.doc.labels import CodeLanguageLabel
+
+            lang = kind.split(":", 1)[1] if ":" in kind else None
+            item = doc.add_code(
+                text=text, parent=container, prov=prov(offset, text),
+                code_language=CodeLanguageLabel(lang) if lang else None)
             if media_ref:
                 floating_by_ref[media_ref] = item
         elif kind == "formula":

@@ -169,3 +169,27 @@ def test_form_chunk_parity():
         ref_map[it.self_ref] = ix
     exp = [(t, h) for t, h, _ in reference_hierarchical_chunks(ref, ref_map)]
     assert got == exp
+
+
+def test_code_language_parity():
+    """code:LANG carries CodeItem.code_language: doctags emits the
+    <_LANG_> token and docjson the field, byte-equal to the reference;
+    the doctags parser drops it exactly like the reference's."""
+    spans = [{"kind": "code:Python", "text": "print(1)", "media_ref": "",
+              "offset": 0},
+             {"kind": "code", "text": "x=1", "media_ref": "", "offset": 1}]
+    tup = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in spans]
+    eng = doc_from_spans("d", tup)
+    ref = build_doc("d", spans)[0]
+    dt = export_to_doctags(eng)
+    assert "<_Python_>" in dt and "<_unknown_>" in dt
+    assert dt == ref.export_to_doctags()
+    js = export_to_docjson(eng)
+    assert js["texts"][0]["code_language"] == "Python"
+    spans2 = docjson_to_spans(js)
+    assert spans2[0]["kind"] == "code:Python"
+    assert spans2[1]["kind"] == "code"
+    # doctags round trip loses the language, like the reference parser
+    spans3 = doctags_to_spans(dt)
+    assert [s["kind"] for s in spans3] == ["code", "code"]
