@@ -159,7 +159,7 @@ def _href(rng: random.Random, doc_index: int) -> str:
 # bump when the generator's output changes: materialized corpus caches
 # (queries.corpus_path, bench_scaling) key on this so stale parquet
 # can't silently diverge from the in-process generator
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 
 def gen_doc_spans(doc_index: int, seed: int = 42,
@@ -251,7 +251,13 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
             cap_first = rng.random() < 0.25
             if cap_first:
                 emit(f"caption:{mref}", f"Figure {media_i}: " + _words(rng, 3, 10))
-            emit("picture", "", mref)
+            pic_text = ""
+            if rng.random() < 0.2:
+                pic_text += f"<desc>{_words(rng, 3, 12)}</desc>"
+            if rng.random() < 0.1:
+                pic_text += "<smiles>" + rng.choice(
+                    ("CCO", "c1ccccc1", "CC(=O)O", "CN1C=NC2=C1C(=O)N(C)C(=O)N2C")) + "</smiles>"
+            emit("picture", pic_text, mref)
             if not cap_first and rng.random() < 0.5:
                 emit(f"caption:{mref}", f"Figure {media_i}: " + _words(rng, 3, 10))
         elif r < 0.93:

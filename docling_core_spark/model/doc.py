@@ -71,7 +71,7 @@ class Node:
         "kind", "label", "level", "text", "media_ref", "marker",
         "enumerated", "offset", "children", "parent", "captions",
         "page_no", "layer", "orig", "chart_class", "fmt", "hyperlink",
-        "code_language",
+        "code_language", "pic_anns",
     )
 
     def __init__(
@@ -91,6 +91,7 @@ class Node:
         fmt: str = "",
         hyperlink: str = "",
         code_language: str = "unknown",
+        pic_anns: Optional[List] = None,
     ) -> None:
         self.kind = kind
         self.label = label if label is not None else kind
@@ -117,6 +118,11 @@ class Node:
         self.hyperlink = hyperlink
         # CodeItem.code_language (document.py:1350, labels.py:203)
         self.code_language = code_language
+        # picture annotations beyond classification: ordered
+        # (kind, value) pairs with kind in {"desc", "smiles"} -
+        # DescriptionAnnotation.text / PictureMoleculeData.smi
+        # (document.py:120-139)
+        self.pic_anns: List = pic_anns or []
 
     # --- tree helpers -------------------------------------------------
     def add_child(self, child: "Node") -> "Node":

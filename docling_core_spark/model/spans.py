@@ -19,6 +19,7 @@ export_to_otsl, document.py:1674-1765) and a table id in ``media_ref``.
 
 from __future__ import annotations
 
+import re
 from typing import Dict, Iterable, List, Optional, Tuple
 
 from docling_core_spark.model.doc import (
@@ -44,6 +45,22 @@ from docling_core_spark.model.doc import (
 )
 
 Span = Tuple[str, str, str, int]  # (kind, text, media_ref, offset)
+
+# plain-picture annotation grammar carried in the span text:
+# <desc>DescriptionAnnotation.text</desc> and
+# <smiles>PictureMoleculeData.smi</smiles> in annotation-list order
+# (document.py:120-139); chart pictures keep OTSL in text instead
+_PIC_ANN_RE = re.compile(r"<(desc|smiles)>(.*?)</\1>", re.DOTALL)
+
+
+def parse_pic_anns(text: str) -> List[Tuple[str, str]]:
+    return [(m.group(1), m.group(2))
+            for m in _PIC_ANN_RE.finditer(text or "")]
+
+
+def encode_pic_anns(anns: List[Tuple[str, str]]) -> str:
+    return "".join(f"<{k}>{v}</{k}>" for k, v in anns
+                   if k in ("desc", "smiles"))
 
 
 def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
@@ -124,7 +141,7 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
                         orig=media_ref)  # orig used for formula fallback
         elif kind == "picture":
             node = Node(K_PICTURE, media_ref=media_ref, offset=offset,
-                        page_no=page)
+                        page_no=page, pic_anns=parse_pic_anns(text))
         elif kind == "table":
             node = Node(K_TABLE, text=text, media_ref=media_ref,
                         offset=offset, page_no=page)
@@ -230,7 +247,8 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 if c.chart_class:
                     emit(f"chart:{c.chart_class}", c.text, c.media_ref)
                 else:
-                    emit("picture", "", c.media_ref)
+                    emit("picture", encode_pic_anns(c.pic_anns),
+                         c.media_ref)
                 for cap in c.captions:
                     emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_TABLE:

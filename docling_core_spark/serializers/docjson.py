@@ -185,6 +185,17 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
                             "title": c.chart_class,
                             "chart_data": _table_data(c.text),
                         })
+                for ak, av in c.pic_anns:
+                    if ak == "desc":
+                        anns.append({"kind": "description", "text": av,
+                                     "provenance": "synthetic"})
+                    elif ak == "smiles":
+                        anns.append({
+                            "kind": "molecule_data", "smi": av,
+                            "confidence": 1.0,
+                            "class_name": "chemistry_molecular_structure",
+                            "segmentation": [], "provenance": "synthetic",
+                        })
                 item = {
                     "self_ref": ref, "parent": {"$ref": parent_ref},
                     "children": [], "content_layer": "body",

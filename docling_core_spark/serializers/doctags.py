@@ -237,8 +237,15 @@ class DocTagsSerializer(MarkdownSerializer):
             if node.chart_class:
                 is_chart = node.chart_class in self._CHART_CLASSES
                 body += f"<{node.chart_class}>"
-                if node.text:  # tabular chart data as OTSL (doctags.py:252-262)
-                    body += encode_otsl(parse_otsl(node.text))
+            # first molecule annotation as <smiles> (doctags.py:244-250);
+            # description annotations are NOT emitted in doctags
+            for k, v in node.pic_anns:
+                if k == "smiles":
+                    body += _wrap(v, "smiles")
+                    break
+            if node.chart_class and node.text:
+                # tabular chart data as OTSL (doctags.py:252-262)
+                body += encode_otsl(parse_otsl(node.text))
             res_parts.append(_ser(text=body, source=node))
         cap = self.serialize_captions(node)
         if cap.text:

@@ -282,13 +282,17 @@ class HtmlSerializer(MarkdownSerializer):
         """HTMLAnnotationSerializer (html.py:812-845): classification
         annotations render as data-annotation-kind divs; the span model
         carries them as the chart class (kind='classification')."""
+        divs: List[str] = []
         if node.chart_class:
             ann_text = node.chart_class.replace("_", " ")
-            return _ser(
-                text=(f'<div data-annotation-kind="classification">'
-                      f"{_html.escape(ann_text)}</div>"),
-                source=node)
-        return _ser()
+            divs.append(f'<div data-annotation-kind="classification">'
+                        f"{_html.escape(ann_text)}</div>")
+        kind_map = {"desc": "description", "smiles": "molecule_data"}
+        for k, v in node.pic_anns:
+            if v:
+                divs.append(f'<div data-annotation-kind="{kind_map[k]}">'
+                            f"{_html.escape(v)}</div>")
+        return _ser(text=" ".join(divs), source=node) if divs else _ser()
 
     # ------------------------------------------------------------------
     def _serialize_text(self, node: Node, is_inline_scope: bool,

@@ -494,9 +494,16 @@ class MarkdownSerializer:
         if cap_res.text:
             parts.append(cap_res)
         if id(node) not in self.get_excluded_refs():
-            if self.params.include_annotations and node.chart_class:
-                ann_text = node.chart_class.replace("_", " ")
-                parts.append(_ser(text=ann_text, source=node))
+            if self.params.include_annotations:
+                if node.chart_class:
+                    ann_text = node.chart_class.replace("_", " ")
+                    parts.append(_ser(text=ann_text, source=node))
+                # description / molecule annotations render as their
+                # text / SMILES string, in annotation order
+                # (MarkdownAnnotationSerializer markdown.py:243-283)
+                for _k, v in node.pic_anns:
+                    if v:
+                        parts.append(_ser(text=v, source=node))
             if self.params.image_placeholder:
                 parts.append(_ser(text=self.params.image_placeholder,
                                   source=node))

@@ -181,6 +181,7 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                 anns = c.get("annotations") or []
                 cls_name = None
                 chart_data = None
+                extra = []
                 for ann in anns:
                     if ann.get("kind") == "classification":
                         preds = ann.get("predicted_classes") or []
@@ -188,6 +189,10 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                             cls_name = preds[0].get("class_name")
                     elif ann.get("kind") == "tabular_chart_data":
                         chart_data = ann.get("chart_data")
+                    elif ann.get("kind") == "description":
+                        extra.append(("desc", ann.get("text", "") or ""))
+                    elif ann.get("kind") == "molecule_data":
+                        extra.append(("smiles", ann.get("smi", "") or ""))
                 mref = f"img_{media_i:06d}"
                 media_i += 1
                 if cls_name is not None:
@@ -195,7 +200,11 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                          _otsl_from_table_data(chart_data)
                          if chart_data else "", mref)
                 else:
-                    emit("picture", "", mref)
+                    from docling_core_spark.model.spans import (
+                        encode_pic_anns,
+                    )
+
+                    emit("picture", encode_pic_anns(extra), mref)
                 emit_captions(c, mref)
             elif "graph" in c:  # key_value_region / form
                 from docling_core_spark.model.kv import (

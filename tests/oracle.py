@@ -156,6 +156,22 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
                 item.orig = media_ref
         elif kind == "picture":
             item = doc.add_picture(parent=container, prov=prov(offset))
+            from docling_core.types.doc.document import (
+                DescriptionAnnotation,
+                PictureMoleculeData,
+            )
+
+            from docling_core_spark.model.spans import parse_pic_anns
+
+            for ak, av in parse_pic_anns(text):
+                if ak == "desc":
+                    item.annotations.append(DescriptionAnnotation(
+                        text=av, provenance="synthetic"))
+                elif ak == "smiles":
+                    item.annotations.append(PictureMoleculeData(
+                        smi=av, confidence=1.0,
+                        class_name="chemistry_molecular_structure",
+                        segmentation=[], provenance="synthetic"))
             if media_ref:
                 floating_by_ref[media_ref] = item
         elif kind == "table":

@@ -193,3 +193,40 @@ def test_code_language_parity():
     # doctags round trip loses the language, like the reference parser
     spans3 = doctags_to_spans(dt)
     assert [s["kind"] for s in spans3] == ["code", "code"]
+
+
+def test_picture_annotation_parity():
+    """Plain-picture desc/smiles annotations (DescriptionAnnotation /
+    PictureMoleculeData, document.py:120-139): md renders the text/SMI
+    paragraphs before the placeholder, html puts annotation divs in the
+    figcaption, doctags emits only the first <smiles> (descriptions
+    dropped), docjson carries both - all byte-equal to the reference."""
+    from docling_core.types.doc.document import DoclingDocument
+
+    from docling_core_spark.serializers.markdown import export_to_markdown
+
+    spans = [{"kind": "title", "text": "T", "media_ref": "", "offset": 0},
+             {"kind": "picture",
+              "text": "<desc>a molecule image</desc><smiles>CCO</smiles>",
+              "media_ref": "img_0", "offset": 1},
+             {"kind": "caption:img_0", "text": "Figure 1: mol",
+              "media_ref": "", "offset": 2},
+             {"kind": "text", "text": "after", "media_ref": "",
+              "offset": 3}]
+    tup = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in spans]
+    eng = doc_from_spans("d", tup)
+    ref = build_doc("d", spans)[0]
+    assert export_to_markdown(eng) == ref.export_to_markdown()
+    assert export_to_html(eng) == ref.export_to_html()
+    dt = export_to_doctags(eng)
+    assert dt == ref.export_to_doctags()
+    assert "<smiles>CCO</smiles>" in dt and "molecule image" not in dt
+
+    js = export_to_docjson(eng)
+    loaded = DoclingDocument.model_validate(js)
+    kinds = [a.kind for a in loaded.pictures[0].annotations]
+    assert kinds == ["description", "molecule_data"]
+    spans2 = docjson_to_spans(js)
+    pic = [s for s in spans2 if s["kind"] == "picture"][0]
+    assert pic["text"] == "<desc>a molecule image</desc><smiles>CCO</smiles>"
