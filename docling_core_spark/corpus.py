@@ -159,7 +159,7 @@ def _href(rng: random.Random, doc_index: int) -> str:
 # bump when the generator's output changes: materialized corpus caches
 # (queries.corpus_path, bench_scaling) key on this so stale parquet
 # can't silently diverge from the in-process generator
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 
 def gen_doc_spans(doc_index: int, seed: int = 42,
@@ -281,7 +281,10 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
         else:
             mref = f"tbl_{doc_index:06d}_{media_i:03d}"
             media_i += 1
-            emit("table", _otsl_table(rng), mref)
+            t_text = _otsl_table(rng)
+            if rng.random() < 0.15:
+                t_text += f"<desc>{_words(rng, 3, 10)}</desc>"
+            emit("table", t_text, mref)
             if rng.random() < 0.4:
                 emit(f"caption:{mref}", f"Table {media_i}: " + _words(rng, 3, 10))
         if rng.random() < 0.08:

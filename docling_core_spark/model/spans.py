@@ -51,11 +51,20 @@ Span = Tuple[str, str, str, int]  # (kind, text, media_ref, offset)
 # <smiles>PictureMoleculeData.smi</smiles> in annotation-list order
 # (document.py:120-139); chart pictures keep OTSL in text instead
 _PIC_ANN_RE = re.compile(r"<(desc|smiles)>(.*?)</\1>", re.DOTALL)
+# tables carry only description annotations (TableAnnotationType);
+# <desc> tags ride after the OTSL stream in the table span text
+_DESC_RE = re.compile(r"<desc>(.*?)</desc>", re.DOTALL)
 
 
 def parse_pic_anns(text: str) -> List[Tuple[str, str]]:
     return [(m.group(1), m.group(2))
             for m in _PIC_ANN_RE.finditer(text or "")]
+
+
+def split_table_anns(text: str) -> Tuple[str, List[Tuple[str, str]]]:
+    """Table span text -> (pure OTSL stream, [("desc", text), ...])."""
+    anns = [("desc", m) for m in _DESC_RE.findall(text or "")]
+    return _DESC_RE.sub("", text or ""), anns
 
 
 def encode_pic_anns(anns: List[Tuple[str, str]]) -> str:
@@ -143,8 +152,9 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
             node = Node(K_PICTURE, media_ref=media_ref, offset=offset,
                         page_no=page, pic_anns=parse_pic_anns(text))
         elif kind == "table":
-            node = Node(K_TABLE, text=text, media_ref=media_ref,
-                        offset=offset, page_no=page)
+            otsl_text, t_anns = split_table_anns(text)
+            node = Node(K_TABLE, text=otsl_text, media_ref=media_ref,
+                        offset=offset, page_no=page, pic_anns=t_anns)
         elif kind.startswith("chart"):
             # chart:CLASS - picture with classification + tabular chart
             # data (OTSL carried in text)
@@ -252,7 +262,8 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 for cap in c.captions:
                     emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_TABLE:
-                emit("table", c.text, c.media_ref)
+                emit("table", c.text + encode_pic_anns(c.pic_anns),
+                     c.media_ref)
                 for cap in c.captions:
                     emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_CAPTION:

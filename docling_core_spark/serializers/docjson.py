@@ -214,7 +214,10 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
                     "children": [], "content_layer": "body",
                     "label": "table", "prov": _prov(c),
                     "captions": [], "references": [], "footnotes": [],
-                    "annotations": [],
+                    "annotations": [
+                        {"kind": "description", "text": av,
+                         "provenance": "synthetic"}
+                        for ak, av in c.pic_anns if ak == "desc"],
                     "data": _table_data(c.text),
                 }
                 pools["tables"].append(item)

@@ -466,6 +466,14 @@ class MarkdownSerializer:
         if cap_res.text:
             parts.append(cap_res)
         if id(node) not in self.get_excluded_refs():
+            # description annotations before the table body, standard
+            # mode only (MarkdownTableSerializer markdown.py:311-318;
+            # TripletTableSerializer renders none)
+            if (self.params.table_mode != "triplet"
+                    and self.params.include_annotations):
+                for _k, v in node.pic_anns:
+                    if v:
+                        parts.append(_ser(text=v, source=node))
             table = parse_otsl(node.text)
             if self.params.table_mode == "triplet":
                 t_text = triplet_text(table)

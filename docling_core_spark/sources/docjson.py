@@ -174,7 +174,12 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
             elif label == "table":
                 mref = f"tbl_{media_i:06d}"
                 media_i += 1
-                emit("table", _otsl_from_table_data(c.get("data") or {}),
+                descs = "".join(
+                    f"<desc>{a.get('text', '') or ''}</desc>"
+                    for a in (c.get("annotations") or [])
+                    if a.get("kind") == "description")
+                emit("table",
+                     _otsl_from_table_data(c.get("data") or {}) + descs,
                      mref)
                 emit_captions(c, mref)
             elif label == "picture" or label == "chart":

@@ -175,10 +175,20 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             if media_ref:
                 floating_by_ref[media_ref] = item
         elif kind == "table":
-            data = (parse_otsl_table_content(text) if text
+            from docling_core.types.doc.document import (
+                DescriptionAnnotation,
+            )
+
+            from docling_core_spark.model.spans import split_table_anns
+
+            otsl_text, t_anns = split_table_anns(text)
+            data = (parse_otsl_table_content(otsl_text) if otsl_text
                     else TableData(num_rows=0, num_cols=0, table_cells=[]))
-            _apply_otsl_header_flags(text, data)
+            _apply_otsl_header_flags(otsl_text, data)
             item = doc.add_table(data=data, parent=container, prov=prov(offset))
+            for _ak, av in t_anns:
+                item.annotations.append(DescriptionAnnotation(
+                    text=av, provenance="synthetic"))
             if media_ref:
                 floating_by_ref[media_ref] = item
         elif kind.startswith("chart"):

@@ -230,3 +230,48 @@ def test_picture_annotation_parity():
     spans2 = docjson_to_spans(js)
     pic = [s for s in spans2 if s["kind"] == "picture"][0]
     assert pic["text"] == "<desc>a molecule image</desc><smiles>CCO</smiles>"
+
+
+def test_table_annotation_parity():
+    """Table DescriptionAnnotation (<desc> after the OTSL stream): md
+    renders it between captions and the table (standard mode only -
+    triplet/chunking render none), html as a div in <caption>, doctags
+    nothing, docjson carries it both ways."""
+    from docling_core.types.doc.document import DoclingDocument
+
+    from docling_core_spark.chunking.hierarchical import hierarchical_chunk
+    from docling_core_spark.serializers.markdown import export_to_markdown
+    from tests.oracle import reference_hierarchical_chunks
+
+    spans = [{"kind": "table",
+              "text": ("<ched>h1<ched>h2<nl><fcel>x<fcel>y<nl>"
+                       "<desc>a small table</desc>"),
+              "media_ref": "tbl_0", "offset": 0},
+             {"kind": "caption:tbl_0", "text": "Table 1", "media_ref": "",
+              "offset": 1}]
+    tup = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+           for s in spans]
+    eng = doc_from_spans("d", tup)
+    ref = build_doc("d", spans)[0]
+    md = export_to_markdown(eng)
+    assert "a small table" in md
+    assert md == ref.export_to_markdown()
+    assert export_to_html(eng) == ref.export_to_html()
+    assert export_to_doctags(eng) == ref.export_to_doctags()
+
+    js = export_to_docjson(eng)
+    loaded = DoclingDocument.model_validate(js)
+    assert [a.kind for a in loaded.tables[0].annotations] == ["description"]
+    spans2 = docjson_to_spans(js)
+    t2 = [s for s in spans2 if s["kind"] == "table"][0]["text"]
+    assert t2.endswith("<desc>a small table</desc>")
+
+    # chunking (triplet mode) must NOT include the annotation
+    got = [(c.text, c.headings) for c in hierarchical_chunk(eng)]
+    ref_map = {ix: ix for ix in range(10)}
+    rm = {}
+    for ix, (it, _) in enumerate(ref.iterate_items(with_groups=True)):
+        rm[it.self_ref] = ix
+    exp = [(t, h) for t, h, _ in reference_hierarchical_chunks(ref, rm)]
+    assert got == exp
+    assert all("a small table" not in t for t, _ in got)
