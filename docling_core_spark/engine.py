@@ -282,11 +282,14 @@ def export_documents(df: DataFrame, fmt: str = "md",
         )
         kw = {}
         if page_break_placeholder is not None and fmt not in ("dt", "html",
+                                                              "html_split",
                                                               "json",
                                                               "yaml"):
             kw["page_break_placeholder"] = page_break_placeholder
         fn = {"md": export_to_markdown, "txt": export_to_text,
               "dt": export_to_doctags, "html": export_to_html,
+              "html_split": lambda d, **k: export_to_html(
+                  d, split_page_view=True, **k),
               "json": export_to_docjson_str,
               "yaml": export_to_docyaml_str}[fmt]
         for batch in batches:

@@ -7,8 +7,9 @@ the markdown serializer (excluded refs, caption suppression, traversal).
 Cites are reference file:line of the behavior reproduced.
 
 Scope notes:
-* single-column output style only (split-page needs page images, which
-  the engine never decodes at scale);
+* both output styles: single-column and split-page (html.py:925-1016);
+  page images stay by reference, so split-page rows render the
+  reference's own no-image fallback figure (html.py:985);
 * MathML conversion is a passthrough ``<pre>`` fallback - exactly what
   the reference emits when latex2mathml raises (html.py:298-310), which
   is the deterministic behavior at scale (SURVEY §2.5 E3);
@@ -36,6 +37,7 @@ from docling_core_spark.serializers.markdown import (
     MarkdownParams,
     MarkdownSerializer,
     SerResult,
+    _PB_RE,
     _ser,
 )
 
@@ -160,6 +162,92 @@ SINGLE_COLUMN_CSS = """<style>
     }
 </style>"""
 
+# split-page layout CSS - static presentation data carried for
+# byte-compatibility with the reference
+# (transforms/serializer/html_styles.py:_get_css_for_split_page)
+SPLIT_PAGE_CSS = """<style>
+    html {
+        background-color: #e1e1e1;
+        font-family: Arial, sans-serif;
+        line-height: 1.6;
+    }
+    img {
+        min-width: 500px;
+        max-width: 100%;
+    }
+    table {
+        border-collapse: collapse;
+        border: 0px solid #fff;
+        width: 100%;
+    }
+    td {
+        vertical-align: top;
+    }
+    .page {
+        background-color: white;
+        margin-top:15px;
+        padding: 30px;
+        border: 1px solid black;
+        width:100%;
+        max-width:1000px;
+        box-shadow: 0 0 10px rgba(0,0,0,0.5);
+    }
+    .page figure {
+        text-align: center;
+    }
+    .page img {
+        max-width: 900px;
+        min-width: auto;
+    }
+    .page table {
+        border-collapse: collapse;
+        margin: 1em 0;
+        width: 100%;
+    }
+    .page table td {
+        border: 1px solid #ddd;
+        padding: 8px;
+        text-align: left;
+    }
+    .page table th {
+        border: 1px solid #ddd;
+        padding: 8px;
+        text-align: left;
+        background-color: #f2f2f2;
+        font-weight: bold;
+    }
+    .page table caption {
+        color: #666;
+        font-style: italic;
+        margin-top: 0.5em;
+        padding: 8px;
+        margin-top: 5px;
+        margin-bottom: 5px;
+    }
+    .page figcaption {
+        color: #666;
+        font-style: italic;
+        margin-top: 0.5em;
+        padding: 8px;
+        margin-top: 5px;
+        margin-bottom: 5px;
+    }
+    code {
+        background-color: rgb(228, 228, 228);
+        border: 1px solid darkgray;
+        padding: 10px;
+        display: inline-block;
+        font-family: monospace;
+        max-width:980px;
+        word-wrap: normal;
+        white-space: pre-wrap;
+        word-wrap: break-word;
+        /*overflow-wrap: break-word;*/
+    }
+</style>
+"""
+
+
 
 def _prepare(text: str, do_escape_html: bool = True,
              do_replace_newline: bool = True) -> str:
@@ -188,18 +276,21 @@ class HtmlParams(MarkdownParams):
     label/layer/page params."""
 
     __slots__ = ("html_head", "add_document_metadata", "prettify",
-                 "show_original_list_item_marker")
+                 "show_original_list_item_marker", "output_style")
 
     def __init__(self, html_head: Optional[str] = None,
                  add_document_metadata: bool = True,
                  prettify: bool = True,
                  show_original_list_item_marker: bool = True,
+                 output_style: str = "single_column",
                  **kw) -> None:
         super().__init__(**kw)
         self.html_head = html_head
         self.add_document_metadata = add_document_metadata
         self.prettify = prettify
         self.show_original_list_item_marker = show_original_list_item_marker
+        # "single_column" | "split_page" (HTMLOutputStyle, html.py:84-88)
+        self.output_style = output_style
 
 
 class HtmlSerializer(MarkdownSerializer):
@@ -535,19 +626,77 @@ class HtmlSerializer(MarkdownSerializer):
                 head_parts.append("<title>Docling Document</title>")
             head_parts.append(
                 '<meta name="generator" content="Docling HTML Serializer"/>')
-        head_parts.append(SINGLE_COLUMN_CSS)
+        head_parts.append(SPLIT_PAGE_CSS
+                          if p.output_style == "split_page"
+                          else SINGLE_COLUMN_CSS)
         head_parts.append("</head>")
         return "\n".join(head_parts) if p.prettify else "".join(head_parts)
 
+    # ------------------------------------------------------------------
+    def requires_page_break(self) -> bool:
+        """html.py:1111-1113: split-page needs the break sentinels."""
+        return self.params.output_style == "split_page"
+
+    def _applicable_pages(self) -> Optional[List[int]]:
+        """common.py:543-564: page numbers of in-filter items."""
+        p = self.params
+        pages: dict = {}
+        ix = 0
+        for node, _ in self.doc.iterate_items(with_groups=True,
+                                              layers=p.layers):
+            if (not node.is_group
+                    and (p.pages is None or node.page_no in p.pages)
+                    and p.start_idx <= ix < p.stop_idx):
+                pages[node.page_no] = True
+            ix += 1
+        return list(pages) or None
+
     def serialize_doc(self, parts: List[SerResult]) -> SerResult:
-        """html.py:906-1016 (single-column branch)."""
-        html_content = "\n".join(p.text for p in parts if p.text)
-        html_content = f"<div class='page'>\n{html_content}\n</div>"
+        """html.py:906-1016; single-column and split-page branches. In
+        split-page mode each page's content sits beside its page image
+        cell; page images are by-reference only in this engine, so the
+        reference's own no-image fallback figure renders (html.py:985)."""
         html_parts = ["<!DOCTYPE html>", "<html>", self._generate_head(),
-                      "<body>", html_content, "</body>", "</html>"]
+                      "<body>"]
+        if self.params.output_style == "split_page":
+            applicable = self._applicable_pages()
+            html_content = "\n".join(p.text for p in parts if p.text)
+            pages: dict = {}
+            prev_end = 0
+            next_page: Optional[int] = None
+            for m in _PB_RE.finditer(html_content):
+                start = html_content.find(m.group(0))
+                pages[int(m.group(1))] = html_content[prev_end:start]
+                prev_end = start + len(m.group(0))
+                next_page = int(m.group(2))
+            if next_page is not None:
+                pages[next_page] = html_content[prev_end:]
+            elif applicable is not None and len(applicable) == 1:
+                pages[applicable[0]] = html_content
+            html_parts.append("<table>")
+            html_parts.append("<tbody>")
+            for page_no, page in pages.items():
+                if applicable is not None and page_no not in applicable:
+                    continue
+                html_parts.append("<tr>")
+                html_parts.append("<td>")
+                html_parts.append("<figure>no page-image found</figure>")
+                html_parts.append("</td>")
+                html_parts.append("<td>")
+                html_parts.append(f"<div class='page'>\n{page}\n</div>")
+                html_parts.append("</td>")
+                html_parts.append("</tr>")
+            html_parts.append("</tbody>")
+            html_parts.append("</table>")
+        else:
+            html_content = "\n".join(p.text for p in parts if p.text)
+            html_parts.append(f"<div class='page'>\n{html_content}\n</div>")
+        html_parts += ["</body>", "</html>"]
         return _ser(text="\n".join(html_parts), source=parts)
 
 
-def export_to_html(doc: Doc, **kw) -> str:
-    """document.py:4668-4725 equivalent (single-column)."""
+def export_to_html(doc: Doc, split_page_view: bool = False, **kw) -> str:
+    """document.py:4668-4725 equivalent (single-column + split-page)."""
+    if split_page_view:
+        kw["output_style"] = "split_page"
     return HtmlSerializer(doc, HtmlParams(**kw)).serialize().text

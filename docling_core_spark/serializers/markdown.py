@@ -216,12 +216,18 @@ class MarkdownSerializer:
         return excluded
 
     # ------------------------------------------------------------------
+    def requires_page_break(self) -> bool:
+        """markdown.py:720-722; the html serializer overrides for
+        split-page mode."""
+        return self.params.page_break_placeholder is not None
+
+    # ------------------------------------------------------------------
     def _iterate(self, root: Optional[Node]) -> Iterator[Node]:
         """_iterate_items analogue with page-break injection
         (common.py:72-124). Uses an internal visited set for the group
         lookahead, exactly like the reference (get_parts does NOT share
         its visited set with the iterator)."""
-        add_pb = self.params.page_break_placeholder is not None
+        add_pb = self.requires_page_break()
         items = self.doc.iterate_items(root=root, with_groups=True,
                                        layers=self.params.layers)
         if not add_pb:

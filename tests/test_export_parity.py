@@ -118,3 +118,22 @@ def test_formatting_renders():
         if found_md and found_html:
             break
     assert found_md and found_html
+
+
+def test_split_page_html_parity():
+    """E3 split-page output style (html.py:925-1016): per-page rows with
+    the no-image fallback figure, split CSS head - byte equality on the
+    whole corpus sample."""
+    from docling_core_spark.corpus import gen_doc_spans
+    from docling_core_spark.model.spans import doc_from_spans
+    from docling_core_spark.serializers.html import export_to_html
+    from tests.oracle import build_doc
+
+    for i in range(0, 60, 5):
+        spans = gen_doc_spans(i, seed=42)
+        tup = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+               for s in spans]
+        eng = doc_from_spans(f"doc_{i}", tup)
+        ref, _ = build_doc(f"doc_{i}", spans)
+        assert export_to_html(eng, split_page_view=True) \
+            == ref.export_to_html(split_page_view=True), f"doc {i}"
