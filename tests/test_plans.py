@@ -73,3 +73,32 @@ def test_caption_resolution_plan(spark):
     p = _plan(spark, "caption_resolution")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_top_pairs_is_grouped_map(spark):
+    """Label-blocked cosine runs as one grouped-map (BLAS matmul per
+    block), not a self-join with interpreted HOF lambdas."""
+    p = _plan(spark, "embedding_top_pairs")
+    assert "FlatMapGroupsInPandas" in p
+    assert "aggregate(" not in p and "zip_with" not in p
+    assert p.count("Exchange") <= 2  # groupBy(label) + final top-k sort
+
+
+def test_list_depth_stats_reuses_window_partitioning(spark):
+    """groupBy(doc_id) after the window must reuse the window's doc_id
+    Exchange; only the tiny histogram re-shuffles."""
+    p = _plan(spark, "list_depth_stats")
+    tree = p.split("(1)")[0]
+    assert tree.count("Window") == 1
+    # exchanges: one for the window's doc_id hash, one for the
+    # histogram groupBy, one for the final global sort - no more
+    assert tree.count("Exchange") <= 3
+
+
+def test_parse_doctags_is_two_arrow_stages(spark):
+    """Fused extraction pipeline: export serializer stage + ONE fused
+    parse+chunk stage (not parse -> chunk chained), zero shuffles."""
+    p = _plan(spark, "parse_doctags")
+    tree = p.split("(1)")[0]
+    assert tree.count("MapInArrow") == 2
+    assert "Exchange" not in tree

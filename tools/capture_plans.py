@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Regenerate BENCH/PLANS.txt: formatted physical plans for the
+plan-contract queries, annotated with the properties each plan is
+expected to exhibit (asserted by tests/test_plans.py).
+
+Usage: python tools/capture_plans.py [sf_dir]   (default sf0.01)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+# query -> annotation of the plan properties it must show
+CAPTURE = {
+    "pricing_summary": "PushedFilters",
+    "nation_revenue": "PushedFilters, BroadcastHashJoin",
+    "exact_dup_groups": "",
+    "token_counts": "",
+    "knn_cosine": "PushedFilters",
+    "minhash_lsh_dups": "PushedFilters, BroadcastHashJoin",
+    "ngram_jaccard_pairs": "PushedFilters, BroadcastHashJoin",
+    "caption_resolution": "PushedFilters, BroadcastHashJoin",
+    "quality_scores": "",
+    "chunks_hybrid": "PythonUDF",
+    "embedding_top_pairs": "FlatMapGroupsInPandas (grouped-map matmul)",
+    "list_depth_stats": "Window + agg reuse one doc_id Exchange",
+    "parse_doctags": "two MapInArrow stages (export | fused parse+chunk)",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from docling_core_spark.queries import registry
+    from docling_core_spark.session import get_spark
+
+    spark = get_spark(app_name="capture-plans", master="local[4]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+    out_path = os.path.join(ROOT, "BENCH", "PLANS.txt")
+    with open(out_path, "w") as out:
+        for name, note in CAPTURE.items():
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                reg[name](spark, sf_dir).explain("formatted")
+            out.write(f"##### {name}: {note}\n")
+            out.write(buf.getvalue())
+            out.write("\n")
+    print(out_path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
