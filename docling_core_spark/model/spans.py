@@ -249,8 +249,6 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 base = ("code" if c.code_language in ("", "unknown")
                         else f"code:{c.code_language}")
                 emit(base, c.text, c.media_ref)
-                for cap in c.captions:
-                    emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_FORMULA:
                 emit("formula", c.text, c.orig)
             elif c.kind == K_PICTURE:
@@ -259,19 +257,22 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 else:
                     emit("picture", encode_pic_anns(c.pic_anns),
                          c.media_ref)
-                for cap in c.captions:
-                    emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_TABLE:
                 emit("table", c.text + encode_pic_anns(c.pic_anns),
                      c.media_ref)
-                for cap in c.captions:
-                    emit(f"caption:{c.media_ref}", cap.text)
             elif c.kind == K_CAPTION:
-                if id(c) in doc.caption_owner:
-                    continue  # emitted with owner
-                # orphan caption (no floating item claimed it): keep it
-                # as a standalone caption span - it renders standalone
-                emit("caption", c.text)
+                # owned captions emit AT THEIR BODY POSITION (the codec
+                # binds by media_ref in either direction), not after the
+                # owner: moving them would shift sibling indices and
+                # change ordered-list numbering on rebuild (hypothesis
+                # found the instability)
+                owner = doc.caption_owner.get(id(c))
+                if owner is not None:
+                    emit(f"caption:{owner.media_ref}", c.text)
+                else:
+                    # orphan caption (no floating item claimed it):
+                    # keep it as a standalone caption span
+                    emit("caption", c.text)
             elif c.kind == K_KEY_VALUE:
                 emit("key_value_region", c.text)
             elif c.kind == K_FORM:
