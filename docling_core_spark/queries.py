@@ -262,6 +262,84 @@ FROM s GROUP BY 1 ORDER BY base_kind
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analogue: top unshipped orders by revenue. customer is
+    the small side (broadcast); orders|x|lineitem co-shuffle on
+    orderkey; date filters push to both parquet scans."""
+    cutoff = F.lit("1998-06-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") > cutoff)
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analogue: revenue by nation within one region for a
+    date window, with the local-supplier condition (customer and
+    supplier share the nation). All four dims broadcast; the only big
+    co-shuffle is orders |x| lineitem on orderkey."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), "n_name"))
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
 def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document outline: title + section headers in reading order with
     the level parsed out of the kind grammar. Only heading spans survive
@@ -697,6 +775,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational + training-data ops (DuckDB oracle)
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
+        "shipping_priority": q_shipping_priority,
+        "regional_revenue": q_regional_revenue,
         "events_by_type": q_events_by_type,
         "user_activity": q_user_activity,
         "exact_dup_groups": q_exact_dup_groups,
@@ -713,6 +793,8 @@ def oracles() -> Dict[str, str]:
     out = {
         "pricing_summary": SQL_PRICING_SUMMARY,
         "nation_revenue": SQL_NATION_REVENUE,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "regional_revenue": SQL_REGIONAL_REVENUE,
         "events_by_type": SQL_EVENTS_BY_TYPE,
         "user_activity": SQL_USER_ACTIVITY,
         "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
