@@ -340,6 +340,54 @@ GROUP BY n_name ORDER BY revenue DESC, n_name
 """
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the event stream: a new session
+    starts after >30 min of inactivity. One shuffle on user_id feeds
+    both windows (lag then running sum - same partitioning, one Sort);
+    the histogram agg after it is partial+final."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        # TIMESTAMP_NTZ has no direct long cast; epoch differences are
+        # timezone-invariant so the intermediate cast is safe
+        F.col("ts").cast("timestamp").cast("long").alias("epoch"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("epoch") - F.lag("epoch").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (ev.withColumn("new_sess", new_sess)
+            .withColumn("session_id",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0))))
+    per_user = (sess.groupBy("user_id")
+                .agg(F.max("session_id").alias("n_sessions"),
+                     F.count(F.lit(1)).alias("n_events")))
+    return (per_user.groupBy("n_sessions")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("n_events").alias("n_events"))
+            .orderBy("n_sessions"))
+
+
+SQL_USER_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+           AS gap
+  FROM events),
+s AS (
+  SELECT user_id,
+         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g),
+pu AS (SELECT user_id, MAX(session_id) AS n_sessions,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id)
+SELECT n_sessions, COUNT(*) AS n_users, SUM(n_events) AS n_events
+FROM pu GROUP BY n_sessions ORDER BY n_sessions
+"""
+
+
 def q_heading_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document outline: title + section headers in reading order with
     the level parsed out of the kind grammar. Only heading spans survive
@@ -777,6 +825,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "shipping_priority": q_shipping_priority,
         "regional_revenue": q_regional_revenue,
+        "user_sessions": q_user_sessions,
         "events_by_type": q_events_by_type,
         "user_activity": q_user_activity,
         "exact_dup_groups": q_exact_dup_groups,
@@ -795,6 +844,7 @@ def oracles() -> Dict[str, str]:
         "nation_revenue": SQL_NATION_REVENUE,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "regional_revenue": SQL_REGIONAL_REVENUE,
+        "user_sessions": SQL_USER_SESSIONS,
         "events_by_type": SQL_EVENTS_BY_TYPE,
         "user_activity": SQL_USER_ACTIVITY,
         "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
