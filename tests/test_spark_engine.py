@@ -135,3 +135,21 @@ def test_fused_docjson_parse_chunk_equals_chained(spark):
     fused = keyed(parse_and_chunk_docjson(js, mode="hier").collect())
     assert fused == chained
     assert len(fused) == N
+
+
+def test_null_and_empty_spans_rows(spark):
+    """Null / empty spans arrays must flow through chunk + export as
+    empty documents, never crash the Arrow stage (at 10^12 docs,
+    malformed rows are routine)."""
+    rows = [("d1", [("title", "T", "", 0), ("text", "body", "", 1)]),
+            ("d2", None), ("d3", [])]
+    df = spark.createDataFrame(
+        rows, schema=("doc_id string, spans array<struct<kind:string,"
+                      "text:string,media_ref:string,offset:int>>"))
+    chunks = chunk_documents(df, mode="hier").collect()
+    assert {r.doc_id for r in chunks} == {"d1"}
+    assert chunks[0].text == "body" and chunks[0].headings == ["T"]
+    exports = {r.doc_id: r.text for r in
+               export_documents(df, fmt="md").collect()}
+    assert exports["d1"] == "# T\n\nbody"
+    assert exports["d2"] == "" and exports["d3"] == ""
