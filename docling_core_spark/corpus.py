@@ -159,7 +159,7 @@ def _href(rng: random.Random, doc_index: int) -> str:
 # bump when the generator's output changes: materialized corpus caches
 # (queries.corpus_path, bench_scaling) key on this so stale parquet
 # can't silently diverge from the in-process generator
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 
 def gen_doc_spans(doc_index: int, seed: int = 42,
@@ -191,7 +191,17 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
         r = rng.random()
         if r < 0.10:
             lvl = rng.randint(1, 4)
-            emit(f"section_header:{lvl}", _words(rng, 2, 6).title())
+            if rng.random() < 0.12:
+                # heading whose text IS an inline group (reference
+                # markdown.py:133-146 child-merge rule)
+                emit(f"section_header:{lvl}", "")
+                emit("inline_group:of_prev")
+                emit(f"text+fmt={rng.choice(('b', 'i', 'bi'))}",
+                     _words(rng, 1, 3).title())
+                emit("text", _words(rng, 1, 4))
+                emit("end_group")
+            else:
+                emit(f"section_header:{lvl}", _words(rng, 2, 6).title())
         elif r < 0.50:
             emit(rng.choice(("text", "paragraph")) + _fmt_suffix(rng),
                  _words(rng, 4, 60), _href(rng, doc_index))
@@ -212,6 +222,14 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
                 else:
                     emit(f"list_item{fs}", _words(rng, 2, 12),
                          _href(rng, doc_index))
+                if rng.random() < 0.08:
+                    # list item whose content is a nested inline group
+                    emit("list_item", "")
+                    emit("inline_group:of_prev")
+                    emit("text", _words(rng, 1, 4))
+                    emit(f"code:{rng.choice(('Python', 'Bash'))}",
+                         f"cmd_{_b}")
+                    emit("end_group")
                 if rng.random() < 0.15:
                     emit("list_group")
                     for _k in range(rng.randint(1, 3)):
@@ -236,7 +254,10 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
             emit("end_group")
         elif r < 0.80:
             lang = rng.choice(("", "Python", "Java", "C", "SQL", "Bash"))
-            emit("code" if not lang else f"code:{lang}",
+            base = "code" if not lang else f"code:{lang}"
+            if rng.random() < 0.1:
+                base += f"+fmt={rng.choice(('i', 'b'))}"
+            emit(base,
                  f"def f_{doc_index}():\n    return {_words(rng, 1, 3)!r}")
         elif r < 0.84:
             if rng.random() < 0.8:

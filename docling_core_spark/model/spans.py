@@ -109,10 +109,21 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
             except (IndexError, ValueError):
                 page += 1
             continue
-        if kind == "list_group" or kind == "inline_group":
-            g = Node(K_LIST_GROUP if kind == "list_group" else K_INLINE_GROUP,
-                     offset=offset, page_no=page)
-            container.add_child(g)
+        if kind in ("list_group", "inline_group") or kind in (
+                "list_group:of_prev", "inline_group:of_prev"):
+            # ":of_prev" attaches the group as a CHILD of the most
+            # recently added item (TextItem/ListItem children in the
+            # reference model, e.g. an InlineGroup inside a heading or
+            # list item - document.py:941-950 children refs)
+            of_prev = kind.endswith(":of_prev")
+            base = kind.split(":", 1)[0]
+            g = Node(K_LIST_GROUP if base == "list_group"
+                     else K_INLINE_GROUP, offset=offset, page_no=page)
+            parent = container
+            if of_prev and container.children \
+                    and not container.children[-1].is_group:
+                parent = container.children[-1]
+            parent.add_child(g)
             group_stack.append(g)
             container = g
             continue
@@ -143,7 +154,7 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
         elif kind == "code" or kind.startswith("code:"):
             lang = kind.split(":", 1)[1] if ":" in kind else "unknown"
             node = Node(K_CODE, text=text, media_ref=media_ref,
-                        offset=offset, page_no=page,
+                        offset=offset, page_no=page, fmt=fmt,
                         code_language=lang or "unknown")
         elif kind == "formula":
             node = Node(K_FORMULA, text=text, offset=offset, page_no=page,
@@ -231,9 +242,11 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 emit("end_group")
             elif c.kind == K_TITLE:
                 emit(f"title{fmt_suffix(c)}", c.text, c.hyperlink)
+                emit_item_children(c)
             elif c.kind == K_SECTION_HEADER:
                 emit(f"section_header:{c.level}{fmt_suffix(c)}", c.text,
                      c.hyperlink)
+                emit_item_children(c)
             elif c.kind == K_LIST_ITEM:
                 if c.enumerated and c.marker:
                     base = f"list_item:enum:{c.marker}"
@@ -244,11 +257,11 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 else:
                     base = "list_item"
                 emit(f"{base}{fmt_suffix(c)}", c.text, c.hyperlink)
-                walk(c)
+                emit_item_children(c)
             elif c.kind == K_CODE:
                 base = ("code" if c.code_language in ("", "unknown")
                         else f"code:{c.code_language}")
-                emit(base, c.text, c.media_ref)
+                emit(f"{base}{fmt_suffix(c)}", c.text, c.media_ref)
             elif c.kind == K_FORMULA:
                 emit("formula", c.text, c.orig)
             elif c.kind == K_PICTURE:
@@ -280,6 +293,28 @@ def spans_from_doc(doc: Doc) -> List[dict]:
             else:
                 base = c.label if c.label in TEXTUAL_LABELS else "text"
                 emit(f"{base}{fmt_suffix(c)}", c.text, c.hyperlink)
+                emit_item_children(c)
+
+    def emit_item_children(item: Node) -> None:
+        """Children of a text-like item: nested groups emit with the
+        :of_prev marker (rebuild re-attaches them as item children);
+        non-group children recurse flat."""
+        for g in item.children:
+            if g.kind == K_LIST_GROUP:
+                emit("list_group:of_prev")
+                walk(g)
+                emit("end_group")
+            elif g.kind == K_INLINE_GROUP:
+                emit("inline_group:of_prev")
+                walk(g)
+                emit("end_group")
+            else:
+                walk_one(g)
+
+    def walk_one(node: Node) -> None:
+        holder = Node(K_BODY)
+        holder.children = [node]
+        walk(holder)
 
     walk(doc.body)
     return out

@@ -140,12 +140,18 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
                 item["children"] = walk(c, ref)
                 children.append({"$ref": ref})
             elif kind == K_TITLE:
-                children.append({"$ref": text_item(c, parent_ref,
-                                                   "title")})
+                ref = text_item(c, parent_ref, "title")
+                entry = pools["texts"][-1]
+                if c.children:  # nested groups (walk appends to pools)
+                    entry["children"] = walk(c, ref)
+                children.append({"$ref": ref})
             elif kind == K_SECTION_HEADER:
-                children.append({"$ref": text_item(
-                    c, parent_ref, "section_header",
-                    {"level": c.level})})
+                ref = text_item(c, parent_ref, "section_header",
+                                {"level": c.level})
+                entry = pools["texts"][-1]
+                if c.children:
+                    entry["children"] = walk(c, ref)
+                children.append({"$ref": ref})
             elif kind == K_LIST_ITEM:
                 # marker must be serialized even when empty: the model
                 # default is "-", which would change rendering
@@ -153,8 +159,9 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
                     "enumerated": c.enumerated,
                     "marker": c.marker,
                 })
-                # nested groups under a list item stay siblings in the
-                # span grammar, so list items have no children here
+                entry = pools["texts"][-1]
+                if c.children:
+                    entry["children"] = walk(c, ref)
                 children.append({"$ref": ref})
             elif kind == K_CODE:
                 ref = text_item(c, parent_ref, "code", {

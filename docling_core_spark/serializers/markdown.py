@@ -399,8 +399,16 @@ class MarkdownSerializer:
         kind = node.kind
         if kind in (K_LIST_ITEM, K_TITLE, K_SECTION_HEADER):
             processing_pending = False
-            text = self.post_process(text, fmt=node.fmt,
-                                     hyperlink=node.hyperlink)
+            if (text == "" and len(node.children) == 1
+                    and node.children[0].kind == K_INLINE_GROUP):
+                # inline group as the item's single child: the item text
+                # IS the serialized group (markdown.py:133-146); the
+                # shared visited set suppresses its re-emission
+                text = self.serialize(node=node.children[0],
+                                      visited=visited).text
+            else:
+                text = self.post_process(text, fmt=node.fmt,
+                                         hyperlink=node.hyperlink)
             if kind == K_LIST_ITEM:
                 pieces: List[str] = []
                 case_auto = bool(_ALNUM_RE.search(node.marker))

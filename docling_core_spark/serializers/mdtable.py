@@ -95,8 +95,11 @@ def render_github_table(data_rows: Sequence[Sequence[str]],
             aligns.append("left")
         col_texts.append(formatted)
 
+    # tabulate pads every column to at least header width + MIN_PADDING
+    # (tabulate.MIN_PADDING = 2, applied whenever headers are passed -
+    # including empty-string headers)
     widths = [
-        max([len(heads[j])] + [len(c) for c in col_texts[j]])
+        max([len(heads[j]) + 2] + [len(c) for c in col_texts[j]])
         for j in range(ncols)
     ]
 

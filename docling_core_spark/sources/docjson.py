@@ -110,16 +110,21 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
             label = c.get("label", "")
             is_group = c.get("self_ref", "").startswith("#/groups")
 
-            if c.get("content_layer") == "furniture":
-                emit(f"furniture:{label}", c.get("text", ""))
-                continue
             if not is_group:
+                # page-break BEFORE the item, furniture included: a
+                # page_header opening a new page must land after the
+                # break, or the rebuilt node carries the old page_no
+                # and doctags (layers incl. furniture) misplaces the
+                # <page_break> (cf. common.py:89-122 break interleave)
                 page = first_page(c)
                 if prev_page is not None and page is not None \
                         and page > prev_page:
                     emit(f"page_break:{page}")
                 if page is not None:
                     prev_page = page
+            if c.get("content_layer") == "furniture":
+                emit(f"furniture:{label}", c.get("text", ""))
+                continue
 
             if is_group:
                 if label in ("list", "ordered_list"):
@@ -139,9 +144,11 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
 
             if label == "title":
                 emit(f"title{fmt_of(c)}", c.get("text", ""), href_of(c))
+                walk_item_children(c)
             elif label == "section_header":
                 emit(f"section_header:{c.get('level', 1)}{fmt_of(c)}",
                      c.get("text", ""), href_of(c))
+                walk_item_children(c)
             elif label == "list_item":
                 marker = c.get("marker") or ""
                 enum = c.get("enumerated", False)
@@ -154,7 +161,7 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                 else:
                     base = "list_item"
                 emit(f"{base}{fmt_of(c)}", c.get("text", ""), href_of(c))
-                walk(c)
+                walk_item_children(c)
             elif label == "code":
                 caps = c.get("captions") or []
                 mref = ""
@@ -163,7 +170,7 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                     media_i += 1
                 lang = c.get("code_language", "unknown") or "unknown"
                 kind = "code" if lang == "unknown" else f"code:{lang}"
-                emit(kind, c.get("text", ""), mref)
+                emit(f"{kind}{fmt_of(c)}", c.get("text", ""), mref)
                 emit_captions(c, mref)
             elif label == "formula":
                 emit("formula", c.get("text", ""),
@@ -232,8 +239,33 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                 emit(kind, encode_kv(cells, links))
             elif label in _TEXTUAL:
                 emit(f"{label}{fmt_of(c)}", c.get("text", ""), href_of(c))
+                walk_item_children(c)
             else:
                 emit(f"text{fmt_of(c)}", c.get("text", ""), href_of(c))
+                walk_item_children(c)
+
+    def walk_item_children(item: dict) -> None:
+        """Children of a text-like item (TextItem/ListItem children in
+        the reference model): nested groups emit with the :of_prev
+        marker so the rebuild re-attaches them as item children."""
+        for child_ref in item.get("children") or []:
+            c = _resolve(doc, child_ref["$ref"])
+            if c is None:
+                continue
+            is_group = c.get("self_ref", "").startswith("#/groups")
+            holder = {"children": [child_ref]}
+            if is_group:
+                label = c.get("label", "")
+                tag = ("list_group" if label in ("list", "ordered_list")
+                       else "inline_group" if label == "inline" else None)
+                if tag is None:
+                    walk(c)
+                    continue
+                emit(f"{tag}:of_prev")
+                walk(c)
+                emit("end_group")
+            else:
+                walk(holder)
 
     body = doc.get("body") or {}
     walk(body)

@@ -44,6 +44,7 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
     ref_to_offset: Dict[str, int] = {}
     container = doc.body
     group_stack: list = []
+    last_item = None  # target for ":of_prev" child groups
     page = 1
     pages_seen = set()
     floating_by_ref: dict = {}
@@ -105,12 +106,15 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             except (IndexError, ValueError):
                 page += 1
             continue
-        elif kind == "list_group":
-            item = doc.add_list_group(parent=container)
-            group_stack.append(item)
-            container = item
-        elif kind == "inline_group":
-            item = doc.add_inline_group(parent=container)
+        elif kind in ("list_group", "inline_group",
+                      "list_group:of_prev", "inline_group:of_prev"):
+            parent = container
+            if kind.endswith(":of_prev") and last_item is not None:
+                parent = last_item
+            if kind.startswith("list_group"):
+                item = doc.add_list_group(parent=parent)
+            else:
+                item = doc.add_inline_group(parent=parent)
             group_stack.append(item)
             container = item
         elif kind == "title":
@@ -146,7 +150,8 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             lang = kind.split(":", 1)[1] if ":" in kind else None
             item = doc.add_code(
                 text=text, parent=container, prov=prov(offset, text),
-                code_language=CodeLanguageLabel(lang) if lang else None)
+                code_language=CodeLanguageLabel(lang) if lang else None,
+                formatting=formatting)
             if media_ref:
                 floating_by_ref[media_ref] = item
         elif kind == "formula":
@@ -282,6 +287,9 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
 
         if item is not None:
             ref_to_offset[item.self_ref] = offset
+            if kind not in ("list_group", "inline_group",
+                            "list_group:of_prev", "inline_group:of_prev"):
+                last_item = item
             if media_ref and media_ref in pending_captions and \
                     media_ref in floating_by_ref:
                 for cap in pending_captions.pop(media_ref):

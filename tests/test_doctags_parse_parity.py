@@ -81,4 +81,4 @@ def test_chart_parse_reference_crash():
     doc = doc_from_spans("d", [(s["kind"], s["text"], s["media_ref"],
                                 s["offset"]) for s in spans])
     md = export_to_markdown(doc)
-    assert "| a | b |" in md  # chart table rendered
+    assert "|   a |   b |" in md  # chart table rendered (header+MIN_PADDING width)

@@ -1,0 +1,132 @@
+"""The reference's OWN shipped golden fixtures, driven through this
+engine: real documents (the DocLayNet paper, activities, charts,
+inline+formatting) imported via the span codec must reproduce the
+committed .gt outputs byte-for-byte under the reference's comparator
+(file content rstripped - test_docling_doc.py:685-695).
+
+DocTags goldens compare with <loc_N> tokens stripped where noted: the
+span schema carries no geometry (synthetic provenance), so quantized
+locations are the one surface that cannot round-trip through spans.
+Tokenizer-dependent hybrid goldens (2a/2b/2g, MiniLM) are not
+reproducible here - the HF tokenizer is absent from this environment
+(chunk semantics are covered by tests/test_chunk_parity.py with the
+regex tokenizer instead).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pytest
+
+from docling_core_spark.chunking.hierarchical import hierarchical_chunk
+from docling_core_spark.model.spans import doc_from_spans
+from docling_core_spark.serializers.debug import export_to_element_tree
+from docling_core_spark.serializers.doctags import export_to_doctags
+from docling_core_spark.serializers.html import export_to_html
+from docling_core_spark.serializers.markdown import (
+    DEFAULT_LABELS,
+    export_to_markdown,
+)
+from docling_core_spark.sources.docjson import (
+    docjson_to_spans,
+    docyaml_to_spans,
+)
+
+BASE = "/root/reference/test/data"
+_LOC = re.compile(r"<loc_\d+>")
+
+
+def _doc_from(path: str, name: str):
+    if path.endswith(".yaml"):
+        spans = docyaml_to_spans(open(f"{BASE}/{path}").read())
+    else:
+        spans = docjson_to_spans(json.load(open(f"{BASE}/{path}")))
+    return doc_from_spans(name, [(s["kind"], s["text"], s["media_ref"],
+                                  s["offset"]) for s in spans])
+
+
+def _golden(path: str) -> str:
+    return open(f"{BASE}/{path}", encoding="utf-8").read().rstrip()
+
+
+def test_hierarchical_chunker_golden():
+    """0_inp_dl_doc.json -> 0_out_chunks.json
+    (test_hierarchical_chunker.py:32-46): 127 chunks, text + heading
+    paths identical."""
+    doc = _doc_from("chunker/0_inp_dl_doc.json", "0")
+    got = [(c.text, c.headings) for c in hierarchical_chunk(doc)]
+    exp = [(c["text"], c["meta"].get("headings"))
+           for c in json.load(open(f"{BASE}/chunker/0_out_chunks.json"))["root"]]
+    assert got == exp
+    assert len(got) == 127
+
+
+def test_2206_01062_export_goldens():
+    """The DocLayNet paper (2206.01062.yaml + 6 export goldens,
+    test_docling_doc.py:698-743)."""
+    doc = _doc_from("doc/2206.01062.yaml", "2206.01062v1")
+    assert export_to_markdown(doc) == _golden("doc/2206.01062.yaml.md")
+    assert export_to_markdown(doc, page_break_placeholder="<!-- page break -->") \
+        == _golden("doc/2206.01062.yaml.paged.md")
+    assert export_to_html(doc) == _golden("doc/2206.01062.yaml.html")
+    assert _LOC.sub("", export_to_doctags(doc)) \
+        == _LOC.sub("", _golden("doc/2206.01062.yaml.dt"))
+    assert _LOC.sub("", export_to_doctags(doc, minified=True)) \
+        == _LOC.sub("", _golden("doc/2206.01062.yaml.min.dt"))
+
+
+def test_activities_goldens():
+    """Cross-page-list fixtures (test_serialization.py:88-175): page
+    break placeholders, page filters, picture-label exclusion."""
+    doc = _doc_from("doc/activities.json", "activities")
+    nopic = frozenset(DEFAULT_LABELS) - {"picture"}
+    assert export_to_markdown(
+        doc, labels=nopic, page_break_placeholder="<!-- page break -->") \
+        == _golden("doc/activities.gt.md")
+    assert export_to_markdown(doc, labels=nopic) \
+        == _golden("doc/activities_pb_none.gt.md")
+    assert export_to_markdown(doc, labels=nopic, page_break_placeholder="") \
+        == _golden("doc/activities_pb_empty.gt.md")
+    assert export_to_markdown(
+        doc, labels=nopic, page_break_placeholder="<!-- page-break -->") \
+        == _golden("doc/activities_pb_non_empty.gt.md")
+    assert export_to_markdown(doc, pages={2}) \
+        == _golden("doc/activities_p2.gt.md")
+    assert export_to_html(doc) == _golden("doc/activities.gt.html")
+    assert export_to_html(doc, pages={1}) \
+        == _golden("doc/activities_p1.gt.html")
+    assert export_to_html(doc, pages={2}) \
+        == _golden("doc/activities_p2.gt.html")
+
+
+def test_barchart_golden():
+    """Chart picture with tabular data (test_md_charts)."""
+    doc = _doc_from("doc/barchart.json", "barchart")
+    assert export_to_markdown(doc) == _golden("doc/barchart.gt.md")
+
+
+def test_inline_and_formatting_golden():
+    """Nested inline groups in headings/list items + formatted code
+    (test_md_inline_and_formatting)."""
+    doc = _doc_from("doc/inline_and_formatting.yaml", "inline")
+    assert export_to_markdown(doc) == _golden("doc/inline_and_formatting.md")
+
+
+def test_2206_element_tree_known_gap():
+    """.et golden includes picture-children text items (OCR'd figure
+    content, traverse_pictures=True) which the span schema does not
+    carry - documented limitation: the tree above pictures matches."""
+    doc = _doc_from("doc/2206.01062.yaml", "2206.01062v1")
+    got_lines = export_to_element_tree(doc).splitlines()
+    exp_lines = _golden("doc/2206.01062.yaml.et").splitlines()
+    # the first lines (before the first picture subtree) must agree on
+    # item labels/texts modulo the running index
+    strip = re.compile(r"^\s*\d+: ")
+    name = re.compile(r" with name=.*$")  # group names not span-carried
+    got_set = {name.sub("", strip.sub("", ln)) for ln in got_lines}
+    exp_set = {name.sub("", strip.sub("", ln)) for ln in exp_lines}
+    assert got_set <= exp_set  # everything we emit exists in the golden
+    missing = exp_set - got_set
+    assert missing, "if nothing is missing, drop this known-gap test"
