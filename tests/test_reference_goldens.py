@@ -130,3 +130,26 @@ def test_2206_element_tree_known_gap():
     assert got_set <= exp_set  # everything we emit exists in the golden
     missing = exp_set - got_set
     assert missing, "if nothing is missing, drop this known-gap test"
+
+
+def test_enriched_doctags_parse_matches_reference_parser():
+    """Real doctags INPUT fixture (2408.09869v3_enriched.dt): our
+    stream parser (S5) and the reference's load_from_doctags must
+    produce identical markdown."""
+    import tests.refstubs  # noqa: F401
+    import tests.oracle  # noqa: F401  (add_page patch)
+    from docling_core.types.doc.document import (
+        DocTagsDocument,
+        DoclingDocument,
+    )
+
+    from docling_core_spark.sources.doctags import doctags_to_spans
+
+    dt = open(f"{BASE}/doc/2408.09869v3_enriched.dt").read()
+    spans = doctags_to_spans(dt)
+    assert len(spans) == 210
+    eng = doc_from_spans("d", [(s["kind"], s["text"], s["media_ref"],
+                                s["offset"]) for s in spans])
+    dtd = DocTagsDocument.from_multipage_doctags_and_images(dt, None)
+    ref = DoclingDocument.load_from_doctags(dtd)
+    assert export_to_markdown(eng) == ref.export_to_markdown()
