@@ -153,3 +153,28 @@ def test_enriched_doctags_parse_matches_reference_parser():
     dtd = DocTagsDocument.from_multipage_doctags_and_images(dt, None)
     ref = DoclingDocument.load_from_doctags(dtd)
     assert export_to_markdown(eng) == ref.export_to_markdown()
+
+
+@pytest.mark.parametrize("name", ["page_with_pic.dt", "doc_with_kv.dt",
+                                  "2206.01062.yaml.dt"])
+def test_doctags_load_fixtures_match_reference_parser(name):
+    """test_doctags_load fixtures: stream-parse each real doctags file
+    and match the reference parser's markdown AND html (doc name
+    'Document' = load_from_doctags default)."""
+    import tests.refstubs  # noqa: F401
+    import tests.oracle  # noqa: F401
+    from docling_core.types.doc.document import (
+        DocTagsDocument,
+        DoclingDocument,
+    )
+
+    from docling_core_spark.sources.doctags import doctags_to_spans
+
+    dt = open(f"{BASE}/doc/{name}").read()
+    spans = doctags_to_spans(dt)
+    eng = doc_from_spans("Document", [(s["kind"], s["text"], s["media_ref"],
+                                       s["offset"]) for s in spans])
+    dtd = DocTagsDocument.from_multipage_doctags_and_images(dt, None)
+    ref = DoclingDocument.load_from_doctags(dtd)
+    assert export_to_markdown(eng) == ref.export_to_markdown()
+    assert export_to_html(eng) == ref.export_to_html()
