@@ -28,14 +28,22 @@ from typing import List, Tuple
 TO_VALUE = "to_value"
 TO_CHILD = "to_child"
 
+# link-label <-> token-stem map; <link_N> stays doctags-compatible
+# (GraphLinkLabel, labels.py:191-200); the other stems are engine
+# extensions so every label survives a span round trip
+_TOKEN_BY_LABEL = {"to_value": "link", "to_child": "childlink",
+                   "to_key": "keylink", "to_parent": "parentlink",
+                   "unspecified": "unspeclink"}
+_LABEL_BY_TOKEN = {v: k for k, v in _TOKEN_BY_LABEL.items()}
+
 _CELL_RE = re.compile(
     r"<(?P<label>key|value)_(?P<id>\d+)>"
     r"(?P<content>.*?)"
     r"</(?P=label)_(?P=id)>",
     re.DOTALL,
 )
-_LINK_RE = re.compile(r"<link_(\d+)>")
-_CHILDLINK_RE = re.compile(r"<childlink_(\d+)>")
+_ANYLINK_RE = re.compile(
+    r"<(link|childlink|keylink|parentlink|unspeclink)_(\d+)>")
 _LOC_RE = re.compile(r"<loc_\d+>")
 
 
@@ -60,13 +68,10 @@ def parse_kv(text: str) -> Tuple[List[KvCell], List[KvLink]]:
     for m in _CELL_RE.finditer(text or ""):
         cell_id = int(m.group("id"))
         content = m.group("content")
-        for t in _LINK_RE.findall(content):
-            raw.append(KvLink(cell_id, int(t), TO_VALUE))
-        for t in _CHILDLINK_RE.findall(content):
-            raw.append(KvLink(cell_id, int(t), TO_CHILD))
+        for stem, t in _ANYLINK_RE.findall(content):
+            raw.append(KvLink(cell_id, int(t), _LABEL_BY_TOKEN[stem]))
         clean = _LOC_RE.sub("", content)
-        clean = _LINK_RE.sub("", clean)
-        clean = _CHILDLINK_RE.sub("", clean).strip()
+        clean = _ANYLINK_RE.sub("", clean).strip()
         cells.append(KvCell(m.group("label"), cell_id, clean))
     ids = {c.cell_id for c in cells}
     links = [l for l in raw if l.target in ids]
@@ -84,7 +89,7 @@ def encode_kv(cells: List[KvCell], links: List[KvLink]) -> str:
     for c in cells:
         inner = c.text
         for l in by_src.get(c.cell_id, ()):
-            tok = "link" if l.label == TO_VALUE else "childlink"
+            tok = _TOKEN_BY_LABEL.get(l.label, "link")
             inner += f"<{tok}_{l.target}>"
         parts.append(f"<{c.label}_{c.cell_id}>{inner}</{c.label}_{c.cell_id}>")
     return "".join(parts)

@@ -178,3 +178,22 @@ def test_doctags_load_fixtures_match_reference_parser(name):
     ref = DoclingDocument.load_from_doctags(dtd)
     assert export_to_markdown(eng) == ref.export_to_markdown()
     assert export_to_html(eng) == ref.export_to_html()
+
+
+def test_constructed_doc_goldens():
+    """The reference's Python-API-constructed doc (_construct_doc,
+    test_docling_doc.py:763-1102) via its embedded JSON golden:
+    placeholder markdown byte-equal; placeholder HTML equal modulo
+    formula rendering (the golden embeds latex2mathml output, which is
+    not in this environment - the engine emits the reference's own
+    <pre> fallback, html.py:298-310)."""
+    doc = _doc_from("doc/constructed_doc.embedded.json.gt",
+                    "Untitled 1")
+    assert export_to_markdown(doc) \
+        == _golden("doc/constructed_doc.placeholder.md.gt")
+    formula = re.compile(
+        r"(<div>)?(<math .*?</math>|<pre>.*?</pre>)(</div>)?", re.DOTALL)
+    got = formula.sub("@", export_to_html(doc))
+    want = formula.sub("@",
+                       _golden("doc/constructed_doc.placeholder.html.gt"))
+    assert got == want
