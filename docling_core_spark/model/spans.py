@@ -206,7 +206,7 @@ def spans_from_doc(doc: Doc) -> List[dict]:
     """Flatten a tree back to span rows (used by fixture converters)."""
     out: List[dict] = []
     off = 0
-    prev_page: Optional[int] = None
+    emitted_page = 1  # rebuild starts at page 1
 
     def emit(kind: str, text: str = "", media_ref: str = "") -> None:
         nonlocal off
@@ -218,20 +218,19 @@ def spans_from_doc(doc: Doc) -> List[dict]:
         return f"+fmt={c.fmt}" if c.fmt else ""
 
     def walk(node: Node) -> None:
-        nonlocal prev_page
+        nonlocal emitted_page
         for c in node.children:
+            # page_break:N sets the running page to EXACTLY N on rebuild
+            # (dips included - body order and provenance pages can
+            # disagree, e.g. page footers stored after the next page's
+            # content), so emitting a break on every change makes node
+            # pages a round-trip invariant
+            if not c.is_group and c.page_no != emitted_page:
+                emit(f"page_break:{c.page_no}")
+                emitted_page = c.page_no
             if c.layer == LAYER_FURNITURE:
                 emit(f"furniture:{c.label}", c.text)
                 continue
-            if prev_page is not None and c.page_no > prev_page and not c.is_group:
-                emit(f"page_break:{c.page_no}")
-            if not c.is_group:
-                # track the MAX page seen, not the last: malformed input
-                # can dip (3 -> 2 -> 3) and re-emitting the break to 3
-                # would not survive a round trip (breaks are monotone on
-                # rebuild, so the canonical form must be too)
-                prev_page = (c.page_no if prev_page is None
-                             else max(prev_page, c.page_no))
             if c.kind == K_LIST_GROUP:
                 emit("list_group")
                 walk(c)

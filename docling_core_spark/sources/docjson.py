@@ -61,7 +61,7 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
     spans: List[Dict] = []
     off = 0
     media_i = 0
-    prev_page: Optional[int] = None
+    prev_page: int = 1  # rebuild starts at page 1
     caption_refs = set()
     # pre-scan: which text refs are captions of some floating item
     for pool in ("pictures", "tables", "texts"):
@@ -111,16 +111,14 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
             is_group = c.get("self_ref", "").startswith("#/groups")
 
             if not is_group:
-                # page-break BEFORE the item, furniture included: a
-                # page_header opening a new page must land after the
-                # break, or the rebuilt node carries the old page_no
-                # and doctags (layers incl. furniture) misplaces the
-                # <page_break> (cf. common.py:89-122 break interleave)
+                # page-break BEFORE the item, furniture included, on ANY
+                # page change (down too): body order and prov pages can
+                # disagree - page footers of page N stored after page
+                # N+1's content - and page_break:N pins the running page
+                # exactly, so rebuilt node pages equal prov pages
                 page = first_page(c)
-                if prev_page is not None and page is not None \
-                        and page > prev_page:
+                if page is not None and page != prev_page:
                     emit(f"page_break:{page}")
-                if page is not None:
                     prev_page = page
             if c.get("content_layer") == "furniture":
                 emit(f"furniture:{label}", c.get("text", ""))

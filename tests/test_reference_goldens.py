@@ -197,3 +197,17 @@ def test_constructed_doc_goldens():
     want = formula.sub("@",
                        _golden("doc/constructed_doc.placeholder.html.gt"))
     assert got == want
+
+
+def test_page_chunker_golden():
+    """cross_page_lists.json -> cross_page_lists_chunks.json
+    (test_page_chunker.py): page-1's footers are stored in body order
+    AFTER page-2 content - exercises exact (non-monotone) page
+    assignment through the span codec."""
+    from docling_core_spark.chunking.page import page_chunk
+
+    doc = _doc_from("doc/cross_page_lists.json", "x")
+    got = [c.text for c in page_chunk(doc)]
+    want = [c["text"] for c in json.load(
+        open(f"{BASE}/doc/cross_page_lists_chunks.json"))["root"]]
+    assert got == want
