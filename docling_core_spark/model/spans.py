@@ -67,6 +67,11 @@ def split_table_anns(text: str) -> Tuple[str, List[Tuple[str, str]]]:
     return _DESC_RE.sub("", text or ""), anns
 
 
+def split_pic_anns(text: str) -> Tuple[str, List[Tuple[str, str]]]:
+    """Chart span text -> (pure OTSL stream, desc/smiles annotations)."""
+    return _PIC_ANN_RE.sub("", text or ""), parse_pic_anns(text)
+
+
 def encode_pic_anns(anns: List[Tuple[str, str]]) -> str:
     return "".join(f"<{k}>{v}</{k}>" for k, v in anns
                    if k in ("desc", "smiles"))
@@ -109,16 +114,20 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
             except (IndexError, ValueError):
                 page += 1
             continue
-        if kind in ("list_group", "inline_group") or kind in (
-                "list_group:of_prev", "inline_group:of_prev"):
-            # ":of_prev" attaches the group as a CHILD of the most
-            # recently added item (TextItem/ListItem children in the
-            # reference model, e.g. an InlineGroup inside a heading or
-            # list item - document.py:941-950 children refs)
-            of_prev = kind.endswith(":of_prev")
+        if kind.split(":", 1)[0] in ("list_group", "inline_group"):
+            # flags after the base: ":of_prev" attaches the group as a
+            # CHILD of the most recently added item (TextItem/ListItem
+            # children, document.py:941-950); ":furniture" puts the
+            # group node in the furniture layer (its children keep
+            # their own layers - the layer filter excludes the node,
+            # not the subtree, document.py:4081-4149)
+            flags = kind.split(":")[1:]
+            of_prev = "of_prev" in flags
             base = kind.split(":", 1)[0]
             g = Node(K_LIST_GROUP if base == "list_group"
-                     else K_INLINE_GROUP, offset=offset, page_no=page)
+                     else K_INLINE_GROUP, offset=offset, page_no=page,
+                     layer=(LAYER_FURNITURE if "furniture" in flags
+                            else LAYER_BODY))
             parent = container
             if of_prev and container.children \
                     and not container.children[-1].is_group:
@@ -168,10 +177,12 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
                         offset=offset, page_no=page, pic_anns=t_anns)
         elif kind.startswith("chart"):
             # chart:CLASS - picture with classification + tabular chart
-            # data (OTSL carried in text)
+            # data (OTSL carried in text, + optional <desc>/<smiles>)
             cls_name = kind.split(":", 1)[1] if ":" in kind else "bar_chart"
-            node = Node(K_PICTURE, text=text, media_ref=media_ref,
-                        offset=offset, page_no=page, chart_class=cls_name)
+            otsl_text, p_anns = split_pic_anns(text)
+            node = Node(K_PICTURE, text=otsl_text, media_ref=media_ref,
+                        offset=offset, page_no=page, chart_class=cls_name,
+                        pic_anns=p_anns)
         elif kind == "key_value_region":
             node = Node(K_KEY_VALUE, text=text, offset=offset, page_no=page)
         elif kind == "form":
@@ -228,15 +239,17 @@ def spans_from_doc(doc: Doc) -> List[dict]:
             if not c.is_group and c.page_no != emitted_page:
                 emit(f"page_break:{c.page_no}")
                 emitted_page = c.page_no
-            if c.layer == LAYER_FURNITURE:
+            if c.layer == LAYER_FURNITURE and not c.is_group:
                 emit(f"furniture:{c.label}", c.text)
                 continue
             if c.kind == K_LIST_GROUP:
-                emit("list_group")
+                emit("list_group:furniture"
+                     if c.layer == LAYER_FURNITURE else "list_group")
                 walk(c)
                 emit("end_group")
             elif c.kind == K_INLINE_GROUP:
-                emit("inline_group")
+                emit("inline_group:furniture"
+                     if c.layer == LAYER_FURNITURE else "inline_group")
                 walk(c)
                 emit("end_group")
             elif c.kind == K_TITLE:
@@ -265,7 +278,9 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 emit("formula", c.text, c.orig)
             elif c.kind == K_PICTURE:
                 if c.chart_class:
-                    emit(f"chart:{c.chart_class}", c.text, c.media_ref)
+                    emit(f"chart:{c.chart_class}",
+                         c.text + encode_pic_anns(c.pic_anns),
+                         c.media_ref)
                 else:
                     emit("picture", encode_pic_anns(c.pic_anns),
                          c.media_ref)
@@ -299,12 +314,12 @@ def spans_from_doc(doc: Doc) -> List[dict]:
         :of_prev marker (rebuild re-attaches them as item children);
         non-group children recurse flat."""
         for g in item.children:
-            if g.kind == K_LIST_GROUP:
-                emit("list_group:of_prev")
-                walk(g)
-                emit("end_group")
-            elif g.kind == K_INLINE_GROUP:
-                emit("inline_group:of_prev")
+            if g.kind in (K_LIST_GROUP, K_INLINE_GROUP):
+                base = ("list_group" if g.kind == K_LIST_GROUP
+                        else "inline_group")
+                flag = (":furniture" if g.layer == LAYER_FURNITURE
+                        else "")
+                emit(f"{base}:of_prev{flag}")
                 walk(g)
                 emit("end_group")
             else:

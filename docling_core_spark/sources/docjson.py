@@ -64,10 +64,14 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
     prev_page: int = 1  # rebuild starts at page 1
     caption_refs = set()
     # pre-scan: which text refs are captions of some floating item
+    def cref(ref_obj: dict) -> str:
+        # schema 1.x used {"cref": ...}; current uses {"$ref": ...}
+        return ref_obj.get("$ref") or ref_obj.get("cref") or ""
+
     for pool in ("pictures", "tables", "texts"):
         for item in doc.get(pool) or []:
             for cap in item.get("captions") or []:
-                caption_refs.add(cap["$ref"])
+                caption_refs.add(cref(cap))
 
     def emit(kind: str, text: str = "", media_ref: str = "") -> None:
         nonlocal off
@@ -81,7 +85,7 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
 
     def emit_captions(item: dict, mref: str) -> None:
         for cap in item.get("captions") or []:
-            cap_item = _resolve(doc, cap["$ref"])
+            cap_item = _resolve(doc, cref(cap))
             if cap_item is not None:
                 emit(f"caption:{mref}", cap_item.get("text", ""))
 
@@ -103,12 +107,28 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
 
     def walk(node: dict) -> None:
         nonlocal prev_page, media_i
+        node_label = node.get("label", "")
+        in_list_ctx = node_label in ("list", "ordered_list")
+        is_body = node.get("self_ref") == "#/body"
+        misplaced_open = False  # synthetic group for misplaced items
         for child_ref in node.get("children") or []:
-            c = _resolve(doc, child_ref["$ref"])
+            c = _resolve(doc, cref(child_ref))
             if c is None:
                 continue
             label = c.get("label", "")
             is_group = c.get("self_ref", "").startswith("#/groups")
+
+            # validate_misplaced_list_items (document.py:5571-5619):
+            # list items outside a ListGroup get wrapped in a generated
+            # one; consecutive body-level items share a group, others
+            # get one group each
+            misplaced_li = label == "list_item" and not in_list_ctx
+            if misplaced_open and not (misplaced_li and is_body):
+                emit("end_group")
+                misplaced_open = False
+            if misplaced_li and not misplaced_open:
+                emit("list_group")
+                misplaced_open = True
 
             if not is_group:
                 # page-break BEFORE the item, furniture included, on ANY
@@ -120,24 +140,30 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                 if page is not None and page != prev_page:
                     emit(f"page_break:{page}")
                     prev_page = page
-            if c.get("content_layer") == "furniture":
-                emit(f"furniture:{label}", c.get("text", ""))
-                continue
-
             if is_group:
+                # a furniture-layer group still has BODY children (the
+                # layer filter excludes the node, not its subtree -
+                # document.py:4081-4149), so groups carry the layer as
+                # a kind flag instead of the furniture text shortcut
+                flag = (":furniture"
+                        if c.get("content_layer") == "furniture" else "")
                 if label in ("list", "ordered_list"):
-                    emit("list_group")
+                    emit(f"list_group{flag}")
                     walk(c)
                     emit("end_group")
                 elif label == "inline":
-                    emit("inline_group")
+                    emit(f"inline_group{flag}")
                     walk(c)
                     emit("end_group")
                 else:  # generic group: transparent container
                     walk(c)
                 continue
 
-            if child_ref["$ref"] in caption_refs:
+            if c.get("content_layer") == "furniture":
+                emit(f"furniture:{label}", c.get("text", ""))
+                continue
+
+            if cref(child_ref) in caption_refs:
                 continue  # emitted with its owner
 
             if label == "title":
@@ -205,15 +231,16 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                         extra.append(("smiles", ann.get("smi", "") or ""))
                 mref = f"img_{media_i:06d}"
                 media_i += 1
-                if cls_name is not None:
-                    emit(f"chart:{cls_name}",
-                         _otsl_from_table_data(chart_data)
-                         if chart_data else "", mref)
-                else:
-                    from docling_core_spark.model.spans import (
-                        encode_pic_anns,
-                    )
+                from docling_core_spark.model.spans import (
+                    encode_pic_anns,
+                )
 
+                if cls_name is not None:
+                    otsl = (_otsl_from_table_data(chart_data)
+                            if chart_data else "")
+                    emit(f"chart:{cls_name}",
+                         otsl + encode_pic_anns(extra), mref)
+                else:
                     emit("picture", encode_pic_anns(extra), mref)
                 emit_captions(c, mref)
             elif "graph" in c:  # key_value_region / form
@@ -241,13 +268,15 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
             else:
                 emit(f"text{fmt_of(c)}", c.get("text", ""), href_of(c))
                 walk_item_children(c)
+        if misplaced_open:
+            emit("end_group")
 
     def walk_item_children(item: dict) -> None:
         """Children of a text-like item (TextItem/ListItem children in
         the reference model): nested groups emit with the :of_prev
         marker so the rebuild re-attaches them as item children."""
         for child_ref in item.get("children") or []:
-            c = _resolve(doc, child_ref["$ref"])
+            c = _resolve(doc, cref(child_ref))
             if c is None:
                 continue
             is_group = c.get("self_ref", "").startswith("#/groups")

@@ -106,15 +106,19 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             except (IndexError, ValueError):
                 page += 1
             continue
-        elif kind in ("list_group", "inline_group",
-                      "list_group:of_prev", "inline_group:of_prev"):
+        elif kind.split(":", 1)[0] in ("list_group", "inline_group"):
+            flags = kind.split(":")[1:]
             parent = container
-            if kind.endswith(":of_prev") and last_item is not None:
+            if "of_prev" in flags and last_item is not None:
                 parent = last_item
+            layer = (ContentLayer.FURNITURE if "furniture" in flags
+                     else ContentLayer.BODY)
             if kind.startswith("list_group"):
-                item = doc.add_list_group(parent=parent)
+                item = doc.add_list_group(parent=parent,
+                                          content_layer=layer)
             else:
-                item = doc.add_inline_group(parent=parent)
+                item = doc.add_inline_group(parent=parent,
+                                            content_layer=layer)
             group_stack.append(item)
             container = item
         elif kind == "title":
@@ -203,16 +207,33 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
                 PictureTabularChartData,
             )
 
+            from docling_core.types.doc.document import (
+                DescriptionAnnotation,
+                PictureMoleculeData,
+            )
+
+            from docling_core_spark.model.spans import split_pic_anns
+
             cls_name = kind.split(":", 1)[1] if ":" in kind else "bar_chart"
+            otsl_text, p_anns = split_pic_anns(text)
             anns: list = [PictureClassificationData(
                 provenance="synthetic",
                 predicted_classes=[PictureClassificationClass(
                     class_name=cls_name, confidence=1.0)])]
-            if text:
-                cdata = parse_otsl_table_content(text)
-                _apply_otsl_header_flags(text, cdata)
+            if otsl_text:
+                cdata = parse_otsl_table_content(otsl_text)
+                _apply_otsl_header_flags(otsl_text, cdata)
                 anns.append(PictureTabularChartData(chart_data=cdata,
                                                     title=cls_name))
+            for ak, av in p_anns:
+                if ak == "desc":
+                    anns.append(DescriptionAnnotation(
+                        text=av, provenance="synthetic"))
+                elif ak == "smiles":
+                    anns.append(PictureMoleculeData(
+                        smi=av, confidence=1.0,
+                        class_name="chemistry_molecular_structure",
+                        segmentation=[], provenance="synthetic"))
             item = doc.add_picture(parent=container, prov=prov(offset),
                                    annotations=anns)
             if media_ref:
@@ -287,8 +308,8 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
 
         if item is not None:
             ref_to_offset[item.self_ref] = offset
-            if kind not in ("list_group", "inline_group",
-                            "list_group:of_prev", "inline_group:of_prev"):
+            if kind.split(":", 1)[0] not in ("list_group",
+                                             "inline_group"):
                 last_item = item
             if media_ref and media_ref in pending_captions and \
                     media_ref in floating_by_ref:

@@ -211,3 +211,54 @@ def test_page_chunker_golden():
     want = [c["text"] for c in json.load(
         open(f"{BASE}/doc/cross_page_lists_chunks.json"))["root"]]
     assert got == want
+
+
+# every parseable document fixture in the reference's test data: import
+# through the span codec and compare md against the reference loading
+# the SAME file directly - any diff is codec loss
+_KNOWN_GAPS = {
+    # RichTableCell sub-item refs (document.py:344-358): cells whose
+    # content is a ref to another item, serialized on demand - not
+    # representable in the OTSL cell stream (the reference's own
+    # doctags/OTSL export flattens them too)
+    "rich_table.out.yaml", "rich_table_item_ins_norm_1.out.yaml",
+    "rich_table_item_ins_norm_2.out.yaml",
+    "rich_table_item_ins_norm_3.out.yaml",
+    "rich_table_post_text_del.out.yaml",
+}
+
+
+def _fixture_docs():
+    import glob
+    import os
+    out = []
+    for pat in ("*.json", "*.yaml", "*.json.gt", "*.yaml.gt"):
+        out += glob.glob(f"{BASE}/doc/{pat}")
+    return sorted(os.path.basename(f) for f in out)
+
+
+@pytest.mark.parametrize("name", _fixture_docs())
+def test_import_fidelity_sweep(name):
+    import tests.refstubs  # noqa: F401
+    import tests.oracle  # noqa: F401
+    import yaml as _yaml
+
+    from docling_core.types.doc.document import DoclingDocument
+
+    raw = open(f"{BASE}/doc/{name}", encoding="utf-8").read()
+    try:
+        d = _yaml.safe_load(raw) if ".yaml" in name else json.loads(raw)
+        if not isinstance(d, dict) or "body" not in d:
+            pytest.skip("not a document fixture")
+        ref = DoclingDocument.model_validate(d)
+    except Exception:
+        pytest.skip("reference itself cannot load this fixture")
+    spans = docjson_to_spans(d)
+    eng = doc_from_spans(d.get("name", "x"),
+                         [(s["kind"], s["text"], s["media_ref"],
+                           s["offset"]) for s in spans])
+    equal = export_to_markdown(eng) == ref.export_to_markdown()
+    if name in _KNOWN_GAPS:
+        assert not equal, "known gap closed - remove from _KNOWN_GAPS"
+    else:
+        assert equal
