@@ -159,7 +159,7 @@ def _href(rng: random.Random, doc_index: int) -> str:
 # bump when the generator's output changes: materialized corpus caches
 # (queries.corpus_path, bench_scaling) key on this so stale parquet
 # can't silently diverge from the in-process generator
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 
 
 def gen_doc_spans(doc_index: int, seed: int = 42,
@@ -303,9 +303,23 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
             mref = f"tbl_{doc_index:06d}_{media_i:03d}"
             media_i += 1
             t_text = _otsl_table(rng)
+            rich = rng.random() < 0.12
+            if rich:
+                # rich cells: first cell references a table child
+                t_text = "<fcel><rich_0><fcel>" + _otsl_sanitize(
+                    _words(rng, 1, 3)) + "<nl>" + t_text
             if rng.random() < 0.15:
                 t_text += f"<desc>{_words(rng, 3, 10)}</desc>"
             emit("table", t_text, mref)
+            if rich:
+                if rng.random() < 0.5:
+                    emit(f"text+fmt={rng.choice(('i', 'b'))}+child",
+                         _words(rng, 2, 5))
+                else:
+                    emit("list_group:of_prev")
+                    for _k in range(rng.randint(1, 3)):
+                        emit("list_item", _words(rng, 1, 4))
+                    emit("end_group")
             if rng.random() < 0.4:
                 emit(f"caption:{mref}", f"Table {media_i}: " + _words(rng, 3, 10))
         if rng.random() < 0.08:

@@ -24,6 +24,7 @@ from typing import Dict, Iterable, List, Optional, Tuple
 
 from docling_core_spark.model.doc import (
     FLOATING_KINDS,
+    K_BODY,
     K_FORM,
     K_KEY_VALUE,
     TEXTUAL_LABELS,
@@ -98,6 +99,12 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
     for kind, text, media_ref, offset in ordered:
         text = text or ""
         media_ref = media_ref or ""
+        # "+child" (stripped first - it is appended last on emission)
+        # attaches any item as a CHILD of the preceding item
+        # (rich-table cell targets, document.py:344-358)
+        as_child = kind.endswith("+child")
+        if as_child:
+            kind = kind[:-len("+child")]
         # E8 formatting suffix: "<kind>+fmt=<flags>"; for textual kinds
         # the (otherwise unused) media_ref carries the hyperlink
         fmt = ""
@@ -204,7 +211,11 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
         else:  # unknown kind: treat as plain text (forward compat)
             node = Node(K_TEXT, text=text, offset=offset, page_no=page)
 
-        container.add_child(node)
+        target = container
+        if as_child and container.children \
+                and not container.children[-1].is_group:
+            target = container.children[-1]
+        target.add_child(node)
         if node.kind in FLOATING_KINDS and media_ref:
             floating_by_ref[media_ref] = node
             for cap in pending_captions.pop(media_ref, []):
@@ -287,6 +298,7 @@ def spans_from_doc(doc: Doc) -> List[dict]:
             elif c.kind == K_TABLE:
                 emit("table", c.text + encode_pic_anns(c.pic_anns),
                      c.media_ref)
+                emit_item_children(c)
             elif c.kind == K_CAPTION:
                 # owned captions emit AT THEIR BODY POSITION (the codec
                 # binds by media_ref in either direction), not after the
@@ -323,7 +335,14 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 walk(g)
                 emit("end_group")
             else:
+                # non-group child: mark its own span +child (the first
+                # non-page-break span the subtree emits)
+                mark = len(out)
                 walk_one(g)
+                for s in out[mark:]:
+                    if not s["kind"].startswith("page_break"):
+                        s["kind"] += "+child"
+                        break
 
     def walk_one(node: Node) -> None:
         holder = Node(K_BODY)

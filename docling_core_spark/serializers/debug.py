@@ -49,3 +49,29 @@ def export_to_element_tree(doc: Doc) -> str:
             lines.append(
                 f"{indent}{ix}: {node.label}: {node.text[:100]}")
     return "\n".join(lines)
+
+
+def table_dataframe(doc: Doc, table_node):
+    """TB2 doc-aware dataframe export (TableItem.export_to_dataframe
+    with doc, document.py:1559-1610): rich cells (<rich_K>) resolve to
+    the referenced table child serialized as default markdown
+    (RichTableCell._get_text, document.py:350-356)."""
+    import re
+
+    from docling_core_spark.model.otsl import dataframe_like, parse_otsl
+    from docling_core_spark.serializers.markdown import MarkdownSerializer
+
+    rich = re.compile(r"^<rich_(\d+)>$")
+    table = parse_otsl(table_node.text)
+    md = None
+    for c in table.cells:
+        m = rich.fullmatch(c.text)
+        if m is not None:
+            k = int(m.group(1))
+            if k < len(table_node.children):
+                if md is None:
+                    md = MarkdownSerializer(doc)
+                c.text = md.serialize(node=table_node.children[k]).text
+            else:
+                c.text = ""
+    return dataframe_like(table)

@@ -35,7 +35,11 @@ from docling_core_spark.model.doc import (
     Node,
     node_bbox,
 )
+import re as _re
+
 from docling_core_spark.model.otsl import parse_otsl
+
+_RICH_MARK = _re.compile(r"^<rich_(\d+)>$")
 
 VERSION = "1.6.0"
 
@@ -229,6 +233,17 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
                 }
                 pools["tables"].append(item)
                 pages.add(c.page_no)
+                if c.children:
+                    # rich-table children + <rich_K> cell markers ->
+                    # RichTableCell refs (document.py:344-358)
+                    item["children"] = walk(c, ref)
+                    kid_refs = [r["$ref"] for r in item["children"]]
+                    for cell in item["data"]["table_cells"]:
+                        m = _RICH_MARK.fullmatch(cell.get("text") or "")
+                        if m and int(m.group(1)) < len(kid_refs):
+                            cell["ref"] = {
+                                "$ref": kid_refs[int(m.group(1))]}
+                            cell["text"] = ""
                 item["captions"] = caption_refs(c, parent_ref)
                 children.append({"$ref": ref})
             elif kind in (K_KEY_VALUE, K_FORM):

@@ -204,7 +204,8 @@ class DocTagsSerializer(MarkdownSerializer):
         return _ser(text=text_res, source=node)
 
     # -- tables (doctags.py:150-197) --------------------------------------
-    def _serialize_table(self, node: Node) -> SerResult:
+    def _serialize_table(self, node: Node,
+                         visited: Optional[Set[int]] = None) -> SerResult:
         p = self.params
         res_parts: List[SerResult] = []
         if id(node) not in self.get_excluded_refs():
@@ -212,6 +213,29 @@ class DocTagsSerializer(MarkdownSerializer):
             if loc or p.add_location:
                 res_parts.append(_ser(text=loc, source=node))
             table = parse_otsl(node.text)
+            # rich cells: a FRESH default markdown serializer renders
+            # the referenced child (RichTableCell._get_text,
+            # document.py:350-358); children then suppressed from the
+            # stream via the shared visited set
+            rich_cells = [c for c in table.cells
+                          if self._RICH_RE.fullmatch(c.text)]
+            if rich_cells:
+                from docling_core_spark.serializers.markdown import (
+                    MarkdownSerializer,
+                )
+                md = MarkdownSerializer(self.doc)
+                for c in rich_cells:
+                    k = int(self._RICH_RE.fullmatch(c.text).group(1))
+                    if k < len(node.children):
+                        child = node.children[k]
+                        c.text = md.serialize(node=child).text
+                        if visited is not None:
+                            visited.add(id(child))
+                            for n, _ in self.doc.iterate_items(
+                                    root=child, with_groups=True):
+                                visited.add(id(n))
+                    else:
+                        c.text = ""
             otsl_body = encode_otsl(table,
                                     add_cell_text=p.add_table_cell_text)
             res_parts.append(_ser(text=otsl_body, source=node))

@@ -452,8 +452,12 @@ class HtmlSerializer(MarkdownSerializer):
         return '<div class="formula-not-decoded">Formula not decoded</div>'
 
     # ------------------------------------------------------------------
-    def _render_table_body(self, table: Table) -> str:
-        """HTMLTableSerializer grid walk (html.py:352-412)."""
+    def _render_table_body(self, table: Table,
+                           node: Optional[Node] = None,
+                           visited: Optional[Set[int]] = None) -> str:
+        """HTMLTableSerializer grid walk (html.py:352-412); rich cells
+        (<rich_K>) render the referenced table child serialized in html
+        (html.py:381-386), shared visited suppressing re-emission."""
         body = ""
         grid = table.grid
         for i in range(table.num_rows):
@@ -462,7 +466,18 @@ class HtmlSerializer(MarkdownSerializer):
                 cell = grid[i][j]
                 if cell.start_row != i or cell.start_col != j:
                     continue
-                content = _html.escape(cell.text.strip())
+                rich = None
+                if node is not None:
+                    m = self._RICH_RE.fullmatch(cell.text)
+                    if m is not None:
+                        k = int(m.group(1))
+                        rich = (self.serialize(
+                            node=node.children[k],
+                            visited=visited if visited is not None
+                            else set()).text
+                            if k < len(node.children) else "")
+                content = (rich if rich is not None
+                           else _html.escape(cell.text.strip()))
                 celltag = ("th" if cell.column_header or cell.row_header
                            or cell.row_section else "td")
                 opening = celltag
@@ -474,14 +489,16 @@ class HtmlSerializer(MarkdownSerializer):
             body += "</tr>"
         return f"<tbody>{body}</tbody>" if body else ""
 
-    def _serialize_table(self, node: Node) -> SerResult:
+    def _serialize_table(self, node: Node,
+                         visited: Optional[Set[int]] = None) -> SerResult:
         """html.py:341-415: <table><caption?><tbody>...</table>."""
         parts: List[SerResult] = []
         cap_res = self.serialize_captions(node, tag="caption")
         if cap_res.text:
             parts.append(cap_res)
         if id(node) not in self.get_excluded_refs():
-            body = self._render_table_body(parse_otsl(node.text))
+            body = self._render_table_body(parse_otsl(node.text),
+                                           node=node, visited=visited)
             if body:
                 parts.append(_ser(text=body, source=node))
         text_res = "".join(r.text for r in parts)

@@ -349,7 +349,7 @@ class MarkdownSerializer:
         if kind == K_INLINE_GROUP:
             return self._serialize_inline(node, list_level, my_visited)
         if kind == K_TABLE:
-            return self._serialize_table(node)
+            return self._serialize_table(node, my_visited)
         if kind == K_PICTURE:
             return self._serialize_picture(node)
         if kind == "key_value_region":
@@ -472,9 +472,28 @@ class MarkdownSerializer:
         return _ser(text=out_text, source=res_parts)
 
     # ------------------------------------------------------------------
-    def _serialize_table(self, node: Node) -> SerResult:
+    _RICH_RE = re.compile(r"^<rich_(\d+)>$")
+
+    def _rich_cell_text(self, node: Node, cell_text: str,
+                        visited: Set[int]):
+        """RichTableCell resolution (markdown.py:322-334): the cell
+        renders the referenced table child, serialized with THIS
+        serializer (shared visited suppresses its body re-emission);
+        returns None for plain cells."""
+        m = self._RICH_RE.fullmatch(cell_text)
+        if m is None:
+            return None
+        k = int(m.group(1))
+        if k >= len(node.children):
+            return ""
+        return self.serialize(node=node.children[k],
+                              visited=visited).text
+
+    def _serialize_table(self, node: Node,
+                         visited: Optional[Set[int]] = None) -> SerResult:
         """MarkdownTableSerializer (markdown.py:280-340) or
         TripletTableSerializer (hierarchical_chunker.py:125-171)."""
+        my_visited = visited if visited is not None else set()
         parts: List[SerResult] = []
         cap_res = self.serialize_captions(node)
         if cap_res.text:
@@ -490,11 +509,24 @@ class MarkdownSerializer:
                         parts.append(_ser(text=v, source=node))
             table = parse_otsl(node.text)
             if self.params.table_mode == "triplet":
+                # triplet text goes through export_to_dataframe without
+                # doc - rich cells degrade to the placeholder
+                # (document.py:352-358); children chunk separately
+                for c in table.cells:
+                    if self._RICH_RE.fullmatch(c.text):
+                        c.text = "<!-- rich cell -->"
                 t_text = triplet_text(table)
                 if t_text:
                     parts.append(_ser(text=t_text, source=node))
             else:
+                for c in table.cells:
+                    rich = self._rich_cell_text(node, c.text, my_visited)
+                    if rich is not None:
+                        c.text = rich
                 rows = table_rows_text(table)
+                # md tables must not break on newlines in (rich) cells
+                # (markdown.py:330-334)
+                rows = [[t.replace("\n", " ") for t in r] for r in rows]
                 if len(rows) > 1 and len(rows[0]) > 0:
                     table_text = render_github_table(rows[1:], headers=rows[0])
                 else:

@@ -209,9 +209,23 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                     f"<desc>{a.get('text', '') or ''}</desc>"
                     for a in (c.get("annotations") or [])
                     if a.get("kind") == "description")
-                emit("table",
-                     _otsl_from_table_data(c.get("data") or {}) + descs,
-                     mref)
+                # rich cells (document.py:344-358): the cell references
+                # one of the table's child items; encode as <rich_K>
+                # (K = child index), children follow the table span
+                child_idx = {cref(r): i for i, r in
+                             enumerate(c.get("children") or [])}
+                data = c.get("data") or {}
+                cells = []
+                for cd in data.get("table_cells", []):
+                    r = cd.get("ref")
+                    key = cref(r) if isinstance(r, dict) else None
+                    if key in child_idx:
+                        cd = dict(cd)
+                        cd["text"] = f"<rich_{child_idx[key]}>"
+                    cells.append(cd)
+                data = dict(data, table_cells=cells)
+                emit("table", _otsl_from_table_data(data) + descs, mref)
+                walk_item_children(c)
                 emit_captions(c, mref)
             elif label == "picture" or label == "chart":
                 anns = c.get("annotations") or []
@@ -292,7 +306,13 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                 walk(c)
                 emit("end_group")
             else:
+                # non-group child: its own span gets the +child marker
+                mark = len(spans)
                 walk(holder)
+                for s in spans[mark:]:
+                    if not s["kind"].startswith("page_break"):
+                        s["kind"] += "+child"
+                        break
 
     body = doc.get("body") or {}
     walk(body)

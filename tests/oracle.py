@@ -24,6 +24,10 @@ from docling_core.types.doc.document import TableData
 
 from docling_core_spark.chunking.tokenizer import RegexTokenizer
 
+import re as _re
+
+_RICH_MARK = _re.compile(r"^<rich_(\d+)>$")
+
 # Workaround for pydantic>=2.13 strictness: the reference calls
 # add_page(metadata=None) in load_from_doctags (document.py:4977) but
 # PageItem.metadata only accepts a dict.
@@ -74,6 +78,7 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
                     else Script.SUPER if "p" in flags
                     else Script.BASELINE))
 
+    rich_fixups: list = []  # (table_item, cell_index, child_index)
     for span in sorted(spans, key=lambda s: s["offset"]):
         kind = span["kind"]
         text = span.get("text") or ""
@@ -83,9 +88,20 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
         # media_ref for textual kinds
         formatting = None
         hyperlink = None
+        as_child = kind.endswith("+child")
+        if as_child:
+            kind = kind[:-len("+child")]
         if "+fmt=" in kind:
             kind, flags = kind.split("+fmt=", 1)
             formatting = _parse_fmt(flags)
+        # "+child": attach to the container's last non-group item
+        # (rich-table cell targets)
+        item_parent = container
+        if as_child and container.children:
+            cand = container.children[-1].resolve(doc)
+            from docling_core.types.doc.document import GroupItem
+            if not isinstance(cand, GroupItem):
+                item_parent = cand
         if media_ref and (
                 kind == "title" or kind.startswith("section_header")
                 or kind.startswith("list_item")
@@ -107,10 +123,14 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
                 page += 1
             continue
         elif kind.split(":", 1)[0] in ("list_group", "inline_group"):
+            from docling_core.types.doc.document import GroupItem
+
             flags = kind.split(":")[1:]
             parent = container
-            if "of_prev" in flags and last_item is not None:
-                parent = last_item
+            if "of_prev" in flags and container.children:
+                cand = container.children[-1].resolve(doc)
+                if not isinstance(cand, GroupItem):
+                    parent = cand
             layer = (ContentLayer.FURNITURE if "furniture" in flags
                      else ContentLayer.BODY)
             if kind.startswith("list_group"):
@@ -122,7 +142,7 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             group_stack.append(item)
             container = item
         elif kind == "title":
-            item = doc.add_title(text=text, parent=container,
+            item = doc.add_title(text=text, parent=item_parent,
                                  prov=prov(offset, text),
                                  formatting=formatting, hyperlink=hyperlink)
         elif kind.startswith("section_header"):
@@ -130,21 +150,21 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
                 lvl = int(kind.split(":", 1)[1])
             except (IndexError, ValueError):
                 lvl = 1
-            item = doc.add_heading(text=text, level=lvl, parent=container,
+            item = doc.add_heading(text=text, level=lvl, parent=item_parent,
                                    prov=prov(offset, text),
                                    formatting=formatting,
                                    hyperlink=hyperlink)
         elif kind in ("text", "paragraph", "footnote", "checkbox_selected",
                       "checkbox_unselected", "document_index", "reference"):
             item = doc.add_text(label=DocItemLabel(kind), text=text,
-                                parent=container, prov=prov(offset, text),
+                                parent=item_parent, prov=prov(offset, text),
                                 formatting=formatting, hyperlink=hyperlink)
         elif kind.startswith("list_item"):
             parts = kind.split(":", 2)
             enumerated = len(parts) > 1 and parts[1] == "enum"
             marker = parts[2] if len(parts) > 2 else ""
             item = doc.add_list_item(text=text, enumerated=enumerated,
-                                     marker=marker or None, parent=container,
+                                     marker=marker or None, parent=item_parent,
                                      prov=prov(offset, text),
                                      formatting=formatting,
                                      hyperlink=hyperlink)
@@ -153,18 +173,18 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
 
             lang = kind.split(":", 1)[1] if ":" in kind else None
             item = doc.add_code(
-                text=text, parent=container, prov=prov(offset, text),
+                text=text, parent=item_parent, prov=prov(offset, text),
                 code_language=CodeLanguageLabel(lang) if lang else None,
                 formatting=formatting)
             if media_ref:
                 floating_by_ref[media_ref] = item
         elif kind == "formula":
-            item = doc.add_formula(text=text, parent=container,
+            item = doc.add_formula(text=text, parent=item_parent,
                                    prov=prov(offset, text))
             if media_ref:  # codec: media_ref carries "orig present" flag
                 item.orig = media_ref
         elif kind == "picture":
-            item = doc.add_picture(parent=container, prov=prov(offset))
+            item = doc.add_picture(parent=item_parent, prov=prov(offset))
             from docling_core.types.doc.document import (
                 DescriptionAnnotation,
                 PictureMoleculeData,
@@ -194,7 +214,11 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             data = (parse_otsl_table_content(otsl_text) if otsl_text
                     else TableData(num_rows=0, num_cols=0, table_cells=[]))
             _apply_otsl_header_flags(otsl_text, data)
-            item = doc.add_table(data=data, parent=container, prov=prov(offset))
+            item = doc.add_table(data=data, parent=item_parent, prov=prov(offset))
+            for ci, cell in enumerate(item.data.table_cells):
+                m = _RICH_MARK.fullmatch(cell.text or "")
+                if m is not None:
+                    rich_fixups.append((item, ci, int(m.group(1))))
             for _ak, av in t_anns:
                 item.annotations.append(DescriptionAnnotation(
                     text=av, provenance="synthetic"))
@@ -234,7 +258,7 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
                         smi=av, confidence=1.0,
                         class_name="chemistry_molecular_structure",
                         segmentation=[], provenance="synthetic"))
-            item = doc.add_picture(parent=container, prov=prov(offset),
+            item = doc.add_picture(parent=item_parent, prov=prov(offset),
                                    annotations=anns)
             if media_ref:
                 floating_by_ref[media_ref] = item
@@ -289,7 +313,7 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
         elif kind.startswith("caption"):
             mref = kind.split(":", 1)[1] if ":" in kind else media_ref
             item = doc.add_text(label=DocItemLabel.CAPTION, text=text,
-                                parent=container, prov=prov(offset, text))
+                                parent=item_parent, prov=prov(offset, text))
             owner = floating_by_ref.get(mref)
             if owner is not None:
                 owner.captions.append(item.get_ref())
@@ -299,12 +323,12 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             sub = kind.split(":", 1)[1] if ":" in kind else "page_header"
             label = (DocItemLabel.PAGE_HEADER if sub == "page_header"
                      else DocItemLabel.PAGE_FOOTER)
-            item = doc.add_text(label=label, text=text, parent=container,
+            item = doc.add_text(label=label, text=text, parent=item_parent,
                                 prov=prov(offset, text),
                                 content_layer=ContentLayer.FURNITURE)
         else:
             item = doc.add_text(label=DocItemLabel.TEXT, text=text,
-                                parent=container, prov=prov(offset, text))
+                                parent=item_parent, prov=prov(offset, text))
 
         if item is not None:
             ref_to_offset[item.self_ref] = offset
@@ -315,6 +339,22 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
                     media_ref in floating_by_ref:
                 for cap in pending_captions.pop(media_ref):
                     item.captions.append(cap.get_ref())
+
+    from docling_core.types.doc.document import RichTableCell
+
+    for t_item, ci, k in rich_fixups:
+        if k < len(t_item.children):
+            old = t_item.data.table_cells[ci]
+            t_item.data.table_cells[ci] = RichTableCell(
+                ref=t_item.children[k],
+                text="", orig="",
+                start_row_offset_idx=old.start_row_offset_idx,
+                end_row_offset_idx=old.end_row_offset_idx,
+                start_col_offset_idx=old.start_col_offset_idx,
+                end_col_offset_idx=old.end_col_offset_idx,
+                row_span=old.row_span, col_span=old.col_span,
+                column_header=old.column_header,
+                row_header=old.row_header, row_section=old.row_section)
 
     for p in sorted(pages_seen):
         doc.add_page(page_no=p, size=Size(width=PAGE_W, height=PAGE_H),

@@ -216,16 +216,7 @@ def test_page_chunker_golden():
 # every parseable document fixture in the reference's test data: import
 # through the span codec and compare md against the reference loading
 # the SAME file directly - any diff is codec loss
-_KNOWN_GAPS = {
-    # RichTableCell sub-item refs (document.py:344-358): cells whose
-    # content is a ref to another item, serialized on demand - not
-    # representable in the OTSL cell stream (the reference's own
-    # doctags/OTSL export flattens them too)
-    "rich_table.out.yaml", "rich_table_item_ins_norm_1.out.yaml",
-    "rich_table_item_ins_norm_2.out.yaml",
-    "rich_table_item_ins_norm_3.out.yaml",
-    "rich_table_post_text_del.out.yaml",
-}
+_KNOWN_GAPS: set = set()  # every fixture currently imports byte-equal
 
 
 def _fixture_docs():
