@@ -169,6 +169,7 @@ class Doc:
         with_groups: bool = False,
         layers: Tuple[str, ...] = (LAYER_BODY,),
         page_no: Optional[int] = None,
+        traverse_pictures: bool = False,
     ) -> Iterator[Tuple[Node, int]]:
         """Pre-order DFS yielding (node, level). Iterative (no recursion
         limit risk; cf. SURVEY §4.2 hazard 2)."""
@@ -187,7 +188,7 @@ class Doc:
             if should_yield:
                 yield node, lvl
             kids = node.children
-            if node.kind == K_PICTURE:
+            if node.kind == K_PICTURE and not traverse_pictures:
                 # skip picture children except its own captions
                 # (document.py:4124-4136)
                 allowed = set(id(c) for c in node.captions)

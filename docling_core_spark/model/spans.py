@@ -295,6 +295,7 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 else:
                     emit("picture", encode_pic_anns(c.pic_anns),
                          c.media_ref)
+                emit_item_children(c)
             elif c.kind == K_TABLE:
                 emit("table", c.text + encode_pic_anns(c.pic_anns),
                      c.media_ref)

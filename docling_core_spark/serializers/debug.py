@@ -36,7 +36,8 @@ def export_to_element_tree(doc: Doc) -> str:
     first 100 chars, other doc items just the label."""
     lines: List[str] = []
     items = doc.iterate_items(with_groups=True,
-                              layers=(LAYER_BODY, LAYER_FURNITURE))
+                              layers=(LAYER_BODY, LAYER_FURNITURE),
+                              traverse_pictures=True)
     for ix, (node, level) in enumerate(items):
         indent = " " * level
         if node.kind in GROUP_KINDS:

@@ -83,8 +83,11 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
         prov = item.get("prov") or []
         return prov[0]["page_no"] if prov else None
 
-    def emit_captions(item: dict, mref: str) -> None:
+    def emit_captions(item: dict, mref: str,
+                      skip: Optional[set] = None) -> None:
         for cap in item.get("captions") or []:
+            if skip and cref(cap) in skip:
+                continue  # already emitted at its child position
             cap_item = _resolve(doc, cref(cap))
             if cap_item is not None:
                 emit(f"caption:{mref}", cap_item.get("text", ""))
@@ -256,7 +259,11 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                          otsl + encode_pic_anns(extra), mref)
                 else:
                     emit("picture", encode_pic_anns(extra), mref)
-                emit_captions(c, mref)
+                # picture children (OCR'd in-figure items; skipped in
+                # default traversal, visible with traverse_pictures);
+                # the picture's own captions keep their child position
+                done_caps = walk_item_children(c, cap_mref=mref)
+                emit_captions(c, mref, skip=done_caps)
             elif "graph" in c:  # key_value_region / form
                 from docling_core_spark.model.kv import (
                     KvCell,
@@ -285,11 +292,26 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
         if misplaced_open:
             emit("end_group")
 
-    def walk_item_children(item: dict) -> None:
+    def walk_item_children(item: dict,
+                           cap_mref: Optional[str] = None) -> set:
         """Children of a text-like item (TextItem/ListItem children in
         the reference model): nested groups emit with the :of_prev
-        marker so the rebuild re-attaches them as item children."""
+        marker so the rebuild re-attaches them as item children. With
+        ``cap_mref``, the item's own captions emit in place (kind
+        caption:MREF) and their refs are returned."""
+        own_caps = ({cref(r) for r in item.get("captions") or []}
+                    if cap_mref is not None else set())
+        emitted_caps: set = set()
         for child_ref in item.get("children") or []:
+            if cref(child_ref) in own_caps:
+                cap_item = _resolve(doc, cref(child_ref))
+                if cap_item is not None:
+                    mark = len(spans)
+                    emit(f"caption:{cap_mref}",
+                         cap_item.get("text", ""))
+                    spans[mark]["kind"] += "+child"
+                    emitted_caps.add(cref(child_ref))
+                continue
             c = _resolve(doc, cref(child_ref))
             if c is None:
                 continue
@@ -313,6 +335,7 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                     if not s["kind"].startswith("page_break"):
                         s["kind"] += "+child"
                         break
+        return emitted_caps
 
     body = doc.get("body") or {}
     walk(body)
