@@ -347,14 +347,15 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the histogram agg after it is partial+final."""
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "ts",
-        # TIMESTAMP_NTZ has no direct long cast; epoch differences are
-        # timezone-invariant so the intermediate cast is safe
-        F.col("ts").cast("timestamp").cast("long").alias("epoch"))
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.col("epoch") - F.lag("epoch").over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # timestampdiff works directly on TIMESTAMP_NTZ - no tz-dependent
+    # epoch cast. MICROSECOND precision: SECOND would truncate while
+    # the DuckDB oracle's epoch_us is exact, flipping gaps near the
+    # 30-min boundary on sub-second timestamps
+    ev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    gap = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
     sess = (ev.withColumn("new_sess", new_sess)
             .withColumn("session_id",
                         F.sum("new_sess").over(
@@ -371,19 +372,21 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_USER_SESSIONS = """
 WITH g AS (
   SELECT user_id, ts,
-         epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))
+         epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts))
            AS gap
   FROM events),
 s AS (
   SELECT user_id,
-         SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+         SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts
                  ROWS UNBOUNDED PRECEDING) AS session_id
   FROM g),
-pu AS (SELECT user_id, MAX(session_id) AS n_sessions,
+pu AS (SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
               COUNT(*) AS n_events
        FROM s GROUP BY user_id)
-SELECT n_sessions, COUNT(*) AS n_users, SUM(n_events) AS n_events
+SELECT n_sessions, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
 FROM pu GROUP BY n_sessions ORDER BY n_sessions
 """
 
@@ -432,8 +435,11 @@ def q_list_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus_df(spark, sf_dir)
     s = docs.select("doc_id", F.explode("spans").alias("s"))
-    delta = (F.when(F.col("s.kind").isin("list_group", "inline_group"),
-                    F.lit(1))
+    # match openers by BASE kind: the grammar emits ':of_prev' /
+    # ':furniture' variants of both group kinds, and every one of them
+    # is closed by a bare 'end_group'
+    base = F.split(F.col("s.kind"), ":").getItem(0)
+    delta = (F.when(base.isin("list_group", "inline_group"), F.lit(1))
              .when(F.col("s.kind") == "end_group", F.lit(-1))
              .otherwise(F.lit(0)))
     w = (Window.partitionBy("doc_id").orderBy(F.col("s.offset"))
@@ -453,7 +459,8 @@ def _sql_list_depth_stats(sf_dir: str) -> str:
 WITH s AS (SELECT doc_id, unnest(spans) AS sp
            FROM read_parquet('{path}/*.parquet')),
 d AS (SELECT doc_id,
-             SUM(CASE WHEN sp.kind IN ('list_group', 'inline_group') THEN 1
+             SUM(CASE WHEN string_split(sp.kind, ':')[1]
+                           IN ('list_group', 'inline_group') THEN 1
                       WHEN sp.kind = 'end_group' THEN -1 ELSE 0 END)
                OVER (PARTITION BY doc_id ORDER BY sp.offset) AS depth
       FROM s),

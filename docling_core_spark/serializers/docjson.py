@@ -135,7 +135,10 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
                 ref = alloc("groups")
                 item = {
                     "self_ref": ref, "parent": {"$ref": parent_ref},
-                    "children": [], "content_layer": "body",
+                    "children": [],
+                    "content_layer": ("furniture"
+                                      if c.layer == LAYER_FURNITURE
+                                      else "body"),
                     "name": "group",
                     "label": ("list" if kind == K_LIST_GROUP
                               else "inline"),

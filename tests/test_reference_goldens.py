@@ -114,22 +114,19 @@ def test_inline_and_formatting_golden():
     assert export_to_markdown(doc) == _golden("doc/inline_and_formatting.md")
 
 
-def test_2206_element_tree_known_gap():
-    """.et golden includes picture-children text items (OCR'd figure
-    content, traverse_pictures=True) which the span schema does not
-    carry - documented limitation: the tree above pictures matches."""
+def test_2206_element_tree_full_coverage():
+    """.et golden coverage is complete - including picture-children text
+    items (traverse_pictures content). Labels/texts must match the
+    golden exactly, modulo the running index and group names (which the
+    span schema does not carry)."""
     doc = _doc_from("doc/2206.01062.yaml", "2206.01062v1")
     got_lines = export_to_element_tree(doc).splitlines()
     exp_lines = _golden("doc/2206.01062.yaml.et").splitlines()
-    # the first lines (before the first picture subtree) must agree on
-    # item labels/texts modulo the running index
     strip = re.compile(r"^\s*\d+: ")
     name = re.compile(r" with name=.*$")  # group names not span-carried
     got_set = {name.sub("", strip.sub("", ln)) for ln in got_lines}
     exp_set = {name.sub("", strip.sub("", ln)) for ln in exp_lines}
-    assert got_set <= exp_set  # everything we emit exists in the golden
-    missing = exp_set - got_set
-    assert missing, "if nothing is missing, drop this known-gap test"
+    assert got_set == exp_set
 
 
 def test_enriched_doctags_parse_matches_reference_parser():
