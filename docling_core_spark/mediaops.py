@@ -145,6 +145,27 @@ def _decode_fake(kind: str, payload: bytes) -> dict:
     return out
 
 
+def feature_row(ref: str, kind: str, payload: bytes,
+                decoder=None) -> dict:
+    """Per-item feature record - the single shared implementation used
+    by the Spark UDF stage AND the single-process oracle materializer
+    (pyoracle.py), so both sides are bit-identical by construction."""
+    meta = (decoder or _decode_fake)(kind, payload)
+    # 16-bit "perceptual hash" slot: multiplicative fold
+    # (xor/rotate folds cancel over tiled payloads)
+    ph = 0
+    for i in range(0, min(len(payload), 64), 2):
+        ph = (ph * 31 + (payload[i] | (payload[i + 1] << 8))) % 65521
+    return {
+        "media_ref": ref, "kind": kind,
+        "width": meta["width"], "height": meta["height"],
+        "n_frames": meta["n_frames"],
+        "duration_s": meta["duration_s"],
+        "byte_mean": round(sum(payload) / len(payload), 4),
+        "phash16": ph,
+    }
+
+
 def extract_media_features(media: DataFrame, decode: str = "fake"
                            ) -> DataFrame:
     """media -> per-item features via one mapInPandas stage (Arrow
@@ -157,25 +178,9 @@ def extract_media_features(media: DataFrame, decode: str = "fake"
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decoder = _decode_fake if decode == "fake" else _decode_real
         for pdf in batches:
-            rows = []
-            for ref, kind, payload in zip(
-                    pdf["media_ref"], pdf["kind"], pdf["payload"]):
-                payload = bytes(payload)
-                meta = decoder(kind, payload)
-                # 16-bit "perceptual hash" slot: multiplicative fold
-                # (xor/rotate folds cancel over tiled payloads)
-                ph = 0
-                for i in range(0, min(len(payload), 64), 2):
-                    ph = (ph * 31 + (payload[i] | (payload[i + 1] << 8))
-                          ) % 65521
-                rows.append({
-                    "media_ref": ref, "kind": kind,
-                    "width": meta["width"], "height": meta["height"],
-                    "n_frames": meta["n_frames"],
-                    "duration_s": meta["duration_s"],
-                    "byte_mean": round(sum(payload) / len(payload), 4),
-                    "phash16": ph,
-                })
+            rows = [feature_row(ref, kind, bytes(payload), decoder)
+                    for ref, kind, payload in zip(
+                        pdf["media_ref"], pdf["kind"], pdf["payload"])]
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)

@@ -1,0 +1,390 @@
+"""Single-process oracle materializer for the document-engine queries.
+
+The driver's correctness gate runs each Spark query AND a DuckDB SQL
+oracle side-by-side. The document pipeline (tree reconstruction +
+chunking + serialization) is not SQL-expressible, so its oracle is
+*materialized*: this module recomputes the expected rows with the SAME
+pure-Python per-document functions the Spark UDFs call - but running
+single-process on the driver, straight off the deterministic corpus
+generator - and writes them as parquet. The DuckDB oracle then becomes
+``SELECT ... FROM read_parquet(...)``, which turns the driver check
+into a *distributed-vs-single-process equivalence test*: Spark's
+partitioning, Arrow boundaries, and UDF fusion must reproduce the
+sequential result bit-for-bit.
+
+Those per-document functions are themselves parity-locked to the live
+reference library by the pytest suites (tests/test_chunk_parity.py,
+tests/test_export_parity.py, ...), so transitively the driver signal
+asserts engine == reference.
+
+Canonical scalar projection: the driver's canonicalizer sorts + hashes
+pandas cells, which requires hashable scalars - array columns
+(headings, span_refs) are therefore projected to strings with the SAME
+join convention on both sides (see HEADINGS_SEP / join_refs).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+# bump when any expected-row computation here changes shape/semantics
+ORACLE_VERSION = 1
+
+# headings are free text; \x1f (ASCII unit separator) never appears in
+# the corpus and both sides apply the identical join, so equality of
+# the joined string == equality of the array
+HEADINGS_SEP = "\x1f"
+
+
+def join_headings(headings: Optional[List[str]]) -> str:
+    return HEADINGS_SEP.join(headings) if headings else ""
+
+
+def join_refs(offsets: List[int]) -> str:
+    return ",".join(str(o) for o in offsets)
+
+
+# ----------------------------------------------------------------------
+# corpus + per-doc pipeline (memoized per process)
+# ----------------------------------------------------------------------
+
+_CORPUS_CACHE: Dict[int, list] = {}
+_DOCS_CACHE: Dict[int, list] = {}
+
+
+def _corpus_rows(n_docs: int) -> list:
+    if n_docs not in _CORPUS_CACHE:
+        from docling_core_spark.corpus import gen_corpus
+
+        _CORPUS_CACHE[n_docs] = gen_corpus(n_docs, seed=42)
+    return _CORPUS_CACHE[n_docs]
+
+
+def _tuples(spans: List[dict]) -> List[Tuple[str, str, str, int]]:
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in spans]
+
+
+def _docs(n_docs: int) -> list:
+    """[(doc_id, Doc)] for the corpus - reused across queries."""
+    if n_docs not in _DOCS_CACHE:
+        from docling_core_spark.model.spans import doc_from_spans
+
+        _DOCS_CACHE[n_docs] = [
+            (r["doc_id"], doc_from_spans(r["doc_id"], _tuples(r["spans"])))
+            for r in _corpus_rows(n_docs)]
+    return _DOCS_CACHE[n_docs]
+
+
+def _chunk_rows(doc_chunks) -> list:
+    """[(doc_id, chunks)] -> canonical chunk rows."""
+    rows = []
+    for doc_id, chunks in doc_chunks:
+        for ci, c in enumerate(chunks):
+            rows.append({
+                "doc_id": doc_id, "chunk_idx": ci, "text": c.text,
+                "headings_str": join_headings(c.headings),
+                "span_refs_str": join_refs(c.offsets),
+            })
+    return rows
+
+
+def _hybrid(doc):
+    from docling_core_spark.chunking.hybrid import hybrid_chunk
+    from docling_core_spark.chunking.tokenizer import RegexTokenizer
+
+    return hybrid_chunk(doc, tokenizer=RegexTokenizer(64),
+                        merge_peers=True)
+
+
+def _hier(doc):
+    from docling_core_spark.chunking.hierarchical import hierarchical_chunk
+
+    return hierarchical_chunk(doc)
+
+
+# ----------------------------------------------------------------------
+# expected-row computations, one per engine query
+# ----------------------------------------------------------------------
+
+def _rows_chunks_hybrid(n: int) -> list:
+    return _chunk_rows((d, _hybrid(doc)) for d, doc in _docs(n))
+
+
+def _rows_chunks_hierarchical(n: int) -> list:
+    return _chunk_rows((d, _hier(doc)) for d, doc in _docs(n))
+
+
+def _rows_chunks_page(n: int) -> list:
+    from docling_core_spark.chunking.page import page_chunk
+
+    return _chunk_rows((d, page_chunk(doc)) for d, doc in _docs(n))
+
+
+def _rows_chunks_contextualized(n: int) -> list:
+    from docling_core_spark.chunking.hierarchical import contextualize
+
+    rows = []
+    for doc_id, doc in _docs(n):
+        for ci, c in enumerate(_hybrid(doc)):
+            rows.append({
+                "doc_id": doc_id, "chunk_idx": ci, "text": c.text,
+                "headings_str": join_headings(c.headings),
+                "span_refs_str": join_refs(c.offsets),
+                "contextualized": contextualize(c),
+            })
+    return rows
+
+
+def _export_rows(n: int, fmt: str) -> list:
+    from docling_core_spark.serializers.docjson import export_to_docjson_str
+    from docling_core_spark.serializers.doctags import export_to_doctags
+    from docling_core_spark.serializers.html import export_to_html
+    from docling_core_spark.serializers.markdown import (
+        export_to_markdown,
+        export_to_text,
+    )
+
+    fn = {"md": export_to_markdown, "txt": export_to_text,
+          "dt": export_to_doctags, "html": export_to_html,
+          "json": export_to_docjson_str}[fmt]
+    return [{"doc_id": d, "fmt": fmt, "text": fn(doc)}
+            for d, doc in _docs(n)]
+
+
+def _rows_export_markdown(n: int) -> list:
+    return _export_rows(n, "md")
+
+
+def _rows_export_doctags(n: int) -> list:
+    return _export_rows(n, "dt")
+
+
+def _rows_export_html(n: int) -> list:
+    return _export_rows(n, "html")
+
+
+def _rows_parse_doctags(n: int) -> list:
+    from docling_core_spark.model.spans import doc_from_spans
+    from docling_core_spark.serializers.doctags import export_to_doctags
+    from docling_core_spark.sources.doctags import doctags_to_spans
+
+    out = []
+    for doc_id, doc in _docs(n):
+        spans = doctags_to_spans(export_to_doctags(doc))
+        doc2 = doc_from_spans(doc_id, _tuples(spans))
+        out.append((doc_id, _hier(doc2)))
+    return _chunk_rows(out)
+
+
+def _rows_parse_docjson(n: int) -> list:
+    from docling_core_spark.model.spans import doc_from_spans
+    from docling_core_spark.serializers.docjson import export_to_docjson_str
+    from docling_core_spark.sources.docjson import docjson_to_spans
+
+    out = []
+    for doc_id, doc in _docs(n):
+        spans = docjson_to_spans(export_to_docjson_str(doc))
+        doc2 = doc_from_spans(doc_id, _tuples(spans))
+        out.append((doc_id, _hier(doc2)))
+    return _chunk_rows(out)
+
+
+def _rows_doc_pipeline_stats(n: int) -> list:
+    rows = []
+    for r, (doc_id, doc) in zip(_corpus_rows(n), _docs(n)):
+        chunks = _hybrid(doc)
+        rows.append({
+            "doc_id": doc_id,
+            "n_spans": len(r["spans"]),
+            "n_chunks": len(chunks),
+            "n_chars": sum(len(c.text) for c in chunks),
+        })
+    return rows
+
+
+_MEDIA_KIND_RE = re.compile(r"^(picture|table|chart|code)")
+
+
+def _rows_media_features(n: int) -> list:
+    """Per-media-ref feature rows (the SQL oracle aggregates them with
+    the same GROUP BY the Spark query runs)."""
+    from docling_core_spark.mediaops import (
+        _kind_for,
+        _payload_for,
+        feature_row,
+    )
+
+    refs = set()
+    for r in _corpus_rows(n):
+        for s in r["spans"]:
+            if (s["media_ref"] and _MEDIA_KIND_RE.match(s["kind"])):
+                refs.add(s["media_ref"])
+    return [feature_row(ref, _kind_for(ref), _payload_for(ref))
+            for ref in sorted(refs)]
+
+
+def concat_group(doc_id: str, n_groups: int) -> int:
+    """Deterministic concat grouping shared by the Spark query and this
+    materializer: modulo over the numeric doc index (doc_id is
+    'doc_%012d')."""
+    return int(doc_id[4:]) % n_groups
+
+
+def _rows_concat_chunks(n: int) -> list:
+    """Python replica of docops.concatenate_documents (offset/page
+    prefix-sum shifts + boundary page breaks) feeding the hierarchical
+    chunker - must mirror docops._SHIFTED/_WITH_BOUNDARY_BREAK."""
+    from collections import defaultdict
+
+    from docling_core_spark.model.spans import doc_from_spans
+
+    n_groups = max(5, n // 10)
+    groups = defaultdict(list)
+    for r in _corpus_rows(n):
+        groups[concat_group(r["doc_id"], n_groups)].append(r)
+
+    out = []
+    for g in sorted(groups):
+        docs = sorted(groups[g], key=lambda r: r["doc_id"])
+        base_off = 0
+        base_page = 0
+        merged: List[Tuple[str, str, str, int]] = []
+        for seq, r in enumerate(docs, 1):
+            spans = sorted(r["spans"], key=lambda s: s["offset"])
+            if seq > 1:
+                merged.append((f"page_break:{base_page + 1}", "", "",
+                               base_off))
+            bump = 1 if seq > 1 else 0
+            maxp = 1
+            for s in spans:
+                kind = s["kind"]
+                if kind.startswith("page_break:"):
+                    p = int(kind.split(":")[1])
+                    maxp = max(maxp, p)
+                    kind = f"page_break:{p + base_page}"
+                merged.append((kind, s["text"], s["media_ref"],
+                               s["offset"] + base_off + bump))
+            base_off += len(spans) + 1
+            base_page += maxp
+        doc_id = " + ".join(r["doc_id"] for r in docs)
+        out.append((doc_id, _hier(doc_from_spans(doc_id, merged))))
+    return _chunk_rows(out)
+
+
+def _rows_extract_range_chunks(n: int, start: int = 2, stop: int = 30
+                               ) -> list:
+    from docling_core_spark.model.spans import doc_from_spans
+
+    out = []
+    for r in _corpus_rows(n):
+        kept = [(s["kind"], s["text"], s["media_ref"], s["offset"] - start)
+                for s in r["spans"] if start <= s["offset"] < stop]
+        if not kept:
+            continue
+        out.append((r["doc_id"],
+                    _hier(doc_from_spans(r["doc_id"], kept))))
+    return _chunk_rows(out)
+
+
+# ----------------------------------------------------------------------
+# parquet materialization + oracle SQL
+# ----------------------------------------------------------------------
+
+_CHUNK_COLS = [("doc_id", "string"), ("chunk_idx", "int32"),
+               ("text", "string"), ("headings_str", "string"),
+               ("span_refs_str", "string")]
+
+_SPECS: Dict[str, tuple] = {
+    # name -> (row_fn, [(col, pa_type_name)], final_select_sql or None)
+    "chunks_hybrid": (_rows_chunks_hybrid, _CHUNK_COLS, None),
+    "chunks_hierarchical": (_rows_chunks_hierarchical, _CHUNK_COLS, None),
+    "chunks_page": (_rows_chunks_page, _CHUNK_COLS, None),
+    "chunks_contextualized": (
+        _rows_chunks_contextualized,
+        _CHUNK_COLS + [("contextualized", "string")], None),
+    "export_markdown": (
+        _rows_export_markdown,
+        [("doc_id", "string"), ("fmt", "string"), ("text", "string")],
+        None),
+    "export_doctags": (
+        _rows_export_doctags,
+        [("doc_id", "string"), ("fmt", "string"), ("text", "string")],
+        None),
+    "export_html": (
+        _rows_export_html,
+        [("doc_id", "string"), ("fmt", "string"), ("text", "string")],
+        None),
+    "parse_doctags": (_rows_parse_doctags, _CHUNK_COLS, None),
+    "parse_docjson": (_rows_parse_docjson, _CHUNK_COLS, None),
+    "doc_pipeline_stats": (
+        _rows_doc_pipeline_stats,
+        [("doc_id", "string"), ("n_spans", "int32"),
+         ("n_chunks", "int32"), ("n_chars", "int64")], None),
+    "media_feature_stats": (
+        _rows_media_features,
+        [("media_ref", "string"), ("kind", "string"),
+         ("width", "int32"), ("height", "int32"),
+         ("n_frames", "int32"), ("duration_s", "float64"),
+         ("byte_mean", "float64"), ("phash16", "int64")],
+        # aggregate exactly like mediaops.media_feature_stats
+        "SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_items, "
+        "ROUND(AVG(byte_mean), 4) AS avg_byte_mean, "
+        "ROUND(AVG(width), 2) AS avg_width, "
+        "ROUND(AVG(duration_s), 3) AS avg_duration_s, "
+        "CAST(COUNT(DISTINCT phash16) AS BIGINT) AS n_distinct_phash "
+        "FROM t GROUP BY kind ORDER BY kind"),
+    "concat_chunks": (_rows_concat_chunks, _CHUNK_COLS, None),
+    "extract_range_chunks": (_rows_extract_range_chunks, _CHUNK_COLS,
+                             None),
+}
+
+ENGINE_ORACLE_QUERIES = tuple(_SPECS)
+
+
+def _expected_dir(sf_dir: str, n_docs: int) -> str:
+    from docling_core_spark.corpus import CORPUS_VERSION
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_oracle_{base}_{n_docs}"
+        f"_v{CORPUS_VERSION}.{ORACLE_VERSION}")
+
+
+def ensure_expected(name: str, sf_dir: str, n_docs: int) -> str:
+    """Materialize the expected rows for ``name`` (idempotent; cached
+    on disk keyed by corpus + oracle version)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    row_fn, cols, _ = _SPECS[name]
+    d = _expected_dir(sf_dir, n_docs)
+    path = os.path.join(d, f"{name}.parquet")
+    marker = os.path.join(d, f"{name}._SUCCESS")
+    if os.path.exists(marker):
+        return path
+    rows = row_fn(n_docs)
+    arrays = []
+    for col, typ in cols:
+        vals = [r[col] for r in rows]
+        arrays.append(pa.array(vals, getattr(pa, typ)()))
+    table = pa.Table.from_arrays(arrays, names=[c for c, _ in cols])
+    os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    open(marker, "w").close()
+    return path
+
+
+def oracle_sql_for(name: str, sf_dir: str, n_docs: int) -> str:
+    path = ensure_expected(name, sf_dir, n_docs)
+    _, cols, final_sql = _SPECS[name]
+    if final_sql is not None:
+        return (f"WITH t AS (SELECT * FROM read_parquet('{path}')) "
+                + final_sql)
+    col_list = ", ".join(c for c, _ in cols)
+    return f"SELECT {col_list} FROM read_parquet('{path}')"

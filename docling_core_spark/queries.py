@@ -3,10 +3,14 @@
 Two families:
 
 * engine queries - the document pipeline itself (chunking, exports)
-  over the deterministic synthetic span corpus. Not SQL-expressible
-  (tree reconstruction + stateful chunking), so no oracle entry: the
-  strong correctness gate for these is tests/test_chunk_parity.py
-  (span-sequence equality vs. the live reference library).
+  over the deterministic synthetic span corpus. Tree reconstruction +
+  stateful chunking are not SQL-expressible, so their oracle is
+  MATERIALIZED (pyoracle.py): the expected rows are recomputed
+  single-process with the same pure-Python per-doc functions the UDFs
+  run, and DuckDB just SELECTs them - a distributed-vs-sequential
+  equivalence check. The reference-parity gate for those same
+  functions is tests/test_chunk_parity.py (span-sequence equality vs.
+  the live reference library).
 * relational / training-data queries - plain DataFrame ops over the
   driver's parquet tables, each with an ANSI-SQL DuckDB oracle.
   Conventions for hash-stable comparison: every computed column is
@@ -93,29 +97,53 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# engine queries (document pipeline; rows-only driver check)
+# engine queries (document pipeline; materialized single-process oracle)
 # ----------------------------------------------------------------------
 
+def _canon_chunks(df: DataFrame, extra: tuple = ()) -> DataFrame:
+    """Canonical scalar projection of a chunk DataFrame: the driver's
+    canonicalizer sorts+hashes pandas cells, which requires hashable
+    scalars - so array columns are joined to strings with the SAME
+    convention pyoracle.py uses for the expected rows (join equality
+    == array equality since the separator never occurs in the data)."""
+    from docling_core_spark.pyoracle import HEADINGS_SEP
+
+    cols = [
+        F.col("doc_id"), F.col("chunk_idx"), F.col("text"),
+        F.coalesce(F.array_join("headings", HEADINGS_SEP), F.lit(""))
+        .alias("headings_str"),
+        F.array_join(F.expr("cast(span_refs as array<string>)"), ",")
+        .alias("span_refs_str"),
+    ]
+    cols.extend(F.col(c) for c in extra)
+    return df.select(*cols)
+
+
 def q_chunks_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_documents(corpus_df(spark, sf_dir), mode="hybrid",
-                           max_tokens=64)
+    return _canon_chunks(
+        chunk_documents(corpus_df(spark, sf_dir), mode="hybrid",
+                        max_tokens=64))
 
 
 def q_chunks_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_documents(corpus_df(spark, sf_dir), mode="hier")
+    return _canon_chunks(
+        chunk_documents(corpus_df(spark, sf_dir), mode="hier"))
 
 
 def q_chunks_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return chunk_documents(corpus_df(spark, sf_dir), mode="page")
+    return _canon_chunks(
+        chunk_documents(corpus_df(spark, sf_dir), mode="page"))
 
 
 def q_chunks_contextualized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 contextualize: embed-ready strings (headings + text)."""
     from docling_core_spark.engine import contextualize_chunks
 
-    return contextualize_chunks(
-        chunk_documents(corpus_df(spark, sf_dir), mode="hybrid",
-                        max_tokens=64))
+    return _canon_chunks(
+        contextualize_chunks(
+            chunk_documents(corpus_df(spark, sf_dir), mode="hybrid",
+                            max_tokens=64)),
+        extra=("contextualized",))
 
 
 def q_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +162,8 @@ def q_parse_docjson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     js = (export_documents(corpus_df(spark, sf_dir), fmt="json")
           .withColumnRenamed("text", "doc_json"))
-    return parse_and_chunk_docjson(js, json_col="doc_json", mode="hier")
+    return _canon_chunks(
+        parse_and_chunk_docjson(js, json_col="doc_json", mode="hier"))
 
 
 def q_caption_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,11 +564,16 @@ def q_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = corpus_df(spark, sf_dir)
     # ~10 docs per merged group: output rows stay numerous enough that
     # the downstream chunker parallelizes (one giant doc = one task -
-    # the mega-doc skew hazard, SURVEY §4.2)
+    # the mega-doc skew hazard, SURVEY §4.2). Grouping is the numeric
+    # doc index mod n (pyoracle.concat_group) so the single-process
+    # oracle can replicate it; production callers pass any group_col
+    # (e.g. a hash) - the operator is grouping-agnostic.
     n_groups = max(5, corpus_docs_for(sf_dir) // 10)
     merged = concatenate_documents(
-        docs, group_col=F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)))
-    return chunk_documents(merged, mode="hier")
+        docs, group_col=F.pmod(
+            F.expr("cast(substring(doc_id, 5) as bigint)"),
+            F.lit(n_groups)))
+    return _canon_chunks(chunk_documents(merged, mode="hier"))
 
 
 def q_extract_range_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -547,14 +581,16 @@ def q_extract_range_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding the chunker."""
     from docling_core_spark.docops import extract_spans_range
 
-    return chunk_documents(
-        extract_spans_range(corpus_df(spark, sf_dir), 2, 30), mode="hier")
+    return _canon_chunks(chunk_documents(
+        extract_spans_range(corpus_df(spark, sf_dir), 2, 30), mode="hier"))
 
 
 def q_media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: corpus -> media table (binary payloads) ->
-    stubbed decode + feature extraction -> per-kind rollup. Rows-only
-    driver check (byte-level decode is not SQL-expressible)."""
+    stubbed decode + feature extraction -> per-kind rollup. The oracle
+    aggregates in DuckDB over single-process-materialized feature rows
+    (pyoracle.py) - the byte-level decode itself is not SQL-expressible
+    but its outputs are."""
     from docling_core_spark.mediaops import media_feature_stats
 
     return media_feature_stats(corpus_df(spark, sf_dir))
@@ -579,7 +615,8 @@ def q_parse_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dt = (export_documents(corpus_df(spark, sf_dir), fmt="dt")
           .withColumnRenamed("text", "doctags"))
-    return parse_and_chunk_doctags(dt, doctags_col="doctags", mode="hier")
+    return _canon_chunks(
+        parse_and_chunk_doctags(dt, doctags_col="doctags", mode="hier"))
 
 
 # ----------------------------------------------------------------------
@@ -794,7 +831,8 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_KNN_COSINE = """
 WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
-       ROUND(list_cosine_similarity(embedding, q_embedding), 4) AS cos_sim
+       ROUND(CAST(list_cosine_similarity(embedding, q_embedding) AS DOUBLE), 4)
+           AS cos_sim
 FROM embeddings, q
 WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id
@@ -861,6 +899,15 @@ def oracles() -> Dict[str, str]:
     }
     out.update(textops.ORACLES)
     sf = _oracle_sf_dir()
+    # document-engine queries: materialized single-process oracles
+    # (distributed-vs-sequential equivalence; see pyoracle.py)
+    from docling_core_spark.pyoracle import (
+        ENGINE_ORACLE_QUERIES,
+        oracle_sql_for,
+    )
+
+    for name in ENGINE_ORACLE_QUERIES:
+        out[name] = oracle_sql_for(name, sf, corpus_docs_for(sf))
     out["caption_resolution"] = _sql_caption_resolution(sf)
     out["span_kind_stats"] = _sql_span_kind_stats(sf)
     out["bbox_overlap_stats"] = _sql_bbox_overlap_stats(sf)

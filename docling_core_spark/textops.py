@@ -579,7 +579,7 @@ def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBEDDING_TOP_PAIRS = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, vec_a, vec_b
@@ -664,7 +664,7 @@ c AS (
   SELECT vec_id,
          CAST(bit_count(CAST(xor(sig, qsig) AS BIGINT)) AS INTEGER)
              AS hamming,
-         ROUND(list_cosine_similarity(embedding, qemb), 4) AS cos_sim
+         ROUND(CAST(list_cosine_similarity(embedding, qemb) AS DOUBLE), 4) AS cos_sim
   FROM s, q WHERE vec_id <> 0)
 SELECT vec_id, hamming, cos_sim FROM c
 WHERE hamming <= {ANN_HAMMING_MAX}
@@ -747,7 +747,7 @@ probes AS (
   LIMIT {N_PROBES}),
 q AS (SELECT embedding AS qemb FROM e WHERE vec_id = 0)
 SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
-       ROUND(list_cosine_similarity(a.embedding, qemb), 4) AS cos_sim
+       ROUND(CAST(list_cosine_similarity(a.embedding, qemb) AS DOUBLE), 4) AS cos_sim
 FROM assigned a JOIN probes p ON a.cell = p.cell, q
 WHERE a.vec_id <> 0
 ORDER BY cos_sim DESC, a.vec_id
