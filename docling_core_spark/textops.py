@@ -407,33 +407,78 @@ ORDER BY doc_a, doc_b
 # exact n-gram Jaccard via inverted-index join (ground truth for LSH)
 # ----------------------------------------------------------------------
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise Jaccard >= threshold without a cross join:
-    explode distinct shingles (inverted index), self-join on shingle,
-    count co-occurrences per pair, |A∪B| = |A|+|B|-c. The shuffle key
-    is the shingle - high-frequency shingles are the skew hazard at
-    scale; production caps posting-list length (stopword-shingle drop),
-    which is exact for thresholds above the resulting loss."""
+def prefix_candidates(sh_rows: DataFrame,
+                      threshold: float = JACCARD_MIN) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from the prefix-filtered inverted
+    index - provably a superset of all pairs with Jaccard >= threshold
+    (see jaccard_pairs_prefix for the lemma)."""
     from pyspark.sql import Window
 
-    inv = (_shingle_rows(spark, sf_dir)
-           .withColumn("n_sh",
-                       F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-           .select("doc_id", "n_sh", F.col("sh").alias("s")))
-    pairs = (inv.alias("a").join(
-        inv.alias("b"),
-        (F.col("a.s") == F.col("b.s"))
+    sizes = (sh_rows.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_sh")))
+    dfreq = sh_rows.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (sh_rows.join(dfreq, "sh")
+              .withColumn("rnk", F.row_number().over(
+                  Window.partitionBy("doc_id").orderBy("df", "sh")))
+              .join(sizes, "doc_id"))
+    # alpha = ceil(t*n) with an epsilon so float noise on an exactly-
+    # integer t*n can only LENGTHEN the prefix (shorter would lose pairs)
+    alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+    prefix = (ranked.filter(F.col("rnk") <= F.col("n_sh") - alpha + 1)
+              .select("doc_id", "sh"))
+    return (prefix.alias("a").join(
+        prefix.alias("b"),
+        (F.col("a.sh") == F.col("b.sh"))
         & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"),
-                 F.col("a.n_sh").alias("na"), F.col("b.n_sh").alias("nb"))
-        .agg(F.count(F.lit(1)).alias("c")))
-    return (pairs
-            .withColumn("jaccard", F.round(
-                F.col("c") / (F.col("na") + F.col("nb") - F.col("c")), 4))
-            .filter(F.col("jaccard") >= JACCARD_MIN)
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct())
+
+
+def jaccard_pairs_prefix(sh_rows: DataFrame,
+                         threshold: float = JACCARD_MIN) -> DataFrame:
+    """Exact pairwise Jaccard >= threshold via PREFIX-FILTERED inverted
+    index (AllPairs/PPJoin prefix principle - public literature):
+
+    * J(A,B) >= t implies |A∩B| >= ceil(t*|A|) (since c(1+t) >= t(|A|+|B|)
+      and |B| >= c), so under ANY global total order of shingles the
+      (|A| - ceil(t*|A|) + 1)-prefixes of A and B must share a shingle.
+    * Candidates therefore come from joining PREFIX postings only. We
+      order shingles by ascending document frequency (rarest first,
+      ties by value): a stopword shingle present in every document
+      sorts LAST and lands in almost no prefix - the posting list for
+      hot keys collapses instead of going quadratic. This is the exact
+      version of the "cap the posting list" mitigation: recall is
+      provably 100%, so the brute-force oracle must agree.
+    * Verification computes the true intersection on candidate pairs
+      only, from the per-doc shingle arrays (bounded by doc size).
+
+    Input: (doc_id, sh) rows, one per DISTINCT shingle per doc.
+    Shuffles at scale: df count (shingle keys, partial-agg), df join
+    (shingle-partitioned, same key), per-doc rank (doc_id keys), prefix
+    self-join (prefix postings only), verify join (candidates only).
+    """
+    cand = prefix_candidates(sh_rows, threshold)
+    full = sh_rows.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    verified = (cand
+                .join(full.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("shs").alias("sh_a")), "doc_a")
+                .join(full.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("shs").alias("sh_b")), "doc_b")
+                .withColumn("c", F.size(F.array_intersect("sh_a", "sh_b")))
+                .withColumn("jaccard", F.round(
+                    F.col("c") / (F.size("sh_a") + F.size("sh_b")
+                                  - F.col("c")), 4)))
+    return (verified.filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
             .orderBy("doc_a", "doc_b"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (ground truth for LSH), prefix-
+    filtered so high-frequency shingles cannot go quadratic at scale -
+    see jaccard_pairs_prefix."""
+    return jaccard_pairs_prefix(_shingle_rows(spark, sf_dir), JACCARD_MIN)
 
 
 SQL_NGRAM_JACCARD_PAIRS = f"""
@@ -537,44 +582,88 @@ _NORM_SPARK = ("sqrt(aggregate(transform({c}, x -> CAST(x AS DOUBLE) * "
                "CAST(x AS DOUBLE)), 0D, (a, x) -> a + x))")
 
 
-def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Most-similar embedding pairs inside each label block. The label
-    is the blocking key (stand-in for the LSH bucket id that the ann
-    query computes); blocking turns the O(n^2) global cross join into
-    per-block quadratics - the production near-dup plan.
+def embedding_top_pairs(emb: DataFrame, tile_size: int = 4096,
+                        k: int = 20) -> DataFrame:
+    """Most-similar embedding pairs inside each label block, with
+    BOUNDED memory per task. The label is the blocking key (stand-in
+    for the LSH bucket id that the ann query computes); blocking turns
+    the O(n^2) global cross join into per-block quadratics - the
+    production near-dup plan.
 
-    The per-block pairwise cosine runs as a grouped-map matmul (one
-    BLAS E @ E.T per block) instead of a self-join with higher-order-
-    function dot products: Catalyst interprets HOF lambdas per pair
-    (measured ~4s for 200k pairs at sf0.1 vs sub-second for the
-    matmul). The round/order/limit tail stays in the plan so the
-    comparator is identical to the oracle's."""
+    Scale design (the all-pairs COST within a block is inherent; the
+    fix is bounding the UNIT of work):
+
+    * rows are ranked within their label and cut into tiles of
+      ``tile_size``; each pandas group is one TILE PAIR (<= 2*tile_size
+      rows), so a 10^6-row hot label becomes ~n_tiles^2/2 bounded matmul
+      tasks instead of one unbounded pandas group (OOM).
+    * each row is replicated once per partner tile (explode over the
+      label's tile range) - the shuffle carries n_tiles copies, which
+      is the unavoidable replication of a distributed blocked matmul.
+    * per tile pair the cosine runs as one BLAS A @ B.T instead of a
+      self-join with higher-order-function dot products: Catalyst
+      interprets HOF lambdas per pair (measured ~4s for 200k pairs at
+      sf0.1 vs sub-second for the matmul).
+    * tiles are vec_id-ranked, so for ti < tj every A-side id < every
+      B-side id and the (vec_a < vec_b) orientation is free.
+
+    The round/order/limit tail stays in the plan so the comparator is
+    identical to the oracle's."""
     import pandas as pd
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "label",
-                                                 "embedding")
+    from pyspark.sql import Window
 
-    def block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    w = Window.partitionBy("label").orderBy("vec_id")
+    tiled = (emb.select("vec_id", "label", "embedding")
+             .withColumn("tile", ((F.row_number().over(w) - 1)
+                                  / tile_size).cast("int")))
+    ntiles = tiled.groupBy("label").agg(F.max("tile").alias("max_tile"))
+    rep = (tiled.join(F.broadcast(ntiles), "label")
+           .select("label", "vec_id", "embedding", "tile",
+                   F.explode(F.sequence(F.lit(0), F.col("max_tile")))
+                   .alias("other"))
+           .withColumn("ti", F.least("tile", "other"))
+           .withColumn("tj", F.greatest("tile", "other"))
+           # a (t, u != t) row pair appears once from each side; a
+           # (t, t) row exactly once (other == tile)
+           .filter((F.col("tile") == F.col("ti"))
+                   | (F.col("tile") == F.col("tj")))
+           .drop("other"))
+
+    def block(key, pdf):
         import numpy as np
+        label, ti, tj = key
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        pdf = pdf.iloc[order]
         ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        e = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)[order]
-        norms = np.linalg.norm(e, axis=1)
-        sim = (e @ e.T) / np.outer(norms, norms)
-        ia, ib = np.triu_indices(len(ids), k=1)
+        e = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        e = e / np.linalg.norm(e, axis=1, keepdims=True)
+        if ti == tj:
+            sim = e @ e.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            return pd.DataFrame({
+                "vec_a": ids[ia], "vec_b": ids[ib],
+                "label": label, "cos_raw": sim[ia, ib]})
+        a = pdf["tile"].to_numpy() == ti
+        ea, eb = e[a], e[~a]
+        sim = ea @ eb.T
+        ia, ib = np.indices(sim.shape)
         return pd.DataFrame({
-            "vec_a": ids[ia], "vec_b": ids[ib],
-            "label": pdf["label"].iloc[0],
-            "cos_raw": sim[ia, ib],
-        })
+            "vec_a": ids[a][ia.ravel()], "vec_b": ids[~a][ib.ravel()],
+            "label": label, "cos_raw": sim.ravel()})
 
-    pairs = emb.groupBy("label").applyInPandas(
+    pairs = rep.groupBy("label", "ti", "tj").applyInPandas(
         block, schema="vec_a long, vec_b long, label int, cos_raw double")
     return (pairs.select("vec_a", "vec_b", "label",
                          F.round(F.col("cos_raw"), 4).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
-            .limit(20))
+            .limit(k))
+
+
+def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise cosine top-k; see embedding_top_pairs."""
+    return embedding_top_pairs(
+        _t(spark, sf_dir, "embeddings"))
 
 
 SQL_EMBEDDING_TOP_PAIRS = """

@@ -1,0 +1,160 @@
+"""Scale-hazard unit tests for the dedup/similarity operators:
+
+* prefix-filtered exact Jaccard: a stopword shingle present in EVERY
+  document must not generate quadratic candidates, and the result must
+  still equal brute force (the filter is provably lossless).
+* tiled embedding_top_pairs: a hot label larger than the tile size must
+  produce the same top-k as the single-block path while every pandas
+  group stays bounded by 2*tile_size rows.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from docling_core_spark.textops import (
+    embedding_top_pairs,
+    jaccard_pairs_prefix,
+    prefix_candidates,
+)
+
+
+def _skew_corpus():
+    """40 docs; every doc contains the hot shingle 'the quick fox' plus
+    mostly-unique filler; three engineered near-dup pairs."""
+    rows = []
+    for i in range(40):
+        shingles = {"the quick fox"}
+        shingles |= {f"unique {i} s{j}" for j in range(6)}
+        rows.append((f"d{i:03d}", sorted(shingles)))
+    # near-dups: d100/d101 identical, d102/d103 share 5/8, d104/d105
+    # share 6/8
+    base = [f"dup {j}" for j in range(7)] + ["the quick fox"]
+    rows.append(("d100", sorted(base)))
+    rows.append(("d101", sorted(base)))
+    rows.append(("d102", sorted(base[:4] + [f"x{j}" for j in range(3)]
+                                + ["the quick fox"])))
+    rows.append(("d103", sorted(base[:4] + [f"y{j}" for j in range(3)]
+                                + ["the quick fox"])))
+    rows.append(("d104", sorted(base[:6] + ["z0", "the quick fox"])))
+    rows.append(("d105", sorted(base[:6] + ["z1", "the quick fox"])))
+    return rows
+
+
+def _brute_jaccard(rows, t):
+    out = []
+    for (da, sa), (db, sb) in itertools.combinations(
+            sorted(rows), 2):
+        a, b = set(sa), set(sb)
+        j = len(a & b) / len(a | b)
+        if round(j, 4) >= t:
+            out.append((da, db, round(j, 4)))
+    return sorted(out)
+
+
+def test_prefix_jaccard_matches_brute_force(spark):
+    rows = _skew_corpus()
+    sh = spark.createDataFrame(
+        [(d, s) for d, ss in rows for s in ss], ["doc_id", "sh"])
+    got = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_prefix(sh, 0.5).collect())
+    assert got == _brute_jaccard(rows, 0.5)
+    assert len(got) >= 3  # the engineered near-dups are found
+
+
+def test_prefix_filter_defuses_hot_shingle(spark):
+    """All 46 docs share one shingle -> naive inverted index emits
+    C(46,2) = 1035 candidate pairs from that key alone; the df-ordered
+    prefix keeps the hot shingle out of (almost) every prefix."""
+    rows = _skew_corpus()
+    sh = spark.createDataFrame(
+        [(d, s) for d, ss in rows for s in ss], ["doc_id", "sh"])
+    n_cand = prefix_candidates(sh, 0.5).count()
+    assert n_cand <= 50  # vs 1035+ without the prefix filter
+    # and the candidates still cover every true pair
+    cand = {(r.doc_a, r.doc_b)
+            for r in prefix_candidates(sh, 0.5).collect()}
+    true_pairs = {(a, b) for a, b, _ in _brute_jaccard(rows, 0.5)}
+    assert true_pairs <= cand
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
+def test_prefix_filter_lossless_random(spark, threshold):
+    """Randomized losslessness across thresholds (fixed seed)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [(f"r{i:02d}",
+             sorted(set(rng.sample(vocab, rng.randint(3, 12)))))
+            for i in range(25)]
+    sh = spark.createDataFrame(
+        [(d, s) for d, ss in rows for s in ss], ["doc_id", "sh"])
+    got = sorted((r.doc_a, r.doc_b, r.jaccard)
+                 for r in jaccard_pairs_prefix(sh, threshold).collect())
+    assert got == _brute_jaccard(rows, threshold)
+
+
+# ----------------------------------------------------------------------
+def _emb_rows():
+    """One hot label (0) with 23 vectors, two small labels; dims=8."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for vid in range(23):
+        rows.append((vid, 0, [rng.uniform(-1, 1) for _ in range(8)]))
+    for vid in range(23, 30):
+        rows.append((vid, 1 + vid % 2,
+                     [rng.uniform(-1, 1) for _ in range(8)]))
+    # plant a very similar pair inside the hot label, crossing tiles
+    base = rows[2][2]
+    rows.append((90, 0, [x + 0.01 for x in base]))
+    return rows
+
+
+def test_tiled_top_pairs_equals_single_block(spark):
+    emb = spark.createDataFrame(_emb_rows(),
+                                ["vec_id", "label", "embedding"])
+    single = [(r.vec_a, r.vec_b, r.label, r.cos_sim)
+              for r in embedding_top_pairs(emb, tile_size=4096,
+                                           k=15).collect()]
+    tiled = [(r.vec_a, r.vec_b, r.label, r.cos_sim)
+             for r in embedding_top_pairs(emb, tile_size=5,
+                                          k=15).collect()]
+    assert tiled == single
+    # the planted near-identical pair wins and crosses a tile boundary
+    assert (tiled[0][0], tiled[0][1]) == (2, 90)
+
+
+def test_tile_groups_are_bounded(spark):
+    """No pandas group may exceed 2*tile_size rows even when one label
+    dominates - the OOM hazard the tiling removes."""
+    emb = spark.createDataFrame(_emb_rows(),
+                                ["vec_id", "label", "embedding"])
+    tile = 5
+    w_counts = (
+        emb.withColumn(
+            "tile",
+            ((F.row_number().over(
+                __import__("pyspark.sql.window",
+                           fromlist=["Window"]).Window
+                .partitionBy("label").orderBy("vec_id")) - 1)
+             / tile).cast("int")))
+    ntiles = w_counts.groupBy("label").agg(
+        F.max("tile").alias("max_tile"))
+    rep = (w_counts.join(ntiles, "label")
+           .select("label", "tile",
+                   F.explode(F.sequence(F.lit(0), F.col("max_tile")))
+                   .alias("other"))
+           .withColumn("ti", F.least("tile", "other"))
+           .withColumn("tj", F.greatest("tile", "other"))
+           .filter((F.col("tile") == F.col("ti"))
+                   | (F.col("tile") == F.col("tj"))))
+    sizes = rep.groupBy("label", "ti", "tj").count().collect()
+    assert max(r["count"] for r in sizes) <= 2 * tile
