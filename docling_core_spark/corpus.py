@@ -159,7 +159,7 @@ def _href(rng: random.Random, doc_index: int) -> str:
 # bump when the generator's output changes: materialized corpus caches
 # (queries.corpus_path, bench_scaling) key on this so stale parquet
 # can't silently diverge from the in-process generator
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 
 def gen_doc_spans(doc_index: int, seed: int = 42,
@@ -180,6 +180,12 @@ def gen_doc_spans(doc_index: int, seed: int = 42,
     n_blocks = rng.randint(8, 40)
     if mega_every and doc_index % mega_every == mega_every - 1:
         n_blocks = rng.randint(2000, 5000)  # skew tail (FIXTURES §1)
+
+    # doc-level DocumentOrigin (grammar v9): binary_hash spans the full
+    # uint64 range on purpose - it must survive the string-typed chunk
+    # column and the reference's Uint64 field
+    bh = (doc_index * 0x9E3779B97F4A7C15 + seed) % (1 << 64)
+    emit(f"origin:{bh}", f"doc_{doc_index:012d}.pdf", "application/pdf")
 
     if rng.random() < 0.3:
         emit("furniture:page_header", _words(rng, 2, 5))

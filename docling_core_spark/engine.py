@@ -47,12 +47,22 @@ DOCUMENTS_SCHEMA = StructType([
     StructField("spans", ArrayType(SPAN_STRUCT), False),
 ])
 
+# DocMeta.origin analogue (hierarchical_chunker.py:85-88 /
+# DocumentOrigin document.py:709-762); binary_hash is a STRING column
+# because the reference's Uint64 exceeds Spark's signed long range
+ORIGIN_STRUCT = StructType([
+    StructField("mimetype", StringType(), True),
+    StructField("binary_hash", StringType(), True),
+    StructField("filename", StringType(), True),
+])
+
 CHUNKS_SCHEMA = StructType([
     StructField("doc_id", StringType(), False),
     StructField("chunk_idx", IntegerType(), False),
     StructField("text", StringType(), False),
     StructField("headings", ArrayType(StringType()), True),
     StructField("span_refs", ArrayType(IntegerType()), False),
+    StructField("origin", ORIGIN_STRUCT, True),
 ])
 
 EXPORTS_SCHEMA = StructType([
@@ -116,6 +126,39 @@ def _rows_to_tuples(spans) -> list:
             for s in spans]
 
 
+def _origin_struct(doc) -> Optional[dict]:
+    """Doc.origin -> chunk-row struct dict (binary_hash stringified:
+    the reference's Uint64 exceeds signed-long range)."""
+    if doc.origin is None:
+        return None
+    return {"mimetype": doc.origin["mimetype"],
+            "binary_hash": str(doc.origin["binary_hash"]),
+            "filename": doc.origin["filename"]}
+
+
+_ORIGIN_PA = None
+
+
+def _chunk_record_batch(ids, idxs, txts, heads, refs, origins):
+    """Arrow-native chunk batch build (shared by every chunk stage)."""
+    import pyarrow as pa
+
+    global _ORIGIN_PA
+    if _ORIGIN_PA is None:
+        _ORIGIN_PA = pa.struct([("mimetype", pa.string()),
+                                ("binary_hash", pa.string()),
+                                ("filename", pa.string())])
+    return pa.RecordBatch.from_arrays([
+        pa.array(ids, pa.string()),
+        pa.array(idxs, pa.int32()),
+        pa.array(txts, pa.string()),
+        pa.array(heads, pa.list_(pa.string())),
+        pa.array(refs, pa.list_(pa.int32())),
+        pa.array(origins, _ORIGIN_PA),
+    ], names=["doc_id", "chunk_idx", "text", "headings", "span_refs",
+              "origin"])
+
+
 # ----------------------------------------------------------------------
 def _iter_span_tuples(batch):
     """RecordBatch(doc_id, spans) -> (doc_id, [(kind,text,mref,off)])
@@ -146,14 +189,6 @@ def chunk_documents(df: DataFrame, mode: str = "hybrid",
     more rows than docs, so the Arrow-native array build matters)."""
     import pyarrow as pa
 
-    out_type = pa.schema([
-        pa.field("doc_id", pa.string(), False),
-        pa.field("chunk_idx", pa.int32(), False),
-        pa.field("text", pa.string(), False),
-        pa.field("headings", pa.list_(pa.string())),
-        pa.field("span_refs", pa.list_(pa.int32()), False),
-    ])
-
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from docling_core_spark.chunking.hierarchical import hierarchical_chunk
         from docling_core_spark.chunking.hybrid import hybrid_chunk
@@ -163,7 +198,7 @@ def chunk_documents(df: DataFrame, mode: str = "hybrid",
 
         tok = RegexTokenizer(max_tokens)
         for batch in batches:
-            ids, idxs, txts, heads, refs = [], [], [], [], []
+            ids, idxs, txts, heads, refs, origins = [], [], [], [], [], []
             for doc_id, tuples in _iter_span_tuples(batch):
                 doc = doc_from_spans(doc_id, tuples)
                 if mode == "hybrid":
@@ -173,19 +208,16 @@ def chunk_documents(df: DataFrame, mode: str = "hybrid",
                     chunks = page_chunk(doc)
                 else:
                     chunks = hierarchical_chunk(doc)
+                org = _origin_struct(doc)
                 for ci, c in enumerate(chunks):
                     ids.append(doc_id)
                     idxs.append(ci)
                     txts.append(c.text)
                     heads.append(c.headings)
                     refs.append(c.offsets)
-            yield pa.RecordBatch.from_arrays([
-                pa.array(ids, pa.string()),
-                pa.array(idxs, pa.int32()),
-                pa.array(txts, pa.string()),
-                pa.array(heads, pa.list_(pa.string())),
-                pa.array(refs, pa.list_(pa.int32())),
-            ], schema=out_type)
+                    origins.append(org)
+            yield _chunk_record_batch(ids, idxs, txts, heads, refs,
+                                      origins)
 
     out = df.select("doc_id", "spans")
     if salt_partitions:
@@ -228,7 +260,7 @@ def parse_and_chunk(df: DataFrame, to_spans, text_col: str,
         for batch in batches:
             doc_ids = batch.column(id_col).to_pylist()
             payloads = batch.column(text_col).to_pylist()
-            ids, idxs, txts, heads, refs = [], [], [], [], []
+            ids, idxs, txts, heads, refs, origins = [], [], [], [], [], []
             for doc_id, payload in zip(doc_ids, payloads):
                 tuples = [(s["kind"], s["text"], s["media_ref"],
                            s["offset"]) for s in to_spans(payload)]
@@ -240,20 +272,16 @@ def parse_and_chunk(df: DataFrame, to_spans, text_col: str,
                     chunks = page_chunk(doc)
                 else:
                     chunks = hierarchical_chunk(doc)
+                org = _origin_struct(doc)
                 for ci, c in enumerate(chunks):
                     ids.append(str(doc_id))
                     idxs.append(ci)
                     txts.append(c.text)
                     heads.append(c.headings)
                     refs.append(c.offsets)
-            yield pa.RecordBatch.from_arrays([
-                pa.array(ids, pa.string()),
-                pa.array(idxs, pa.int32()),
-                pa.array(txts, pa.string()),
-                pa.array(heads, pa.list_(pa.string())),
-                pa.array(refs, pa.list_(pa.int32())),
-            ], names=["doc_id", "chunk_idx", "text", "headings",
-                      "span_refs"])
+                    origins.append(org)
+            yield _chunk_record_batch(ids, idxs, txts, heads, refs,
+                                      origins)
 
     return df.select(id_col, text_col).mapInArrow(run, schema=CHUNKS_SCHEMA)
 

@@ -155,13 +155,19 @@ class Doc:
     unless they are the picture's own captions.
     """
 
-    __slots__ = ("doc_id", "body", "caption_owner")
+    __slots__ = ("doc_id", "body", "caption_owner", "origin")
 
     def __init__(self, doc_id: str = "") -> None:
         self.doc_id = doc_id
         self.body = Node(K_BODY)
         # node -> owning floating node, for caption suppression
         self.caption_owner: dict = {}
+        # DocumentOrigin analogue (document.py:709-762): dict with
+        # mimetype (str), binary_hash (int, uint64 range), filename
+        # (str), uri (str | None); None when the source carried none.
+        # Chunk rows carry it as DocMeta.origin does
+        # (hierarchical_chunker.py:85-88)
+        self.origin: dict | None = None
 
     def iterate_items(
         self,

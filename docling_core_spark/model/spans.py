@@ -9,7 +9,9 @@ frozen in /root/repo/FIXTURES.md §1:
     list_group | inline_group | end_group |
     list_item | list_item:enum | list_item:enum:MARKER |
     code | formula | picture | table | caption:MREF |
-    page_break:P | furniture:page_header | furniture:page_footer
+    page_break:P | furniture:page_header | furniture:page_footer |
+    origin:HASH[:URI]  (doc-level DocumentOrigin: media_ref=mimetype,
+                        text=filename, HASH=binary_hash uint64)
 
 ``table`` spans carry the OTSL cell stream in ``text`` (cf. reference
 export_to_otsl, document.py:1674-1765) and a table id in ``media_ref``.
@@ -110,6 +112,22 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
         fmt = ""
         if "+fmt=" in kind:
             kind, fmt = kind.split("+fmt=", 1)
+        if kind.startswith("origin"):
+            # doc-level DocumentOrigin (document.py:709-762): no tree
+            # node; binary_hash (and optional uri) ride in the kind,
+            # mimetype in media_ref, filename in text
+            parts = kind.split(":", 2)
+            try:
+                bh = int(parts[1]) if len(parts) > 1 else 0
+            except ValueError:
+                bh = 0
+            doc.origin = {
+                "mimetype": media_ref or "application/pdf",
+                "binary_hash": bh,
+                "filename": text,
+                "uri": parts[2] if len(parts) > 2 else None,
+            }
+            continue
         if kind == "end_group":
             if group_stack:
                 group_stack.pop()
@@ -350,5 +368,16 @@ def spans_from_doc(doc: Doc) -> List[dict]:
         holder.children = [node]
         walk(holder)
 
+    if doc.origin is not None:
+        o = doc.origin
+        kind = f"origin:{o['binary_hash']}"
+        if o.get("uri"):
+            kind += f":{o['uri']}"
+        # prepend at offset 0, shift everything else - origin is
+        # doc-level metadata and precedes all content
+        walk(doc.body)
+        return ([{"kind": kind, "text": o["filename"],
+                  "media_ref": o["mimetype"], "offset": 0}]
+                + [{**s, "offset": s["offset"] + 1} for s in out])
     walk(doc.body)
     return out

@@ -30,7 +30,7 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 # bump when any expected-row computation here changes shape/semantics
-ORACLE_VERSION = 1
+ORACLE_VERSION = 2
 
 # headings are free text; \x1f (ASCII unit separator) never appears in
 # the corpus and both sides apply the identical join, so equality of
@@ -44,6 +44,16 @@ def join_headings(headings: Optional[List[str]]) -> str:
 
 def join_refs(offsets: List[int]) -> str:
     return ",".join(str(o) for o in offsets)
+
+
+def join_origin(origin: Optional[dict]) -> str:
+    """Same convention as the Spark side's concat_ws over the origin
+    struct fields (queries._canon_chunks)."""
+    if not origin:
+        return ""
+    return HEADINGS_SEP.join([origin["mimetype"],
+                              str(origin["binary_hash"]),
+                              origin["filename"]])
 
 
 # ----------------------------------------------------------------------
@@ -79,14 +89,16 @@ def _docs(n_docs: int) -> list:
 
 
 def _chunk_rows(doc_chunks) -> list:
-    """[(doc_id, chunks)] -> canonical chunk rows."""
+    """[(doc_id, origin, chunks)] -> canonical chunk rows."""
     rows = []
-    for doc_id, chunks in doc_chunks:
+    for doc_id, origin, chunks in doc_chunks:
+        ostr = join_origin(origin)
         for ci, c in enumerate(chunks):
             rows.append({
                 "doc_id": doc_id, "chunk_idx": ci, "text": c.text,
                 "headings_str": join_headings(c.headings),
                 "span_refs_str": join_refs(c.offsets),
+                "origin_str": ostr,
             })
     return rows
 
@@ -110,17 +122,20 @@ def _hier(doc):
 # ----------------------------------------------------------------------
 
 def _rows_chunks_hybrid(n: int) -> list:
-    return _chunk_rows((d, _hybrid(doc)) for d, doc in _docs(n))
+    return _chunk_rows((d, doc.origin, _hybrid(doc))
+                       for d, doc in _docs(n))
 
 
 def _rows_chunks_hierarchical(n: int) -> list:
-    return _chunk_rows((d, _hier(doc)) for d, doc in _docs(n))
+    return _chunk_rows((d, doc.origin, _hier(doc))
+                       for d, doc in _docs(n))
 
 
 def _rows_chunks_page(n: int) -> list:
     from docling_core_spark.chunking.page import page_chunk
 
-    return _chunk_rows((d, page_chunk(doc)) for d, doc in _docs(n))
+    return _chunk_rows((d, doc.origin, page_chunk(doc))
+                       for d, doc in _docs(n))
 
 
 def _rows_chunks_contextualized(n: int) -> list:
@@ -128,11 +143,13 @@ def _rows_chunks_contextualized(n: int) -> list:
 
     rows = []
     for doc_id, doc in _docs(n):
+        ostr = join_origin(doc.origin)
         for ci, c in enumerate(_hybrid(doc)):
             rows.append({
                 "doc_id": doc_id, "chunk_idx": ci, "text": c.text,
                 "headings_str": join_headings(c.headings),
                 "span_refs_str": join_refs(c.offsets),
+                "origin_str": ostr,
                 "contextualized": contextualize(c),
             })
     return rows
@@ -175,7 +192,7 @@ def _rows_parse_doctags(n: int) -> list:
     for doc_id, doc in _docs(n):
         spans = doctags_to_spans(export_to_doctags(doc))
         doc2 = doc_from_spans(doc_id, _tuples(spans))
-        out.append((doc_id, _hier(doc2)))
+        out.append((doc_id, doc2.origin, _hier(doc2)))
     return _chunk_rows(out)
 
 
@@ -188,7 +205,7 @@ def _rows_parse_docjson(n: int) -> list:
     for doc_id, doc in _docs(n):
         spans = docjson_to_spans(export_to_docjson_str(doc))
         doc2 = doc_from_spans(doc_id, _tuples(spans))
-        out.append((doc_id, _hier(doc2)))
+        out.append((doc_id, doc2.origin, _hier(doc2)))
     return _chunk_rows(out)
 
 
@@ -270,7 +287,8 @@ def _rows_concat_chunks(n: int) -> list:
             base_off += len(spans) + 1
             base_page += maxp
         doc_id = " + ".join(r["doc_id"] for r in docs)
-        out.append((doc_id, _hier(doc_from_spans(doc_id, merged))))
+        mdoc = doc_from_spans(doc_id, merged)
+        out.append((doc_id, mdoc.origin, _hier(mdoc)))
     return _chunk_rows(out)
 
 
@@ -284,8 +302,8 @@ def _rows_extract_range_chunks(n: int, start: int = 2, stop: int = 30
                 for s in r["spans"] if start <= s["offset"] < stop]
         if not kept:
             continue
-        out.append((r["doc_id"],
-                    _hier(doc_from_spans(r["doc_id"], kept))))
+        rdoc = doc_from_spans(r["doc_id"], kept)
+        out.append((r["doc_id"], rdoc.origin, _hier(rdoc)))
     return _chunk_rows(out)
 
 
@@ -295,7 +313,7 @@ def _rows_extract_range_chunks(n: int, start: int = 2, stop: int = 30
 
 _CHUNK_COLS = [("doc_id", "string"), ("chunk_idx", "int32"),
                ("text", "string"), ("headings_str", "string"),
-               ("span_refs_str", "string")]
+               ("span_refs_str", "string"), ("origin_str", "string")]
 
 _SPECS: Dict[str, tuple] = {
     # name -> (row_fn, [(col, pa_type_name)], final_select_sql or None)

@@ -114,6 +114,11 @@ def _canon_chunks(df: DataFrame, extra: tuple = ()) -> DataFrame:
         .alias("headings_str"),
         F.array_join(F.expr("cast(span_refs as array<string>)"), ",")
         .alias("span_refs_str"),
+        # concat_ws skips NULL fields, so a NULL origin struct joins to
+        # "" - same as pyoracle.join_origin
+        F.concat_ws(HEADINGS_SEP, "origin.mimetype",
+                    "origin.binary_hash", "origin.filename")
+        .alias("origin_str"),
     ]
     cols.extend(F.col(c) for c in extra)
     return df.select(*cols)

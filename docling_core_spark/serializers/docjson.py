@@ -287,10 +287,21 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
     }
     body["children"] = walk(doc.body, "#/body")
 
-    return {
+    out_head: dict = {
         "schema_name": "DoclingDocument",
         "version": VERSION,
         "name": name if name is not None else doc.doc_id,
+    }
+    if doc.origin is not None:
+        o = doc.origin
+        origin = {"mimetype": o["mimetype"],
+                  "binary_hash": o["binary_hash"],
+                  "filename": o["filename"]}
+        if o.get("uri"):
+            origin["uri"] = o["uri"]
+        out_head["origin"] = origin
+    return {
+        **out_head,
         "furniture": {
             "self_ref": "#/furniture", "children": [],
             "content_layer": "furniture", "name": "_root_",

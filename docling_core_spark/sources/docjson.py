@@ -79,6 +79,14 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                       "offset": off})
         off += 1
 
+    origin = doc.get("origin")
+    if origin:
+        kind = f"origin:{origin.get('binary_hash', 0)}"
+        if origin.get("uri"):
+            kind += f":{origin['uri']}"
+        emit(kind, origin.get("filename", ""),
+             origin.get("mimetype", ""))
+
     def first_page(item: dict) -> Optional[int]:
         prov = item.get("prov") or []
         return prov[0]["page_no"] if prov else None

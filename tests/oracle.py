@@ -111,6 +111,16 @@ def build_doc(doc_id: str, spans: List[dict]) -> Tuple[DoclingDocument, Dict[str
             hyperlink = media_ref
             media_ref = ""
         item = None
+        if kind.startswith("origin"):
+            from docling_core.types.doc.document import DocumentOrigin
+
+            parts = kind.split(":", 2)
+            doc.origin = DocumentOrigin(
+                mimetype=media_ref or "application/pdf",
+                binary_hash=int(parts[1]) if len(parts) > 1 else 0,
+                filename=text,
+                uri=parts[2] if len(parts) > 2 else None)
+            continue
         if kind == "end_group":
             if group_stack:
                 group_stack.pop()

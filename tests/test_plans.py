@@ -79,9 +79,17 @@ def test_embedding_top_pairs_is_grouped_map(spark):
     """Label-blocked cosine runs as one grouped-map (BLAS matmul per
     block), not a self-join with interpreted HOF lambdas."""
     p = _plan(spark, "embedding_top_pairs")
-    assert "FlatMapGroupsInPandas" in p
+    tree = p.split("(1)")[0]
+    # exactly ONE grouped-map stage (bounded tile-pair matmul); the
+    # groupBy(label, ti, tj) reuses the window's hash(label) Exchange
+    # (hash(label) satisfies the clustered distribution), so the big
+    # side shuffles once
+    assert tree.count("FlatMapGroupsInPandas") == 1
     assert "aggregate(" not in p and "zip_with" not in p
-    assert p.count("Exchange") <= 2  # groupBy(label) + final top-k sort
+    # tile counts broadcast to the big side, never shuffled onto it
+    assert "BroadcastHashJoin" in tree
+    # exchanges: window hash(label) + tiny ntiles agg (broadcast side)
+    assert tree.count("Exchange") <= 3
 
 
 def test_list_depth_stats_reuses_window_partitioning(spark):
