@@ -243,6 +243,44 @@ def _rows_media_features(n: int) -> list:
             for ref in sorted(refs)]
 
 
+def _rows_html_extract(n: int) -> list:
+    """Expected extraction output = the HTML projection of the source
+    spans (extraction/projection.py), computed WITHOUT running the
+    renderer or extractor - the driver check therefore cross-validates
+    two fully independent code paths (Spark: render->DOM parse->
+    boilerplate strip->emit; here: direct span normalization)."""
+    from docling_core_spark.extraction.projection import project_for_html
+
+    out = []
+    for r in _corpus_rows(n):
+        for row in project_for_html(r["spans"]):
+            out.append({"doc_id": r["doc_id"], "ord": row["offset"],
+                        "kind": row["kind"], "text": row["text"],
+                        "media_ref": row["media_ref"]})
+    return out
+
+
+def _rows_html_page_stats(n: int) -> list:
+    """Single-process render+extract per page (distributed-vs-
+    sequential equivalence for the boilerplate accounting)."""
+    from docling_core_spark.extraction.extract import extract_spans
+    from docling_core_spark.extraction.render import render_page_html
+
+    out = []
+    for r in _corpus_rows(n):
+        html = render_page_html(r["doc_id"], r["spans"])
+        _, st = extract_spans(html)
+        ratio = (st["content_chars"] / st["page_chars"]
+                 if st["page_chars"] else 0.0)
+        out.append({"doc_id": r["doc_id"],
+                    "page_chars": st["page_chars"],
+                    "content_chars": st["content_chars"],
+                    "n_dropped": st["n_dropped"],
+                    "main_found": st["main_found"],
+                    "content_ratio": round(ratio, 6)})
+    return out
+
+
 def concat_group(doc_id: str, n_groups: int) -> int:
     """Deterministic concat grouping shared by the Spark query and this
     materializer: modulo over the numeric doc index (doc_id is
@@ -357,6 +395,15 @@ _SPECS: Dict[str, tuple] = {
     "concat_chunks": (_rows_concat_chunks, _CHUNK_COLS, None),
     "extract_range_chunks": (_rows_extract_range_chunks, _CHUNK_COLS,
                              None),
+    "html_extract": (
+        _rows_html_extract,
+        [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
+         ("text", "string"), ("media_ref", "string")], None),
+    "html_page_stats": (
+        _rows_html_page_stats,
+        [("doc_id", "string"), ("page_chars", "int64"),
+         ("content_chars", "int64"), ("n_dropped", "int32"),
+         ("main_found", "int32"), ("content_ratio", "float64")], None),
 }
 
 ENGINE_ORACLE_QUERIES = tuple(_SPECS)

@@ -845,6 +845,16 @@ LIMIT 20
 """
 
 
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.extraction.spark import q_html_extract
+    return q_html_extract(spark, sf_dir)
+
+
+def _q_html_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.extraction.spark import q_html_page_stats
+    return q_html_page_stats(spark, sf_dir)
+
+
 # ----------------------------------------------------------------------
 def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_core_spark import textops
@@ -863,6 +873,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_feature_stats": q_media_feature_stats,
         "concat_chunks": q_concat_chunks,
         "extract_range_chunks": q_extract_range_chunks,
+        "html_extract": _q_html_extract,
+        "html_page_stats": _q_html_page_stats,
         "caption_resolution": q_caption_resolution,
         "span_kind_stats": q_span_kind_stats,
         "bbox_overlap_stats": q_bbox_overlap_stats,

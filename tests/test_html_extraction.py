@@ -1,0 +1,224 @@
+"""Main-content extraction: round-trip parity + heuristic robustness.
+
+Parity contract: ``extract_spans(render_page_html(spans)) ==
+project_for_html(spans)`` - the left side goes through a full HTML
+page (content + boilerplate chrome) and a from-scratch DOM
+parser/stripper; the right side normalizes the spans directly. The two
+code paths share no extraction logic, so agreement validates both.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_core_spark.corpus import gen_doc_spans
+from docling_core_spark.extraction.extract import extract_spans, parse_html
+from docling_core_spark.extraction.projection import project_for_html
+from docling_core_spark.extraction.render import render_page_html
+
+
+def _triples(rows):
+    return [(r["kind"], r["text"], r["media_ref"]) for r in rows]
+
+
+def _roundtrip(doc_index: int, seed: int = 42):
+    spans = gen_doc_spans(doc_index, seed=seed)
+    doc_id = f"doc_{doc_index:012d}"
+    html = render_page_html(doc_id, spans)
+    got, stats = extract_spans(html)
+    want = project_for_html(spans)
+    return got, want, stats, html
+
+
+@pytest.mark.parametrize("doc_index", list(range(0, 300)))
+def test_roundtrip_parity(doc_index):
+    got, want, _, _ = _roundtrip(doc_index)
+    assert _triples(got) == _triples(want)
+    assert [r["offset"] for r in got] == list(range(len(got)))
+
+
+@pytest.mark.parametrize("seed", [7, 99, 12345])
+def test_roundtrip_parity_other_seeds(seed):
+    for doc_index in range(60):
+        got, want, _, _ = _roundtrip(doc_index, seed=seed)
+        assert _triples(got) == _triples(want), (seed, doc_index)
+
+
+def test_extracted_doc_chunks_cleanly():
+    """Extracted spans feed the existing chunk pipeline: rebuilding the
+    doc and hybrid-chunking it must equal chunking the projection."""
+    from docling_core_spark.chunking.hybrid import hybrid_chunk
+    from docling_core_spark.model.spans import doc_from_spans
+
+    for doc_index in (0, 3, 17, 42):
+        got, want, _, _ = _roundtrip(doc_index)
+        to_t = lambda rows: [(r["kind"], r["text"], r["media_ref"],
+                              r["offset"]) for r in rows]
+        d_got = doc_from_spans("d", to_t(got))
+        d_want = doc_from_spans("d", to_t(want))
+        c_got = [(c.text, c.headings)
+                 for c in hybrid_chunk(d_got, max_tokens=64)]
+        c_want = [(c.text, c.headings)
+                  for c in hybrid_chunk(d_want, max_tokens=64)]
+        assert c_got == c_want
+        assert c_got  # non-degenerate
+
+
+def test_stats_sane():
+    for doc_index in (0, 5, 11):
+        _, _, stats, _ = _roundtrip(doc_index)
+        assert stats["main_found"] == 1
+        assert 0 < stats["content_chars"] < stats["page_chars"]
+        assert stats["n_dropped"] >= 4  # header, nav, footer, script, ...
+
+
+def test_boilerplate_fully_stripped():
+    """No chrome vocabulary may leak into extracted text (the chrome
+    word list is disjoint from the corpus word list)."""
+    got, _, _, _ = _roundtrip(2)
+    text = " ".join(str(r["text"]) for r in got).lower()
+    for w in ("cookie", "newsletter", "sitemap", "advertise"):
+        assert w not in text
+
+
+# ----------------------------------------------------------------------
+# heuristic robustness on hand-built pages (no declared main container)
+# ----------------------------------------------------------------------
+
+def test_no_main_linkfarm_fallback():
+    html = (
+        "<html><body>"
+        '<div class="x1"><ul>'
+        + "".join(f'<li><a href="/p{i}">link {i}</a></li>'
+                  for i in range(8))
+        + "</ul></div>"
+        "<div><h1>Real Title</h1><p>A real paragraph with enough "
+        "substance to matter.</p></div>"
+        "</body></html>")
+    rows, stats = extract_spans(html)
+    kinds = [r["kind"] for r in rows]
+    assert kinds == ["title", "text"]
+    assert stats["main_found"] == 0
+    assert stats["n_dropped"] >= 1
+
+
+def test_content_list_with_links_survives_fallback():
+    """A genuine list whose items carry some links must NOT be treated
+    as a link farm (long anchors, low density)."""
+    html = (
+        "<html><body><div>"
+        "<p>Intro paragraph text for context and length.</p>"
+        "<ul>"
+        '<li><a href="/a">a genuinely long linked list item with many '
+        "words</a></li>"
+        "<li>an unlinked item with plenty of running text in it</li>"
+        "<li>another unlinked item with plenty of running text</li>"
+        "</ul></div></body></html>")
+    rows, _ = extract_spans(html)
+    kinds = [r["kind"] for r in rows]
+    assert "list_group" in kinds
+    assert sum(k.startswith("list_item") for k in kinds) == 3
+
+
+def test_boiler_class_inside_content_dropped():
+    html = (
+        "<html><body><main>"
+        "<p>keep me</p>"
+        '<div class="ad-unit"><p>buy things</p></div>'
+        '<div id="comments-42"><p>first!</p></div>'
+        "<p>also keep</p>"
+        "</main></body></html>")
+    rows, _ = extract_spans(html)
+    assert [r["text"] for r in rows] == ["keep me", "also keep"]
+
+
+def test_figure_with_chartish_class_not_dropped():
+    html = (
+        "<html><body><main>"
+        '<figure class="fig-chart chart-bar_chart">'
+        '<img src="media/c1.png" alt="">'
+        '<table class="chart-data"><tr><td>1</td><td>2</td></tr></table>'
+        "</figure></main></body></html>")
+    rows, _ = extract_spans(html)
+    assert rows[0]["kind"] == "chart:bar_chart"
+    assert rows[0]["media_ref"] == "c1"
+    assert "<fcel>1<fcel>2<nl>" == rows[0]["text"]
+
+
+def test_malformed_html_total():
+    """Unclosed/mis-nested tags must not crash or loop."""
+    html = ("<html><body><main><p>one<p>two<b>bold"
+            "<ul><li>item<li>item2</main>")
+    rows, _ = extract_spans(html)
+    texts = [r["text"] for r in rows]
+    assert "one" in texts
+    assert any("item" in t for t in texts)
+
+
+def test_empty_and_chrome_only_pages():
+    assert extract_spans("")[0] == []
+    html = ("<html><body><nav><a href='/'>home</a></nav>"
+            "<footer>c</footer></body></html>")
+    rows, stats = extract_spans(html)
+    assert rows == []
+    assert stats["content_chars"] == 0
+
+
+def test_semantic_alias_tags():
+    """strong/em/del aliases map to the same fmt flags as b/i/s."""
+    html = ("<html><body><main>"
+            "<p><strong><em>both</em></strong></p>"
+            "<p><del>gone</del></p>"
+            "</main></body></html>")
+    rows, _ = extract_spans(html)
+    assert rows[0]["kind"] == "text+fmt=bi"
+    assert rows[1]["kind"] == "text+fmt=s"
+
+
+def test_parse_html_tree_shape():
+    root = parse_html("<html><body><div id='a'><p>x</p></div></body></html>")
+    body = root.children[0].children[0]
+    assert body.tag == "body"
+    assert body.children[0].attrs["id"] == "a"
+
+
+def test_origin_meta_roundtrip():
+    spans = gen_doc_spans(4, seed=42)
+    html = render_page_html("doc_4", spans)
+    rows, _ = extract_spans(html)
+    origin = [r for r in rows if str(r["kind"]).startswith("origin:")]
+    assert len(origin) == 1
+    assert str(origin[0]["text"]).endswith(".pdf")
+    assert origin[0]["media_ref"] == "application/pdf"
+    assert origin[0]["offset"] == 0
+
+
+# ----------------------------------------------------------------------
+# Spark-side equivalence (distributed == single-process == projection)
+# ----------------------------------------------------------------------
+
+def test_spark_extract_matches_projection(spark):
+    import pandas as pd
+
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.spark import (
+        extract_pages,
+        render_pages,
+    )
+
+    docs = synth_documents(spark, 40, seed=42)
+    got = (extract_pages(render_pages(docs))
+           .toPandas()
+           .sort_values(["doc_id", "ord"])
+           .reset_index(drop=True))
+    exp_rows = []
+    for i in range(40):
+        for r in project_for_html(gen_doc_spans(i, seed=42)):
+            exp_rows.append({"doc_id": f"doc_{i:012d}",
+                             "ord": r["offset"], "kind": r["kind"],
+                             "text": r["text"],
+                             "media_ref": r["media_ref"]})
+    want = (pd.DataFrame(exp_rows)
+            .sort_values(["doc_id", "ord"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"ord": "int64"}), want.astype({"ord": "int64"}))
