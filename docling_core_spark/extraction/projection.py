@@ -47,6 +47,7 @@ from docling_core_spark.model.kv import encode_kv, parse_kv
 from docling_core_spark.model.otsl import encode_otsl, parse_otsl
 from docling_core_spark.model.spans import (
     encode_pic_anns,
+    parse_image_ref,
     split_pic_anns,
     split_table_anns,
 )
@@ -201,16 +202,19 @@ def project_for_html(spans: Sequence[dict]) -> List[Row]:
             emit("end_group")
         elif root == "table":
             # fmt has no meaning on floating kinds (the codec does not
-            # carry it - model/spans.py table/picture branches)
+            # carry it - model/spans.py table/picture branches); <image>
+            # refs don't survive a page (the img src IS the reference)
             otsl, anns = split_table_anns(s["text"])
             emit(rejoin_kind(base, "", as_child),
                  _norm_otsl(otsl) + encode_pic_anns(anns), s["media_ref"])
         elif root == "chart":
-            otsl, anns = split_pic_anns(s["text"])
+            stripped, _ = parse_image_ref(s["text"])
+            otsl, anns = split_pic_anns(stripped)
             emit(rejoin_kind(base, "", as_child),
                  _norm_otsl(otsl) + encode_pic_anns(anns), s["media_ref"])
         elif root == "picture":
-            _, anns = split_pic_anns(s["text"])
+            stripped, _ = parse_image_ref(s["text"])
+            _, anns = split_pic_anns(stripped)
             emit(rejoin_kind(base, "", as_child),
                  encode_pic_anns(anns), s["media_ref"])
         elif root == "list_item":

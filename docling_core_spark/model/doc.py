@@ -71,7 +71,7 @@ class Node:
         "kind", "label", "level", "text", "media_ref", "marker",
         "enumerated", "offset", "children", "parent", "captions",
         "page_no", "layer", "orig", "chart_class", "fmt", "hyperlink",
-        "code_language", "pic_anns",
+        "code_language", "pic_anns", "image",
     )
 
     def __init__(
@@ -92,6 +92,7 @@ class Node:
         hyperlink: str = "",
         code_language: str = "unknown",
         pic_anns: Optional[List] = None,
+        image: Optional[dict] = None,
     ) -> None:
         self.kind = kind
         self.label = label if label is not None else kind
@@ -123,6 +124,11 @@ class Node:
         # DescriptionAnnotation.text / PictureMoleculeData.smi
         # (document.py:120-139)
         self.pic_anns: List = pic_anns or []
+        # ImageRef analogue (document.py:798-862): dict with mimetype
+        # (str), dpi (int), size {width, height} (floats), uri (str:
+        # data URI, file path, or URL); None = picture data lives in
+        # the media table only (referenced by media_ref)
+        self.image: Optional[dict] = image
 
     # --- tree helpers -------------------------------------------------
     def add_child(self, child: "Node") -> "Node":

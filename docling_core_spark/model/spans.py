@@ -57,6 +57,10 @@ _PIC_ANN_RE = re.compile(r"<(desc|smiles)>(.*?)</\1>", re.DOTALL)
 # tables carry only description annotations (TableAnnotationType);
 # <desc> tags ride after the OTSL stream in the table span text
 _DESC_RE = re.compile(r"<desc>(.*?)</desc>", re.DOTALL)
+# picture ImageRef (document.py:798-862) rides in the span text as a
+# canonical-JSON <image> tag: {"mimetype", "dpi", "size": {w, h},
+# "uri"} - grammar extension for S9 image re-homing
+_IMAGE_RE = re.compile(r"<image>(.*?)</image>", re.DOTALL)
 
 
 def parse_pic_anns(text: str) -> List[Tuple[str, str]]:
@@ -78,6 +82,30 @@ def split_pic_anns(text: str) -> Tuple[str, List[Tuple[str, str]]]:
 def encode_pic_anns(anns: List[Tuple[str, str]]) -> str:
     return "".join(f"<{k}>{v}</{k}>" for k, v in anns
                    if k in ("desc", "smiles"))
+
+
+def parse_image_ref(text: str) -> Tuple[str, Optional[dict]]:
+    """Span text -> (text without <image> tag, ImageRef dict or None)."""
+    import json
+
+    m = _IMAGE_RE.search(text or "")
+    if not m:
+        return text or "", None
+    try:
+        image = json.loads(m.group(1))
+    except ValueError:
+        image = None
+    return _IMAGE_RE.sub("", text or ""), image
+
+
+def encode_image_ref(image: Optional[dict]) -> str:
+    """ImageRef dict -> canonical <image> tag ("" when None)."""
+    import json
+
+    if not image:
+        return ""
+    return "<image>" + json.dumps(image, sort_keys=True,
+                                  separators=(",", ":")) + "</image>"
 
 
 def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
@@ -194,8 +222,10 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
             node = Node(K_FORMULA, text=text, offset=offset, page_no=page,
                         orig=media_ref)  # orig used for formula fallback
         elif kind == "picture":
+            text, image = parse_image_ref(text)
             node = Node(K_PICTURE, media_ref=media_ref, offset=offset,
-                        page_no=page, pic_anns=parse_pic_anns(text))
+                        page_no=page, pic_anns=parse_pic_anns(text),
+                        image=image)
         elif kind == "table":
             otsl_text, t_anns = split_table_anns(text)
             node = Node(K_TABLE, text=otsl_text, media_ref=media_ref,
@@ -204,10 +234,11 @@ def doc_from_spans(doc_id: str, spans: Iterable[Span]) -> Doc:
             # chart:CLASS - picture with classification + tabular chart
             # data (OTSL carried in text, + optional <desc>/<smiles>)
             cls_name = kind.split(":", 1)[1] if ":" in kind else "bar_chart"
+            text, image = parse_image_ref(text)
             otsl_text, p_anns = split_pic_anns(text)
             node = Node(K_PICTURE, text=otsl_text, media_ref=media_ref,
                         offset=offset, page_no=page, chart_class=cls_name,
-                        pic_anns=p_anns)
+                        pic_anns=p_anns, image=image)
         elif kind == "key_value_region":
             node = Node(K_KEY_VALUE, text=text, offset=offset, page_no=page)
         elif kind == "form":
@@ -306,12 +337,14 @@ def spans_from_doc(doc: Doc) -> List[dict]:
             elif c.kind == K_FORMULA:
                 emit("formula", c.text, c.orig)
             elif c.kind == K_PICTURE:
+                img_tag = encode_image_ref(c.image)
                 if c.chart_class:
                     emit(f"chart:{c.chart_class}",
-                         c.text + encode_pic_anns(c.pic_anns),
+                         c.text + encode_pic_anns(c.pic_anns) + img_tag,
                          c.media_ref)
                 else:
-                    emit("picture", encode_pic_anns(c.pic_anns),
+                    emit("picture",
+                         encode_pic_anns(c.pic_anns) + img_tag,
                          c.media_ref)
                 emit_item_children(c)
             elif c.kind == K_TABLE:

@@ -281,6 +281,49 @@ def _rows_html_page_stats(n: int) -> list:
     return out
 
 
+def _rows_rehome_embed(n: int) -> list:
+    """Single-process replica of attach -> embed (rehome.py): per-
+    picture ImageRef witnesses after embedding."""
+    from docling_core_spark.mediaops import _payload_for
+    from docling_core_spark.rehome import (
+        attach_file_images,
+        embed_spans,
+        image_ref_rows_py,
+    )
+
+    out = []
+    for r in _corpus_rows(n):
+        spans = attach_file_images(r["spans"])
+        refs = {s["media_ref"] for s in spans
+                if s["media_ref"] and s["kind"].split(":", 1)[0]
+                in ("picture", "chart")}
+        spans = embed_spans(spans, {m: _payload_for(m) for m in refs})
+        out.extend(image_ref_rows_py(r["doc_id"], spans))
+    return out
+
+
+def _rows_rehome_refs(n: int) -> list:
+    """attach -> embed -> reference round trip witnesses."""
+    from docling_core_spark.mediaops import _payload_for
+    from docling_core_spark.rehome import (
+        attach_file_images,
+        embed_spans,
+        image_ref_rows_py,
+        reference_spans,
+    )
+
+    out = []
+    for r in _corpus_rows(n):
+        spans = attach_file_images(r["spans"])
+        refs = {s["media_ref"] for s in spans
+                if s["media_ref"] and s["kind"].split(":", 1)[0]
+                in ("picture", "chart")}
+        spans = embed_spans(spans, {m: _payload_for(m) for m in refs})
+        spans, _ = reference_spans(spans, "artifacts")
+        out.extend(image_ref_rows_py(r["doc_id"], spans))
+    return out
+
+
 def concat_group(doc_id: str, n_groups: int) -> int:
     """Deterministic concat grouping shared by the Spark query and this
     materializer: modulo over the numeric doc index (doc_id is
@@ -404,6 +447,18 @@ _SPECS: Dict[str, tuple] = {
         [("doc_id", "string"), ("page_chars", "int64"),
          ("content_chars", "int64"), ("n_dropped", "int32"),
          ("main_found", "int32"), ("content_ratio", "float64")], None),
+    "rehome_embed": (
+        _rows_rehome_embed,
+        [("doc_id", "string"), ("media_ref", "string"),
+         ("mimetype", "string"), ("dpi", "int32"),
+         ("width", "float64"), ("height", "float64"),
+         ("uri_scheme", "string"), ("uri_sha256", "string")], None),
+    "rehome_refs": (
+        _rows_rehome_refs,
+        [("doc_id", "string"), ("media_ref", "string"),
+         ("mimetype", "string"), ("dpi", "int32"),
+         ("width", "float64"), ("height", "float64"),
+         ("uri_scheme", "string"), ("uri_sha256", "string")], None),
 }
 
 ENGINE_ORACLE_QUERIES = tuple(_SPECS)

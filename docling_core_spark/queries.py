@@ -845,6 +845,36 @@ LIMIT 20
 """
 
 
+def _q_rehome_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 embed pass: file-URI ImageRefs -> data URIs via a media-table
+    join (rehome.py); output = per-picture ImageRef witnesses."""
+    from docling_core_spark.mediaops import media_table
+    from docling_core_spark.rehome import (
+        attach_images,
+        embed_pictures,
+        image_ref_rows,
+    )
+
+    docs = corpus_df(spark, sf_dir)
+    return image_ref_rows(
+        embed_pictures(attach_images(docs), media_table(docs)))
+
+
+def _q_rehome_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 reference pass: data URIs -> image_{count}_{hash}.png refs."""
+    from docling_core_spark.mediaops import media_table
+    from docling_core_spark.rehome import (
+        attach_images,
+        embed_pictures,
+        image_ref_rows,
+        reference_pictures,
+    )
+
+    docs = corpus_df(spark, sf_dir)
+    embedded = embed_pictures(attach_images(docs), media_table(docs))
+    return image_ref_rows(reference_pictures(embedded, "artifacts"))
+
+
 def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.extraction.spark import q_html_extract
     return q_html_extract(spark, sf_dir)
@@ -875,6 +905,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_range_chunks": q_extract_range_chunks,
         "html_extract": _q_html_extract,
         "html_page_stats": _q_html_page_stats,
+        "rehome_embed": _q_rehome_embed,
+        "rehome_refs": _q_rehome_refs,
         "caption_resolution": q_caption_resolution,
         "span_kind_stats": q_span_kind_stats,
         "bbox_overlap_stats": q_bbox_overlap_stats,

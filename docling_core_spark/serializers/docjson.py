@@ -217,6 +217,16 @@ def export_to_docjson(doc: Doc, name: Optional[str] = None) -> dict:
                     "captions": [], "references": [], "footnotes": [],
                     "annotations": anns,
                 }
+                if c.image:
+                    # ImageRef (document.py:798-862): emitted with the
+                    # reference's field order mimetype/dpi/size/uri
+                    item["image"] = {
+                        "mimetype": c.image.get("mimetype", "image/png"),
+                        "dpi": c.image.get("dpi", 72),
+                        "size": c.image.get("size",
+                                            {"width": 0.0, "height": 0.0}),
+                        "uri": c.image.get("uri", ""),
+                    }
                 pools["pictures"].append(item)
                 pages.add(c.page_no)
                 item["captions"] = caption_refs(c, parent_ref)

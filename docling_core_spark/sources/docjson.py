@@ -260,13 +260,28 @@ def docjson_to_spans(doc_json: str | dict) -> List[Dict]:
                     encode_pic_anns,
                 )
 
+                img_tag = ""
+                if c.get("image"):
+                    from docling_core_spark.model.spans import (
+                        encode_image_ref,
+                    )
+
+                    im = c["image"]
+                    img_tag = encode_image_ref({
+                        "mimetype": im.get("mimetype", "image/png"),
+                        "dpi": im.get("dpi", 72),
+                        "size": im.get("size",
+                                       {"width": 0.0, "height": 0.0}),
+                        "uri": str(im.get("uri", "")),
+                    })
                 if cls_name is not None:
                     otsl = (_otsl_from_table_data(chart_data)
                             if chart_data else "")
                     emit(f"chart:{cls_name}",
-                         otsl + encode_pic_anns(extra), mref)
+                         otsl + encode_pic_anns(extra) + img_tag, mref)
                 else:
-                    emit("picture", encode_pic_anns(extra), mref)
+                    emit("picture", encode_pic_anns(extra) + img_tag,
+                         mref)
                 # picture children (OCR'd in-figure items; skipped in
                 # default traversal, visible with traverse_pictures);
                 # the picture's own captions keep their child position
