@@ -281,6 +281,32 @@ def _rows_html_page_stats(n: int) -> list:
     return out
 
 
+def _rows_docjson_validation(n: int) -> list:
+    """Single-process replica of export -> deterministic corruption ->
+    validate (validation.py)."""
+    import json as _json
+
+    from docling_core_spark.serializers.docjson import export_to_docjson_str
+    from docling_core_spark.validation import (
+        corrupt_docjson,
+        validate_docjson_dict,
+    )
+
+    out = []
+    for doc_id, doc in _docs(n):
+        payload = corrupt_docjson(doc_id, export_to_docjson_str(doc))
+        try:
+            parsed = _json.loads(payload)
+            errs = (validate_docjson_dict(parsed)
+                    if isinstance(parsed, dict)
+                    else ["schema: not a JSON object"])
+        except ValueError as exc:
+            errs = [f"json: {exc}"]
+        out.append({"doc_id": doc_id, "is_valid": not errs,
+                    "n_errors": len(errs), "errors": "; ".join(errs)})
+    return out
+
+
 def _rows_rehome_embed(n: int) -> list:
     """Single-process replica of attach -> embed (rehome.py): per-
     picture ImageRef witnesses after embedding."""
@@ -453,6 +479,10 @@ _SPECS: Dict[str, tuple] = {
          ("mimetype", "string"), ("dpi", "int32"),
          ("width", "float64"), ("height", "float64"),
          ("uri_scheme", "string"), ("uri_sha256", "string")], None),
+    "docjson_validation": (
+        _rows_docjson_validation,
+        [("doc_id", "string"), ("is_valid", "bool_"),
+         ("n_errors", "int32"), ("errors", "string")], None),
     "rehome_refs": (
         _rows_rehome_refs,
         [("doc_id", "string"), ("media_ref", "string"),

@@ -875,6 +875,21 @@ def _q_rehome_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ref_rows(reference_pictures(embedded, "artifacts"))
 
 
+def _q_docjson_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.4 validation surface: export reference-schema JSON, corrupt a
+    deterministic subset (bad version / broken parent ref / truncated
+    payload), and report quarantine rows instead of throwing
+    (reference validators: document.py:5541-5569, 4045-4060)."""
+    from docling_core_spark.validation import (
+        corrupt_docjson_df,
+        validate_docjson,
+    )
+
+    js = (export_documents(corpus_df(spark, sf_dir), fmt="json")
+          .withColumnRenamed("text", "doc_json"))
+    return validate_docjson(corrupt_docjson_df(js))
+
+
 def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.extraction.spark import q_html_extract
     return q_html_extract(spark, sf_dir)
@@ -907,6 +922,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_page_stats": _q_html_page_stats,
         "rehome_embed": _q_rehome_embed,
         "rehome_refs": _q_rehome_refs,
+        "docjson_validation": _q_docjson_validation,
         "caption_resolution": q_caption_resolution,
         "span_kind_stats": q_span_kind_stats,
         "bbox_overlap_stats": q_bbox_overlap_stats,
