@@ -7,3 +7,8 @@ from docling_core_spark.chunking.hierarchical import (  # noqa: F401
 )
 from docling_core_spark.chunking.hybrid import hybrid_chunk  # noqa: F401
 from docling_core_spark.chunking.tokenizer import RegexTokenizer  # noqa: F401
+from docling_core_spark.chunking.wordpiece import (  # noqa: F401
+    BytePairCounter,
+    RecordedCounter,
+    WordPieceCounter,
+)

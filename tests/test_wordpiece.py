@@ -1,0 +1,240 @@
+"""C5 tokenizer algorithms: hand-pinned WordPiece/BPE fixtures + hybrid
+chunking parity with the live reference under a real (non-separable)
+tokenizer."""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_core_spark.chunking.wordpiece import (
+    BytePairCounter,
+    RecordedCounter,
+    WordPieceCounter,
+    basic_tokenize,
+    bpe_merge_count,
+    wordpiece_split,
+)
+
+VOCAB = [
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]",
+    "the", "cat", "##s", "play", "##ing", "un", "##believ", "##able",
+    "!", ",", ".", "hello", "world", "##ld", "wor", "a", "b", "##c",
+    "1", "##2", "data", "pipe", "##line",
+]
+
+
+@pytest.fixture(scope="module")
+def wp() -> WordPieceCounter:
+    return WordPieceCounter(VOCAB, lowercase=True, max_tokens=16)
+
+
+# -- basic tokenizer ---------------------------------------------------
+
+def test_basic_whitespace_and_punct():
+    assert basic_tokenize("Hello, world!") == \
+        ["hello", ",", "world", "!"]
+
+
+def test_basic_accent_strip_and_lower():
+    assert basic_tokenize("Héllo") == ["hello"]
+    assert basic_tokenize("Héllo", lowercase=False) == ["Héllo"]
+
+
+def test_basic_cjk_isolated():
+    assert basic_tokenize("ab中文cd") == \
+        ["ab", "中", "文", "cd"]
+
+
+def test_basic_control_chars_dropped():
+    assert basic_tokenize("a\x00b�c") == ["abc"]
+    assert basic_tokenize("a\tb\nc") == ["a", "b", "c"]
+
+
+def test_ascii_symbols_are_punct():
+    # BERT splits $ + < = > ^ ` | ~ even though unicode labels them Sym
+    assert basic_tokenize("a+b") == ["a", "+", "b"]
+    assert basic_tokenize("x<y") == ["x", "<", "y"]
+
+
+# -- wordpiece ---------------------------------------------------------
+
+def test_wordpiece_greedy_longest_match(wp):
+    assert wp.tokenize("cats") == ["cat", "##s"]
+    assert wp.tokenize("playing") == ["play", "##ing"]
+    assert wp.tokenize("unbelievable") == ["un", "##believ", "##able"]
+    # longest-match-first: "world" whole beats "wor"+"##ld"
+    assert wp.tokenize("world") == ["world"]
+    assert wp.tokenize("worl") == ["wor", "##l"] if "##l" in wp.vocab \
+        else wp.tokenize("worl") == ["[UNK]"]
+
+
+def test_wordpiece_unk_whole_word(wp):
+    # 'q' has no piece -> the whole word collapses to [UNK]
+    assert wp.tokenize("cataq") == ["[UNK]"]
+    assert wp.tokenize("zzz") == ["[UNK]"]
+
+
+def test_wordpiece_long_word_unk(wp):
+    assert wordpiece_split("a" * 101, wp.vocab) == ["[UNK]"]
+    assert wordpiece_split("a" * 100, wp.vocab) != []  # within limit
+
+
+def test_wordpiece_counts(wp):
+    s = "the cats, playing!"
+    assert wp.tokenize(s) == ["the", "cat", "##s", ",", "play",
+                              "##ing", "!"]
+    assert wp.count_tokens(s) == 7
+    assert wp.count_tokens("") == 0
+
+
+def test_wordpiece_not_separable(wp):
+    """count(a + ' ' + b) can differ from count(a)+count(b)? For
+    WordPiece with whole-word [UNK] collapse the identity actually
+    holds across spaces - but NOT across direct concatenation; the
+    class conservatively declares non-separable and the chunker takes
+    the exact path."""
+    assert wp.whitespace_separable is False
+    a, b = "worl", "d"  # 'world'=1 token; 'worl','d' -> [UNK],[UNK]
+    assert wp.count_tokens(a + b) != \
+        wp.count_tokens(a) + wp.count_tokens(b)
+
+
+def test_from_vocab_file(tmp_path, wp):
+    p = tmp_path / "vocab.txt"
+    p.write_text("\n".join(VOCAB) + "\n", encoding="utf-8")
+    loaded = WordPieceCounter.from_vocab_file(str(p), max_tokens=16)
+    assert loaded.tokenize("unbelievable cats") == \
+        wp.tokenize("unbelievable cats")
+
+
+# -- byte-level BPE ----------------------------------------------------
+
+def _ranks(*toks: bytes):
+    return {t: i for i, t in enumerate(toks)}
+
+
+def test_bpe_merge_order():
+    # merge 'ab' first (rank 0), then 'abc' (rank 1)
+    ranks = _ranks(b"ab", b"abc")
+    assert bpe_merge_count(b"abc", ranks) == 1
+    assert bpe_merge_count(b"abd", ranks) == 2  # 'ab' + 'd'
+    assert bpe_merge_count(b"xyz", ranks) == 3  # no merges
+
+
+def test_bpe_rank_priority():
+    # 'bc' has lower rank than 'ab': 'abc' -> a + bc (no 'abc' token)
+    ranks = {b"bc": 0, b"ab": 1}
+    assert bpe_merge_count(b"abc", ranks) == 2
+
+
+def test_bpe_counter_presplit():
+    ranks = _ranks(b"he", b"ll", b"hell", b"hello", b" w", b"or",
+                   b" wor", b" world")
+    c = BytePairCounter(ranks)
+    assert c.count_tokens("hello world") == 2  # 'hello' + ' world'
+    assert c.count_tokens("hello") == 1
+    assert c.count_tokens("") == 0
+
+
+def test_bpe_contraction_split():
+    ranks = {}
+    c = BytePairCounter(ranks)
+    # "don't" pre-splits into "don" + "'t" (GPT pattern)
+    assert c.count_tokens("don't") == len(b"don") + len(b"'t")
+
+
+def test_bpe_from_file(tmp_path):
+    import base64
+
+    p = tmp_path / "enc.tiktoken"
+    lines = [
+        base64.b64encode(b"he").decode() + " 0",
+        base64.b64encode(b"llo").decode() + " 1",
+        base64.b64encode(b"hello").decode() + " 2",
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    c = BytePairCounter.from_tiktoken_file(str(p))
+    assert c.count_tokens("hello") == 1
+
+
+# -- recorded counts ---------------------------------------------------
+
+def test_recorded_counter():
+    rc = RecordedCounter({"abc": 7}, max_tokens=64)
+    assert rc.count_tokens("abc") == 7
+    with pytest.raises(KeyError):
+        rc.count_tokens("unseen")
+    rc2 = RecordedCounter({"abc": 7}, 64,
+                          fallback=WordPieceCounter(VOCAB))
+    assert rc2.count_tokens("cats") == 2
+
+
+# -- hybrid chunking parity with the live reference --------------------
+
+def _corpus_vocab(n_docs: int = 40) -> list:
+    """A WordPiece vocab derived from the corpus word list so real
+    merges and [UNK]s both occur."""
+    from docling_core_spark.corpus import _WORDS
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+    for w in sorted(set(_WORDS)):
+        w = w.lower()
+        if len(w) > 4:
+            vocab.append(w[:4])
+            vocab.append("##" + w[4:])
+        elif w not in vocab:
+            vocab.append(w)
+    vocab += ["!", ",", ".", ":", ")", "(", "<", ">", "&", "_", ";",
+              "-", "'", '"', "=", "#", "$", "*", "1", "2", "3"]
+    seen = set()
+    return [v for v in vocab if not (v in seen or seen.add(v))]
+
+
+def test_hybrid_parity_reference_with_wordpiece():
+    """The reference HybridChunker driven by OUR WordPiece counter must
+    produce the same chunks as our hybrid pipeline with the same
+    counter - exercising the exact (non-separable) path on both sides
+    with a real tokenizer algorithm."""
+    import tests.refstubs as refstubs
+
+    refstubs.install()
+    from tests.oracle import build_doc, reference_hybrid_chunks
+
+    from docling_core_spark.chunking.hybrid import hybrid_chunk
+    from docling_core_spark.corpus import gen_doc_spans
+    from docling_core_spark.model.spans import doc_from_spans
+
+    vocab = _corpus_vocab()
+
+    from docling_core.transforms.chunker.tokenizer.base import BaseTokenizer
+
+    class _WpTok(BaseTokenizer):
+        max_tokens: int = 48
+
+        def count_tokens(self, text: str) -> int:
+            return WordPieceCounter(vocab).count_tokens(text)
+
+        def get_max_tokens(self) -> int:
+            return self.max_tokens
+
+        def get_tokenizer(self):
+            return WordPieceCounter(vocab)
+
+    from docling_core.transforms.chunker.hybrid_chunker import HybridChunker
+
+    for i in range(12):
+        spans = gen_doc_spans(i, seed=42)
+        tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                  for s in spans]
+        doc = doc_from_spans(f"doc_{i}", tuples)
+        ref_doc, _ = build_doc(f"doc_{i}", spans)
+        chunker = HybridChunker(tokenizer=_WpTok(), merge_peers=True)
+        want = [(c.text,
+                 list(c.meta.headings) if c.meta.headings else None)
+                for c in chunker.chunk(ref_doc)]
+        got = [(c.text, c.headings if c.headings else None)
+               for c in hybrid_chunk(
+                   doc, tokenizer=WordPieceCounter(vocab,
+                                                   max_tokens=48))]
+        assert got == want, f"doc {i}"
+        assert want  # non-degenerate
