@@ -281,6 +281,39 @@ def _rows_html_page_stats(n: int) -> list:
     return out
 
 
+def _rows_export_legacy(n: int) -> list:
+    import json as _json
+
+    from docling_core_spark.legacy import spans_to_legacy
+
+    out = []
+    for r in _corpus_rows(n):
+        out.append({"doc_id": r["doc_id"], "fmt": "legacy",
+                    "text": _json.dumps(
+                        spans_to_legacy(r["doc_id"],
+                                        _tuples(r["spans"])),
+                        ensure_ascii=False, sort_keys=True)})
+    return out
+
+
+def _rows_legacy_roundtrip(n: int) -> list:
+    import json as _json
+
+    from docling_core_spark.legacy import legacy_to_spans, spans_to_legacy
+
+    out = []
+    for r in _corpus_rows(n):
+        legacy = _json.loads(_json.dumps(
+            spans_to_legacy(r["doc_id"], _tuples(r["spans"])),
+            ensure_ascii=False))
+        _, back = legacy_to_spans(legacy)
+        for row in back:
+            out.append({"doc_id": r["doc_id"], "ord": row["offset"],
+                        "kind": row["kind"], "text": row["text"],
+                        "media_ref": row["media_ref"]})
+    return out
+
+
 def _rows_docjson_validation(n: int) -> list:
     """Single-process replica of export -> deterministic corruption ->
     validate (validation.py)."""
@@ -479,6 +512,14 @@ _SPECS: Dict[str, tuple] = {
          ("mimetype", "string"), ("dpi", "int32"),
          ("width", "float64"), ("height", "float64"),
          ("uri_scheme", "string"), ("uri_sha256", "string")], None),
+    "export_legacy": (
+        _rows_export_legacy,
+        [("doc_id", "string"), ("fmt", "string"), ("text", "string")],
+        None),
+    "legacy_roundtrip": (
+        _rows_legacy_roundtrip,
+        [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
+         ("text", "string"), ("media_ref", "string")], None),
     "docjson_validation": (
         _rows_docjson_validation,
         [("doc_id", "string"), ("is_valid", "bool_"),

@@ -875,6 +875,21 @@ def _q_rehome_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ref_rows(reference_pictures(embedded, "artifacts"))
 
 
+def _q_export_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 legacy DsDocument export (parity-locked to the live
+    reference converter in tests/test_legacy.py)."""
+    from docling_core_spark.legacy import export_legacy
+
+    return export_legacy(corpus_df(spark, sf_dir))
+
+
+def _q_legacy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 inverse: spans -> legacy JSON -> spans, exploded rows."""
+    from docling_core_spark.legacy import parse_legacy_roundtrip
+
+    return parse_legacy_roundtrip(corpus_df(spark, sf_dir))
+
+
 def _q_docjson_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§1.4 validation surface: export reference-schema JSON, corrupt a
     deterministic subset (bad version / broken parent ref / truncated
@@ -923,6 +938,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rehome_embed": _q_rehome_embed,
         "rehome_refs": _q_rehome_refs,
         "docjson_validation": _q_docjson_validation,
+        "export_legacy": _q_export_legacy,
+        "legacy_roundtrip": _q_legacy_roundtrip,
         "caption_resolution": q_caption_resolution,
         "span_kind_stats": q_span_kind_stats,
         "bbox_overlap_stats": q_bbox_overlap_stats,
