@@ -875,6 +875,24 @@ def _q_rehome_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_ref_rows(reference_pictures(embedded, "artifacts"))
 
 
+def _q_pdf_cells_in_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pdfpage import q_pdf_cells_in_bbox
+
+    return q_pdf_cells_in_bbox(spark, sf_dir)
+
+
+def _q_pdf_crop_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pdfpage import q_pdf_crop_text
+
+    return q_pdf_crop_text(spark, sf_dir)
+
+
+def _q_pdf_textlines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.pdfpage import q_pdf_textlines
+
+    return q_pdf_textlines(spark, sf_dir)
+
+
 def _q_export_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 legacy DsDocument export (parity-locked to the live
     reference converter in tests/test_legacy.py)."""
@@ -940,6 +958,9 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docjson_validation": _q_docjson_validation,
         "export_legacy": _q_export_legacy,
         "legacy_roundtrip": _q_legacy_roundtrip,
+        "pdf_cells_in_bbox": _q_pdf_cells_in_bbox,
+        "pdf_crop_text": _q_pdf_crop_text,
+        "pdf_textlines": _q_pdf_textlines,
         "caption_resolution": q_caption_resolution,
         "span_kind_stats": q_span_kind_stats,
         "bbox_overlap_stats": q_bbox_overlap_stats,
@@ -997,4 +1018,13 @@ def oracles() -> Dict[str, str]:
     out["list_depth_stats"] = _sql_list_depth_stats(sf)
     out["page_counts"] = _sql_page_counts(sf)
     out["doc_span_skew"] = _sql_doc_span_skew(sf)
+    from docling_core_spark.pdfpage import (
+        sql_pdf_cells_in_bbox,
+        sql_pdf_crop_text,
+        sql_pdf_textlines,
+    )
+
+    out["pdf_cells_in_bbox"] = sql_pdf_cells_in_bbox(sf)
+    out["pdf_crop_text"] = sql_pdf_crop_text(sf)
+    out["pdf_textlines"] = sql_pdf_textlines(sf)
     return out
