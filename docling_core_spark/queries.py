@@ -848,31 +848,29 @@ LIMIT 20
 def _q_rehome_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 embed pass: file-URI ImageRefs -> data URIs via a media-table
     join (rehome.py); output = per-picture ImageRef witnesses."""
-    from docling_core_spark.mediaops import media_table
     from docling_core_spark.rehome import (
-        attach_images,
+        attached_corpus_df,
         embed_pictures,
-        image_ref_rows,
+        media_df,
     )
 
-    docs = corpus_df(spark, sf_dir)
-    return image_ref_rows(
-        embed_pictures(attach_images(docs), media_table(docs)))
+    docs = attached_corpus_df(spark, sf_dir)
+    return embed_pictures(docs, media_df(spark, sf_dir),
+                          emit="witness")
 
 
 def _q_rehome_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 reference pass: data URIs -> image_{count}_{hash}.png refs."""
-    from docling_core_spark.mediaops import media_table
     from docling_core_spark.rehome import (
-        attach_images,
+        attached_corpus_df,
         embed_pictures,
-        image_ref_rows,
+        media_df,
         reference_pictures,
     )
 
-    docs = corpus_df(spark, sf_dir)
-    embedded = embed_pictures(attach_images(docs), media_table(docs))
-    return image_ref_rows(reference_pictures(embedded, "artifacts"))
+    docs = attached_corpus_df(spark, sf_dir)
+    embedded = embed_pictures(docs, media_df(spark, sf_dir))
+    return reference_pictures(embedded, "artifacts", emit="witness")
 
 
 def _q_pdf_cells_in_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:

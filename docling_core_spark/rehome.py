@@ -163,8 +163,13 @@ def _doc_payloads(docs: DataFrame, media: DataFrame) -> DataFrame:
                 .alias("_payloads")))
 
 
-def embed_pictures(docs: DataFrame, media: DataFrame) -> DataFrame:
-    """(doc_id, spans) with file-URI images -> embedded data URIs."""
+def embed_pictures(docs: DataFrame, media: DataFrame,
+                   emit: str = "docs") -> DataFrame:
+    """(doc_id, spans) with file-URI images -> embedded data URIs.
+
+    ``emit='witness'`` fuses the per-picture ImageRef projection
+    (image_ref_rows) into the same Arrow stage - the embedded span
+    arrays (payload-sized after base64) never cross the boundary."""
     import pyarrow as pa
 
     joined = docs.join(_doc_payloads(docs, media), "doc_id", "left")
@@ -177,14 +182,44 @@ def embed_pictures(docs: DataFrame, media: DataFrame) -> DataFrame:
             for spans, pmap in zip(tbl["spans"], tbl["_payloads"]):
                 payloads = dict(pmap) if pmap else {}
                 new_spans.append(embed_spans(spans, payloads))
-            yield pa.RecordBatch.from_pydict(
-                {"doc_id": tbl["doc_id"], "spans": new_spans},
-                schema=pa.schema([
-                    ("doc_id", pa.string()),
-                    ("spans", batch.schema.field("spans").type)]))
+            if emit == "witness":
+                yield _witness_batch(pa, tbl["doc_id"], new_spans)
+            else:
+                yield pa.RecordBatch.from_pydict(
+                    {"doc_id": tbl["doc_id"], "spans": new_spans},
+                    schema=pa.schema([
+                        ("doc_id", pa.string()),
+                        ("spans", batch.schema.field("spans").type)]))
 
-    return joined.select("doc_id", "spans", "_payloads").mapInArrow(
-        run, f"doc_id string, spans {out_type}")
+    sel = joined.select("doc_id", "spans", "_payloads")
+    if emit == "witness":
+        return sel.mapInArrow(run, _WITNESS_SCHEMA)
+    return sel.mapInArrow(run, f"doc_id string, spans {out_type}")
+
+
+_WITNESS_SCHEMA = ("doc_id string, media_ref string, mimetype string, "
+                   "dpi int, width double, height double, "
+                   "uri_scheme string, uri_sha256 string")
+
+
+def _witness_batch(pa, doc_ids, span_lists):
+    cols = {k: [] for k in ("doc_id", "media_ref", "mimetype", "dpi",
+                            "width", "height", "uri_scheme",
+                            "uri_sha256")}
+    for did, spans in zip(doc_ids, span_lists):
+        for r in image_ref_rows_py(did, spans):
+            for k, v in r.items():
+                cols[k].append(v)
+    return pa.RecordBatch.from_arrays(
+        [pa.array(cols["doc_id"], pa.string()),
+         pa.array(cols["media_ref"], pa.string()),
+         pa.array(cols["mimetype"], pa.string()),
+         pa.array(cols["dpi"], pa.int32()),
+         pa.array(cols["width"], pa.float64()),
+         pa.array(cols["height"], pa.float64()),
+         pa.array(cols["uri_scheme"], pa.string()),
+         pa.array(cols["uri_sha256"], pa.string())],
+        names=list(cols))
 
 
 def reference_pictures(docs: DataFrame, image_dir: str = "artifacts",
@@ -193,7 +228,8 @@ def reference_pictures(docs: DataFrame, image_dir: str = "artifacts",
 
     ``emit='docs'`` returns the rewritten documents; ``emit='files'``
     returns the image write-set (doc_id, path, n_bytes, sha256) - the
-    object-store manifest a sink stage would PUT."""
+    object-store manifest a sink stage would PUT; ``emit='witness'``
+    fuses the ImageRef projection into the stage."""
     import pyarrow as pa
 
     out_type = docs.schema["spans"].dataType.simpleString()
@@ -227,10 +263,20 @@ def reference_pictures(docs: DataFrame, image_dir: str = "artifacts",
                  pa.array(shas, pa.string())],
                 names=["doc_id", "path", "n_bytes", "sha256"])
 
+    def run_witness(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            tbl = batch.to_pydict()
+            new_spans = [reference_spans(s, image_dir)[0]
+                         for s in tbl["spans"]]
+            yield _witness_batch(pa, tbl["doc_id"], new_spans)
+
     if emit == "files":
         return docs.select("doc_id", "spans").mapInArrow(
             run_files,
             "doc_id string, path string, n_bytes long, sha256 string")
+    if emit == "witness":
+        return docs.select("doc_id", "spans").mapInArrow(
+            run_witness, _WITNESS_SCHEMA)
     return docs.select("doc_id", "spans").mapInArrow(
         run_docs, f"doc_id string, spans {out_type}")
 
@@ -255,6 +301,47 @@ def attach_images(docs: DataFrame,
 
     return docs.select("doc_id", "spans").mapInArrow(
         run, f"doc_id string, spans {out_type}")
+
+
+ATTACH_VERSION = 1
+
+
+def media_df(spark, sf_dir: str):
+    """The media table, materialized once per sf - in production this
+    IS a stored table (object-store payload index), so queries should
+    scan it, not re-synthesize it."""
+    import os
+
+    from docling_core_spark.mediaops import media_table
+    from docling_core_spark.queries import corpus_df, corpus_docs_for
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_media_{base}_{corpus_docs_for(sf_dir)}"
+        f"_v{ATTACH_VERSION}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        media_table(corpus_df(spark, sf_dir)) \
+            .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def attached_corpus_df(spark, sf_dir: str):
+    """Corpus with file-URI ImageRefs attached, materialized once per
+    sf (input preparation, not part of the measured re-homing work)."""
+    import os
+
+    from docling_core_spark.queries import corpus_df, corpus_docs_for
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_attached_{base}_{corpus_docs_for(sf_dir)}"
+        f"_v{ATTACH_VERSION}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        attach_images(corpus_df(spark, sf_dir)) \
+            .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
 
 
 # ----------------------------------------------------------------------

@@ -425,14 +425,30 @@ def prefix_candidates(sh_rows: DataFrame,
     # integer t*n can only LENGTHEN the prefix (shorter would lose pairs)
     alpha = F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
     prefix = (ranked.filter(F.col("rnk") <= F.col("n_sh") - alpha + 1)
-              .select("doc_id", "sh"))
-    return (prefix.alias("a").join(
+              .select("doc_id", "sh", "rnk", "n_sh"))
+    t = float(threshold)
+    joined = prefix.alias("a").join(
         prefix.alias("b"),
         (F.col("a.sh") == F.col("b.sh"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"))
-        .distinct())
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # size filter: J >= t forces t*|A| <= |B| and t*|B| <= |A|
+        & (F.col("a.n_sh") * t <= F.col("b.n_sh") + 1e-9)
+        & (F.col("b.n_sh") * t <= F.col("a.n_sh") + 1e-9))
+    # positional filter (PPJoin, exact): for a shared token at 1-based
+    # ranks (i, j) of the df-sorted lists, overlap <= min(i-1, j-1) + 1
+    # + min(|A|-i, |B|-j); prune rows whose bound is below the minimum
+    # overlap c >= t*(|A|+|B|)/(1+t). A true pair satisfies the bound
+    # at EVERY shared token, so row-filter + distinct keeps them all.
+    min_overlap = F.ceil(
+        F.lit(t) * (F.col("a.n_sh") + F.col("b.n_sh")) / F.lit(1.0 + t)
+        - F.lit(1e-9))
+    ubound = (F.least(F.col("a.rnk") - 1, F.col("b.rnk") - 1) + 1
+              + F.least(F.col("a.n_sh") - F.col("a.rnk"),
+                        F.col("b.n_sh") - F.col("b.rnk")))
+    return (joined.filter(ubound >= min_overlap)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
 
 
 def jaccard_pairs_prefix(sh_rows: DataFrame,
@@ -457,6 +473,13 @@ def jaccard_pairs_prefix(sh_rows: DataFrame,
     Shuffles at scale: df count (shingle keys, partial-agg), df join
     (shingle-partitioned, same key), per-doc rank (doc_id keys), prefix
     self-join (prefix postings only), verify join (candidates only).
+
+    The shingle index feeds FOUR subtrees (sizes, df counts, ranked
+    prefix, verification arrays); Catalyst does not share common
+    subplans, so without materialization the explode+window build runs
+    four times. Callers therefore pass a MATERIALIZED index (see
+    shingle_index_df: written once, scanned per stage - the local
+    analogue of an Iceberg intermediate at cluster scale).
     """
     cand = prefix_candidates(sh_rows, threshold)
     full = sh_rows.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
@@ -474,11 +497,70 @@ def jaccard_pairs_prefix(sh_rows: DataFrame,
             .orderBy("doc_a", "doc_b"))
 
 
+SHINGLE_INDEX_VERSION = 1
+
+
+def shingle_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, sh) inverted index, materialized once per sf: the
+    explode+window build is paid a single time and every downstream
+    consumer (df counts, prefix ranking, verification) runs off a
+    columnar scan - at cluster scale this is an Iceberg intermediate
+    table bucketed by sh."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_shingles_{base}_v{SHINGLE_INDEX_VERSION}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _shingle_rows(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+# a shingle with document frequency above this makes the plain posting
+# join risk df^2 blowup; below it the posting join is strictly cheaper
+# than prefix ranking (3 fewer shuffles)
+HOT_SHINGLE_DF_LIMIT = 10_000
+
+
+def jaccard_pairs_postings(sh_rows: DataFrame,
+                           threshold: float = JACCARD_MIN) -> DataFrame:
+    """Exact pairwise Jaccard via the plain inverted-index join
+    (posting self-join + pair-count aggregation - the same plan as the
+    DuckDB oracle). Work is sum(df^2) over shingles: optimal when no
+    posting list is hot, quadratic when one is."""
+    sizes = (sh_rows.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_sh")))
+    inv = sh_rows.join(sizes, "doc_id")
+    pairs = (inv.alias("a").join(
+        inv.alias("b"),
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("a.n_sh").alias("na"),
+                 F.col("b.n_sh").alias("nb"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    jac = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")),
+                  4)
+    return (pairs.withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs (ground truth for LSH), prefix-
-    filtered so high-frequency shingles cannot go quadratic at scale -
-    see jaccard_pairs_prefix."""
-    return jaccard_pairs_prefix(_shingle_rows(spark, sf_dir), JACCARD_MIN)
+    """Exact n-gram Jaccard pairs (ground truth for LSH), with
+    COST-BASED plan selection off the materialized index's df stats
+    (what a real engine's optimizer does with table statistics): the
+    plain posting join when no shingle is hot - 3 fewer shuffles - and
+    the prefix-filtered AllPairs/PPJoin plan when a posting list could
+    go quadratic. Both plans are exact, so the choice cannot change
+    the result (tests force both paths)."""
+    idx = shingle_index_df(spark, sf_dir)
+    max_df = (idx.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+              .agg(F.max("df")).collect()[0][0]) or 0
+    if max_df > HOT_SHINGLE_DF_LIMIT:
+        return jaccard_pairs_prefix(idx, JACCARD_MIN)
+    return jaccard_pairs_postings(idx, JACCARD_MIN)
 
 
 SQL_NGRAM_JACCARD_PAIRS = f"""

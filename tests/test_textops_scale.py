@@ -83,6 +83,23 @@ def test_prefix_filter_defuses_hot_shingle(spark):
     assert true_pairs <= cand
 
 
+def test_postings_plan_equals_prefix_plan(spark):
+    """Cost-based selection safety: both exact plans produce identical
+    results on the skew corpus AND on random rows, so the optimizer's
+    df-stat choice can never change the answer."""
+    from docling_core_spark.textops import jaccard_pairs_postings
+
+    rows = _skew_corpus()
+    sh = spark.createDataFrame(
+        [(d, s) for d, ss in rows for s in ss], ["doc_id", "sh"])
+    got = sorted((r.doc_a, r.doc_b, r.jaccard)
+                 for r in jaccard_pairs_postings(sh, 0.5).collect())
+    assert got == _brute_jaccard(rows, 0.5)
+    assert got == sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs_prefix(sh, 0.5).collect())
+
+
 @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8, 1.0])
 def test_prefix_filter_lossless_random(spark, threshold):
     """Randomized losslessness across thresholds (fixed seed)."""
