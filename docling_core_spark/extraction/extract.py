@@ -47,18 +47,30 @@ _VOID_TAGS = {"img", "br", "hr", "meta", "input", "link", "area", "base",
               "col", "embed", "source", "track", "wbr"}
 
 
+_TOKEN_SPLIT_RE = re.compile(r"[^a-z0-9]+")
+_NO_TOKENS: List[str] = []
+
+
 class El:
-    __slots__ = ("tag", "attrs", "children")
+    __slots__ = ("tag", "attrs", "children", "_toks")
 
     def __init__(self, tag: str, attrs: Dict[str, str]) -> None:
         self.tag = tag
         self.attrs = attrs
         self.children: List[object] = []  # El | str
+        self._toks: Optional[List[str]] = None
 
     def cls_tokens(self) -> List[str]:
-        raw = (self.attrs.get("class", "") + " "
-               + self.attrs.get("id", "")).lower()
-        return [t for t in re.split(r"[^a-z0-9]+", raw) if t]
+        # computed once per element: the boilerplate pass, main-content
+        # detection and emission all re-consult it
+        if self._toks is None:
+            if not self.attrs:
+                self._toks = _NO_TOKENS
+            else:
+                raw = (self.attrs.get("class", "") + " "
+                       + self.attrs.get("id", "")).lower()
+                self._toks = [t for t in _TOKEN_SPLIT_RE.split(raw) if t]
+        return self._toks
 
     def text(self) -> str:
         out: List[str] = []

@@ -110,3 +110,53 @@ def test_parse_doctags_is_two_arrow_stages(spark):
     tree = p.split("(1)")[0]
     assert tree.count("MapInArrow") == 2
     assert "Exchange" not in tree
+
+
+def test_html_extract_single_arrow_stage_no_shuffle(spark):
+    """Extraction tier: page scan -> ONE fused MapInArrow (DOM parse +
+    boilerplate strip + span emission), no Exchange."""
+    p = _plan(spark, "html_extract")
+    assert "MapInArrow" in p
+    assert "Exchange" not in p
+    tree = p.split("(1)")[0]
+    assert tree.count("MapInArrow") == 1
+
+
+def test_pdf_sidecar_queries_stay_jvm_side(spark):
+    """The columnar PDF page operators never drop to Python; the bbox
+    filter runs against the scan."""
+    for name in ("pdf_cells_in_bbox", "pdf_crop_text", "pdf_textlines"):
+        p = _plan(spark, name)
+        assert "Python" not in p and "ArrowEval" not in p, name
+        assert "MapInArrow" not in p, name
+    # crop_text: exactly one Exchange (the page-key window/agg pair
+    # reuses the same partitioning)
+    p = _plan(spark, "pdf_crop_text")
+    tree = p.split("(1)")[0]
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_rehome_embed_shuffles_ids_not_spans(spark):
+    """The payload join exchanges only (doc_id, media_ref, payload)
+    projections; the fused rewrite+witness stage is the only Arrow
+    crossing after the join."""
+    p = _plan(spark, "rehome_embed")
+    assert "MapInArrow" in p
+    tree = p.split("(1)")[0]
+    assert tree.count("MapInArrow") == 1
+    # the media-side exchange carries media_ref/payload, never spans
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning(media_ref" in ln:
+            assert "spans" not in ln
+
+
+def test_export_legacy_single_stage(spark):
+    p = _plan(spark, "export_legacy")
+    assert "Exchange" not in p
+    tree = p.split("(1)")[0]
+    assert tree.count("MapInArrow") == 1
+
+
+def test_docjson_validation_no_shuffle(spark):
+    p = _plan(spark, "docjson_validation")
+    assert "Exchange" not in p

@@ -31,6 +31,12 @@ CAPTURE = {
     "embedding_top_pairs": "FlatMapGroupsInPandas (grouped-map matmul)",
     "list_depth_stats": "Window + agg reuse one doc_id Exchange",
     "parse_doctags": "two MapInArrow stages (export | fused parse+chunk)",
+    "html_extract": "single MapInArrow over the page scan, zero shuffle",
+    "rehome_embed": "payload join shuffles ids only; one fused rewrite+witness stage",
+    "pdf_cells_in_bbox": "pure codegen filter over the cells scan (no Python)",
+    "pdf_crop_text": "one Exchange on the page key; HOF string fold, no Python",
+    "export_legacy": "single MapInArrow, zero shuffle",
+    "docjson_validation": "chained MapInArrow stages, zero shuffle",
 }
 
 
