@@ -126,3 +126,52 @@ def run_metrics_once(
          .start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+# ----------------------------------------------------------------------
+# streaming main-content extraction (the north rule's ingestion front
+# end: crawled pages land continuously; extraction is stateless per
+# page, so the batch operator is streaming-compatible as-is)
+# ----------------------------------------------------------------------
+
+PAGES_STREAM_SCHEMA = "doc_id string, html string"
+
+
+def stream_extract_pages(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming DataFrame of extracted span rows from a parquet
+    page-file stream ((doc_id, html) rows)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from docling_core_spark.extraction.spark import extract_pages
+
+    schema = StructType([StructField("doc_id", StringType(), False),
+                         StructField("html", StringType(), False)])
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return extract_pages(reader.load(input_dir))
+
+
+def stream_extract_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain currently-available page files through extraction
+    (Trigger.AvailableNow), append span parquet, stop. Re-invocation
+    processes only newly-landed pages (checkpointed file log)."""
+    spans = stream_extract_pages(spark, input_dir)
+    q = (spans.writeStream
+         .format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

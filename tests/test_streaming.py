@@ -79,3 +79,43 @@ def test_windowed_metrics_rollup(spark, tmp_path):
     assert 1 <= len(metrics) <= 2
     n_docs = sum(r.n_docs_approx for r in metrics)
     assert 0 < n_docs  # approx distinct, sanity only
+
+
+def test_stream_extraction_matches_projection(spark, tmp_path):
+    """Streaming extraction: pages land in two batches; the drained
+    span rows equal the independent projection of the source spans,
+    and resume processes only the new files."""
+    from docling_core_spark.corpus import gen_doc_spans
+    from docling_core_spark.extraction.projection import project_for_html
+    from docling_core_spark.extraction.spark import render_pages
+    from docling_core_spark.streaming import stream_extract_once
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "pages")
+    out_dir = os.path.join(tmp, "spans")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def land(lo, hi):
+        docs = synth_documents(spark, hi, seed=42).filter(
+            f"doc_id >= 'doc_{lo:012d}' AND doc_id < 'doc_{hi:012d}'")
+        render_pages(docs).write.mode("append").parquet(in_dir)
+
+    land(0, 8)
+    stream_extract_once(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir) \
+        .select("doc_id").distinct().count() == 8
+
+    land(8, 14)
+    stream_extract_once(spark, in_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    assert got.select("doc_id").distinct().count() == 14
+    assert got.count() == got.dropDuplicates(["doc_id", "ord"]).count()
+
+    rows = sorted((r["doc_id"], r["ord"], r["kind"], r["text"],
+                   r["media_ref"]) for r in got.collect())
+    want = sorted(
+        (f"doc_{i:012d}", p["offset"], p["kind"], p["text"],
+         p["media_ref"])
+        for i in range(14)
+        for p in project_for_html(gen_doc_spans(i, seed=42)))
+    assert rows == want
