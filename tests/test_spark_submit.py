@@ -73,3 +73,48 @@ def test_spark_submit_py_files(tmp_path):
     exp = {(r.doc_id, r.chunk_idx): r.text for r in chunk_documents(
         spark.read.parquet(corpus), mode="hier").collect()}
     assert got == exp
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit in PATH")
+def test_spark_submit_extraction_job(tmp_path):
+    """The extraction tier as an operational spark-submit job:
+    --py-files zip, resumable buckets, lineage, projection parity."""
+    sys.path.insert(0, ROOT)
+    import package
+
+    package.build()
+    # land a small page table
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.spark import render_pages
+    from docling_core_spark.session import get_spark
+
+    spark = get_spark(app_name="submit-x", master="local[4]",
+                      shuffle_partitions=8)
+    pages_dir = str(tmp_path / "pages")
+    render_pages(synth_documents(spark, 20, seed=42)) \
+        .write.mode("overwrite").parquet(pages_dir)
+
+    out_dir = str(tmp_path / "xout")
+    env = dict(os.environ)
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--py-files", os.path.join(ROOT, "dist",
+                                    "docling_core_spark.zip"),
+         os.path.join(ROOT, "jobs", "extract_pages.py"),
+         "--input", pages_dir, "--output", out_dir,
+         "--n-buckets", "4"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    done = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("DONE")][-1]
+    n_spans = int(done.split("spans=")[1].split()[0])
+    assert int(done.split("lineage_rows=")[1].split()[0]) > 0
+
+    # parity with the independent projection oracle
+    from docling_core_spark.corpus import gen_doc_spans
+    from docling_core_spark.extraction.projection import project_for_html
+
+    want = sum(len(project_for_html(gen_doc_spans(i, seed=42)))
+               for i in range(20))
+    assert n_spans == want
