@@ -340,6 +340,31 @@ def _rows_docjson_validation(n: int) -> list:
     return out
 
 
+_VIZ_COLS = [("doc_id", "string"), ("page_no", "int32"),
+             ("seq", "int32"), ("op", "string"), ("coords", "string"),
+             ("fill", "string"), ("outline", "string"),
+             ("width", "int32"), ("text", "string")]
+
+
+def _rows_viz_layout(n: int) -> list:
+    from docling_core_spark.visualize import layout_draw_rows
+
+    out = []
+    for r in _corpus_rows(n):
+        out.extend(layout_draw_rows(r["doc_id"], r["spans"]))
+    return out
+
+
+def _rows_viz_reading_order(n: int) -> list:
+    from docling_core_spark.visualize import reading_order_rows
+
+    out = []
+    for r in _corpus_rows(n):
+        out.extend(reading_order_rows(r["doc_id"], r["spans"],
+                                      show_branch_numbering=True))
+    return out
+
+
 def _rows_rehome_embed(n: int) -> list:
     """Single-process replica of attach -> embed (rehome.py): per-
     picture ImageRef witnesses after embedding."""
@@ -512,6 +537,8 @@ _SPECS: Dict[str, tuple] = {
          ("mimetype", "string"), ("dpi", "int32"),
          ("width", "float64"), ("height", "float64"),
          ("uri_scheme", "string"), ("uri_sha256", "string")], None),
+    "viz_layout": (_rows_viz_layout, _VIZ_COLS, None),
+    "viz_reading_order": (_rows_viz_reading_order, _VIZ_COLS, None),
     "export_legacy": (
         _rows_export_legacy,
         [("doc_id", "string"), ("fmt", "string"), ("text", "string")],

@@ -873,6 +873,21 @@ def _q_rehome_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reference_pictures(embedded, "artifacts", emit="witness")
 
 
+def _q_viz_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 layout visualization as draw-command rows (call-for-call
+    parity with the live reference visualizer via a recording shim -
+    tests/test_visualize.py)."""
+    from docling_core_spark.visualize import visualize_layout
+
+    return visualize_layout(corpus_df(spark, sf_dir))
+
+
+def _q_viz_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.visualize import visualize_reading_order
+
+    return visualize_reading_order(corpus_df(spark, sf_dir))
+
+
 def _q_pdf_cells_in_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.pdfpage import q_pdf_cells_in_bbox
 
@@ -959,6 +974,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_cells_in_bbox": _q_pdf_cells_in_bbox,
         "pdf_crop_text": _q_pdf_crop_text,
         "pdf_textlines": _q_pdf_textlines,
+        "viz_layout": _q_viz_layout,
+        "viz_reading_order": _q_viz_reading_order,
         "caption_resolution": q_caption_resolution,
         "span_kind_stats": q_span_kind_stats,
         "bbox_overlap_stats": q_bbox_overlap_stats,
