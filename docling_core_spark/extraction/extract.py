@@ -95,6 +95,12 @@ _IMPLICIT_CLOSE = {"p", "b", "i", "u", "s", "em", "strong", "del",
                    "strike", "sub", "sup", "a", "span", "code"}
 
 
+# adversarial-nesting guard: beyond this depth new elements attach to
+# the capped ancestor instead of nesting (keeps the recursive pruning/
+# emission passes within Python's recursion limit on hostile pages)
+_MAX_DEPTH = 200
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -121,7 +127,7 @@ class _TreeBuilder(HTMLParser):
                     self.stack.pop()
         el = El(tag, dict(attrs))
         self.stack[-1].children.append(el)
-        if tag not in _VOID_TAGS:
+        if tag not in _VOID_TAGS and len(self.stack) < _MAX_DEPTH:
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs) -> None:

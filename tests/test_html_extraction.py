@@ -222,3 +222,24 @@ def test_spark_extract_matches_projection(spark):
             .sort_values(["doc_id", "ord"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype({"ord": "int64"}), want.astype({"ord": "int64"}))
+
+
+def test_hostile_nesting_depth_is_total():
+    """50k-deep nesting must not blow the recursion limit anywhere in
+    parse -> prune -> emit."""
+    deep = ("<html><body><main>" + "<div>" * 50_000
+            + "<p>needle</p>" + "</div>" * 50_000
+            + "<p>after</p></main></body></html>")
+    rows, stats = extract_spans(deep)
+    texts = [r["text"] for r in rows]
+    assert "after" in texts  # content outside the capped chain survives
+    assert stats["page_chars"] >= len("needleafter")
+
+
+def test_hostile_many_siblings_total():
+    html = ("<html><body><main>"
+            + "".join(f"<p>p{i}</p>" for i in range(20_000))
+            + "</main></body></html>")
+    rows, _ = extract_spans(html)
+    assert len(rows) == 20_000
+    assert rows[0]["text"] == "p0" and rows[-1]["text"] == "p19999"
