@@ -927,6 +927,97 @@ LIMIT 10
 
 
 # ----------------------------------------------------------------------
+# duplicate clusters: connected components over the near-dup pair graph
+# ----------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 15
+                         ) -> DataFrame:
+    """(doc_a, doc_b) edges -> (doc_id, cluster_id) via iterative
+    min-label propagation.
+
+    Scale shape: each iteration is one join + one partial-aggregated
+    groupBy on doc_id keys (the standard big-data CC loop); iterations
+    are bounded by cluster DIAMETER, and near-dup clusters are
+    shallow (a dup of a dup of a dup is rare), so convergence is
+    typically 2-4 rounds. Labels persist per round to cut lineage; the
+    loop stops at the first fixpoint."""
+    from pyspark import StorageLevel
+
+    sym = (pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
+           .unionByName(pairs.select(F.col("doc_b").alias("src"),
+                                     F.col("doc_a").alias("dst"))))
+    labels = (sym.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    labels.count()
+    for _ in range(max_iter):
+        neigh = (sym.join(labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("label").alias("nl")), "dst")
+                 .groupBy("src").agg(F.min("nl").alias("nmin")))
+        new_labels = (labels.join(
+            neigh.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nmin"), F.col("label")))
+                    .alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from the exact near-dup pairs: connected
+    components + cluster sizes + the retention choice (keep the
+    cluster's minimum doc_id - the canonical survivor a dedup pass
+    would retain)."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return (cc.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .alias("keep"))
+            .orderBy("doc_id"))
+
+
+def sql_dup_clusters() -> str:
+    """DuckDB oracle: reachability closure by recursive CTE, labels =
+    min over the reachable set (tiny clusters -> closure is cheap)."""
+    inner = SQL_NGRAM_JACCARD_PAIRS.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH RECURSIVE jp AS ({inner}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b, doc_a FROM jp),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+lab AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a),
+sz AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       l.doc_id = l.cluster_id AS keep
+FROM lab l JOIN sz s USING (cluster_id)
+ORDER BY l.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -937,6 +1028,7 @@ REGISTRY = {
     "embedding_top_pairs": q_embedding_top_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "dup_clusters": q_dup_clusters,
 }
 
 ORACLES = {
@@ -949,4 +1041,5 @@ ORACLES = {
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "dup_clusters": sql_dup_clusters(),
 }

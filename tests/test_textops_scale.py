@@ -175,3 +175,33 @@ def test_tile_groups_are_bounded(spark):
                    | (F.col("tile") == F.col("tj"))))
     sizes = rep.groupBy("label", "ti", "tj").count().collect()
     assert max(r["count"] for r in sizes) <= 2 * tile
+
+
+def test_connected_components_matches_union_find(spark):
+    """CC over engineered pair graphs == a classic union-find."""
+    from docling_core_spark.textops import connected_components
+
+    pairs = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"),
+             ("g", "h"), ("h", "a")]  # chain joins {a,b,c} with {f,g,h}
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    got = {(r.doc_id, r.cluster_id)
+           for r in connected_components(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
+    # the 6-node chain has diameter 5: label propagation still
+    # converges inside the iteration cap
+    assert ("c", "a") in got and ("e", "d") in got
