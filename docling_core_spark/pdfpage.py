@@ -554,3 +554,49 @@ SELECT doc_id, page_no, idx,
        || text_direction || ' ' || text AS line
 FROM read_parquet('{path}/*.parquet') WHERE unit = 'line'
 """
+
+
+# ----------------------------------------------------------------------
+# interop: cells rows -> reference-schema SegmentedPdfPage JSON
+# ----------------------------------------------------------------------
+
+def page_to_segmented_json(doc_id: str, page_no: int,
+                           cells: List[dict],
+                           page_w: float = 612.0,
+                           page_h: float = 792.0) -> dict:
+    """One page's cell rows -> a dict the reference's
+    ``SegmentedPdfPage.model_validate`` accepts (page.py:545-623):
+    the interop sink for handing parsed layout back to
+    docling-core-side consumers."""
+    def rect(q: Quad) -> dict:
+        return {"r_x0": q[0], "r_y0": q[1], "r_x1": q[2], "r_y1": q[3],
+                "r_x2": q[4], "r_y2": q[5], "r_x3": q[6], "r_y3": q[7],
+                "coord_origin": "BOTTOMLEFT"}
+
+    def cell(c: dict) -> dict:
+        return {"index": c["idx"], "text": c["text"], "orig": c["text"],
+                "rect": rect((c["rx0"], c["ry0"], c["rx1"], c["ry1"],
+                              c["rx2"], c["ry2"], c["rx3"], c["ry3"])),
+                "from_ocr": False,
+                "text_direction": c.get("text_direction",
+                                        "left_to_right")}
+
+    page_bbox = {"l": 0.0, "t": page_h, "r": page_w, "b": 0.0,
+                 "coord_origin": "BOTTOMLEFT"}
+    dimension = {
+        "angle": 0.0,
+        "rect": rect(rect_from_bbox(0.0, page_h, page_w, 0.0,
+                                    BOTTOMLEFT)),
+        "boundary_type": "crop_box",
+        "art_bbox": page_bbox, "bleed_bbox": page_bbox,
+        "crop_bbox": page_bbox, "media_bbox": page_bbox,
+        "trim_bbox": page_bbox,
+    }
+    return {
+        "dimension": dimension,
+        "word_cells": [cell(c) for c in cells
+                       if c["unit"] == "word"],
+        "textline_cells": [cell(c) for c in cells
+                           if c["unit"] == "line"],
+        "char_cells": [],
+    }

@@ -213,3 +213,37 @@ def test_spark_matches_single_process(spark):
     got_l = textlines(cells).toPandas()
     exp_n = sum(len(gen_page_cells(i)["lines"]) for i in range(30))
     assert len(got_l) == exp_n
+
+
+def test_segmented_page_json_interop():
+    """Engine cell rows -> reference-schema JSON: the live
+    SegmentedPdfPage loads it and its get_cells_in_bbox equals the
+    engine's columnar selection."""
+    from docling_core_spark.pdfpage import page_to_segmented_json
+
+    page = gen_page_cells(3)
+    rows = []
+    for unit, cells in (("word", page["words"]), ("line", page["lines"])):
+        for c in cells:
+            rows.append({"idx": c["index"], "text": c["text"],
+                         "unit": unit,
+                         "rx0": c["quad"][0], "ry0": c["quad"][1],
+                         "rx1": c["quad"][2], "ry1": c["quad"][3],
+                         "rx2": c["quad"][4], "ry2": c["quad"][5],
+                         "rx3": c["quad"][6], "ry3": c["quad"][7],
+                         "text_direction": c["text_direction"]})
+    js = page_to_segmented_json("doc_3", 1, rows)
+    sp = SegmentedPdfPage.model_validate(js)
+    assert len(sp.word_cells) == len(page["words"])
+    assert sp.dimension.width == 612.0 and sp.dimension.height == 792.0
+    l, t, r, b = BBOXES[0]
+    bb = BoundingBox(l=l, t=t, r=r, b=b,
+                     coord_origin=CoordOrigin.BOTTOMLEFT)
+    want = [(c.index, c.text)
+            for c in sp.get_cells_in_bbox(TextCellUnit.WORD, bb)]
+    got = [(c["index"], c["text"])
+           for c in py_cells_in_bbox(page, (l, t, r, b))]
+    assert got == want
+    # and the reference round-trips its own export of our page
+    sp2 = SegmentedPdfPage.model_validate(sp.export_to_dict())
+    assert len(sp2.textline_cells) == len(page["lines"])
