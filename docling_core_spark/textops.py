@@ -946,7 +946,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 15
     sym = (pairs.select(F.col("doc_a").alias("src"),
                         F.col("doc_b").alias("dst"))
            .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                     F.col("doc_a").alias("dst"))))
+                                     F.col("doc_a").alias("dst")))
+           # the edge list feeds every iteration; persist so the
+           # (possibly expensive) pair-generation plan runs once
+           .persist(StorageLevel.MEMORY_AND_DISK))
     labels = (sym.select(F.col("src").alias("doc_id")).distinct()
               .withColumn("label", F.col("doc_id"))
               .persist(StorageLevel.MEMORY_AND_DISK))
