@@ -100,9 +100,17 @@ class _PageRenderer:
 
     # -- content ---------------------------------------------------------
 
-    def render_body(self) -> str:
+    def render_body(self, chrome_hook=None) -> str:
+        """Render the main content; ``chrome_hook(i)`` may return chrome
+        HTML to interleave BETWEEN top-level blocks (in-content ads /
+        related-article widgets - real pages put chrome inside the
+        article body too, and the extractor must strip it there)."""
         self.parts = []
-        for child in self.doc.body.children:
+        for i, child in enumerate(self.doc.body.children):
+            if chrome_hook is not None:
+                chrome = chrome_hook(i)
+                if chrome:
+                    self.parts.append(chrome)
             self._render(child, inline=False)
         return "".join(self.parts)
 
@@ -379,7 +387,17 @@ def render_page_html(doc_id: str, spans: Iterable[dict],
     rng = random.Random((zlib.crc32(doc_id.encode()) << 8) ^ chrome_seed)
 
     r = _PageRenderer(doc)
-    content = r.render_body()
+
+    def in_content_chrome(_i: int) -> str:
+        if rng.random() < 0.06:
+            return _chrome_ad(rng)
+        if rng.random() < 0.03:
+            return ('<div class="related-articles"><h4>'
+                    + _cw(rng, 1, 2).title() + "</h4>"
+                    + _link_list(rng, 3, 6) + "</div>")
+        return ""
+
+    content = r.render_body(chrome_hook=in_content_chrome)
     head_furniture, foot_furniture = r.furniture_texts()
 
     metas = ""

@@ -22,7 +22,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 # bump when the renderer's page dialect or chrome changes
-PAGES_VERSION = 1
+PAGES_VERSION = 2
 
 
 def render_pages(docs: DataFrame) -> DataFrame:
