@@ -262,7 +262,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id (co-partitioned after the aggregations)."""
     docs = _t(spark, sf_dir, "documents")
     md5 = docs.select("doc_id", F.md5("text").alias("content_md5"))
-    hashed = (_shingle_rows(spark, sf_dir)
+    hashed = (shingle_index_df(spark, sf_dir)
               .withColumnRenamed("sh", "w")
               .select("doc_id", F.expr(WORDHASH_SPARK).alias("h")))
     # fp_min and the 30 simhash bit votes in ONE aggregation pass;
@@ -343,7 +343,7 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_hash) keys -> candidate pairs -> Jaccard verification
     join on the candidate set only. At 100 TB the shuffles carry
     (doc_id, h) and ~8 band rows per doc."""
-    hashed = (_shingle_rows(spark, sf_dir)
+    hashed = (shingle_index_df(spark, sf_dir)
               .withColumnRenamed("sh", "w")
               .select("doc_id", F.expr(WORDHASH_SPARK).alias("h")))
     sig = hashed.groupBy("doc_id").agg(*[
@@ -362,7 +362,7 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"))
         .distinct())
-    sh = (_shingle_rows(spark, sf_dir)
+    sh = (shingle_index_df(spark, sf_dir)
           .groupBy("doc_id").agg(F.collect_list("sh").alias("sh")))
     verified = (cand
                 .join(sh.select(F.col("doc_id").alias("doc_a"),
