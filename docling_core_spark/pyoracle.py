@@ -365,6 +365,15 @@ def _rows_viz_reading_order(n: int) -> list:
     return out
 
 
+def _rows_viz_tables(n: int) -> list:
+    from docling_core_spark.visualize import table_viz_rows
+
+    out = []
+    for r in _corpus_rows(n):
+        out.extend(table_viz_rows(r["doc_id"], r["spans"]))
+    return out
+
+
 def _rows_rehome_embed(n: int) -> list:
     """Single-process replica of attach -> embed (rehome.py): per-
     picture ImageRef witnesses after embedding."""
@@ -539,6 +548,7 @@ _SPECS: Dict[str, tuple] = {
          ("uri_scheme", "string"), ("uri_sha256", "string")], None),
     "viz_layout": (_rows_viz_layout, _VIZ_COLS, None),
     "viz_reading_order": (_rows_viz_reading_order, _VIZ_COLS, None),
+    "viz_tables": (_rows_viz_tables, _VIZ_COLS, None),
     "export_legacy": (
         _rows_export_legacy,
         [("doc_id", "string"), ("fmt", "string"), ("text", "string")],

@@ -282,3 +282,73 @@ def visualize_layout(docs):
 def visualize_reading_order(docs):
     return _viz_op(docs, lambda d, s: reading_order_rows(
         d, s, show_branch_numbering=True))
+
+
+# ----------------------------------------------------------------------
+# table visualizer (table_visualizer.py:18-240)
+# ----------------------------------------------------------------------
+
+# TableVisualizer.Params defaults (table_visualizer.py:22-42); the
+# reference uses out-of-range 256 components verbatim
+TABLE_CELL_FILL = "rgba(256, 0, 0, 32)"
+TABLE_CELL_OUTLINE = "rgba(256, 0, 0, 128)"
+TABLE_ROWHEAD_FILL = "rgba(0, 256, 0, 32)"
+TABLE_ROWHEAD_OUTLINE = "rgba(0, 256, 0, 128)"
+TABLE_COLHEAD_FILL = "rgba(0, 0, 256, 32)"
+TABLE_COLHEAD_OUTLINE = "rgba(0, 0, 256, 128)"
+
+
+def synth_cell_bbox(table_bbox, n_rows: int, n_cols: int,
+                    sr: int, er: int, sc: int, ec: int):
+    """Uniform-grid cell geometry: span documents carry logical tables
+    (no per-cell OCR boxes), so visualization assigns each cell its
+    grid slot share of the table bbox - deterministic on both sides of
+    the parity test."""
+    l, t, r, b = table_bbox
+    cw = (r - l) / max(n_cols, 1)
+    ch = (b - t) / max(n_rows, 1)
+    return (l + sc * cw, t + sr * ch, l + ec * cw, t + er * ch)
+
+
+def table_viz_rows(doc_id: str, spans) -> List[dict]:
+    """TableVisualizer draw commands (show_cells=True defaults): one
+    rectangle per cell, colored by header/section flags."""
+    from docling_core_spark.model.otsl import parse_otsl
+
+    doc = doc_from_spans(doc_id, [(s["kind"], s["text"], s["media_ref"],
+                                   s["offset"]) for s in spans])
+    rows: List[dict] = []
+    seq_by_page: Dict[int, int] = {}
+
+    def emit(page_no: int, coords, fill: str, outline: str) -> None:
+        seq = seq_by_page.get(page_no, 0)
+        seq_by_page[page_no] = seq + 1
+        rows.append({"doc_id": doc_id, "page_no": page_no, "seq": seq,
+                     "op": "rect",
+                     "coords": json.dumps([round(c, 6) for c in coords]),
+                     "fill": fill, "outline": outline, "width": 0,
+                     "text": ""})
+
+    for node in _items_with_prov(doc, traverse_pictures=False):
+        if node.kind != K_TABLE:
+            continue
+        table = parse_otsl(node.text)
+        if table.num_rows == 0 or table.num_cols == 0:
+            continue
+        tb = node_bbox(node.offset)
+        for cell in table.cells:
+            fill, outline = TABLE_CELL_FILL, TABLE_CELL_OUTLINE
+            if cell.column_header:
+                fill, outline = TABLE_COLHEAD_FILL, TABLE_COLHEAD_OUTLINE
+            if cell.row_header or cell.row_section:
+                fill, outline = TABLE_ROWHEAD_FILL, TABLE_ROWHEAD_OUTLINE
+            emit(node.page_no,
+                 synth_cell_bbox(tb, table.num_rows, table.num_cols,
+                                 cell.start_row, cell.end_row,
+                                 cell.start_col, cell.end_col),
+                 fill, outline)
+    return rows
+
+
+def visualize_tables(docs):
+    return _viz_op(docs, table_viz_rows)

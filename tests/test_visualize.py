@@ -198,3 +198,45 @@ def test_spark_viz_matches_single_process(spark):
                       "width": "int64"}),
         want_s.astype({"page_no": "int64", "seq": "int64",
                        "width": "int64"}))
+
+
+@pytest.mark.parametrize("doc_index", [3, 7, 17, 42])
+def test_table_visualizer_parity(doc_index):
+    """Cells get deterministic uniform-grid bboxes (logical tables
+    carry no OCR geometry); with the same synthesis applied to the
+    reference TableData, the live TableVisualizer's draw calls equal
+    the engine rows."""
+    _install_recording_pil()
+    from docling_core.transforms.visualizer.table_visualizer import (
+        TableVisualizer,
+    )
+    from docling_core.types.doc.base import BoundingBox as RefBBox
+    from docling_core.types.doc.base import CoordOrigin
+
+    from docling_core_spark.visualize import (
+        synth_cell_bbox,
+        table_viz_rows,
+    )
+
+    spans = gen_doc_spans(doc_index, seed=42)
+    doc = _ref_doc_with_page_images(f"doc_{doc_index}", spans)
+    # assign the engine's synthetic grid geometry to the reference cells
+    offsets = {}
+    for s in spans:
+        offsets[len(offsets)] = None
+    # map table items to their span offsets via prov bbox identity
+    for t in doc.tables:
+        tb = t.prov[0].bbox.as_tuple()
+        n_rows, n_cols = t.data.num_rows, t.data.num_cols
+        for cell in t.data.table_cells:
+            l, tt, r, b = synth_cell_bbox(
+                tb, n_rows, n_cols,
+                cell.start_row_offset_idx, cell.end_row_offset_idx,
+                cell.start_col_offset_idx, cell.end_col_offset_idx)
+            cell.bbox = RefBBox(l=l, t=tt, r=r, b=b,
+                                coord_origin=CoordOrigin.TOPLEFT)
+    images = TableVisualizer().get_visualization(doc=doc)
+    want = {p: calls for p, calls in _ref_calls_to_rows(images).items()
+            if calls}
+    got = _engine_rows_by_page(table_viz_rows(f"doc_{doc_index}", spans))
+    assert got == want
