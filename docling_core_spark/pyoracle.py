@@ -374,6 +374,15 @@ def _rows_viz_tables(n: int) -> list:
     return out
 
 
+def _rows_viz_key_values(n: int) -> list:
+    from docling_core_spark.visualize import kv_viz_rows
+
+    out = []
+    for r in _corpus_rows(n):
+        out.extend(kv_viz_rows(r["doc_id"], r["spans"]))
+    return out
+
+
 def _rows_rehome_embed(n: int) -> list:
     """Single-process replica of attach -> embed (rehome.py): per-
     picture ImageRef witnesses after embedding."""
@@ -549,6 +558,7 @@ _SPECS: Dict[str, tuple] = {
     "viz_layout": (_rows_viz_layout, _VIZ_COLS, None),
     "viz_reading_order": (_rows_viz_reading_order, _VIZ_COLS, None),
     "viz_tables": (_rows_viz_tables, _VIZ_COLS, None),
+    "viz_key_values": (_rows_viz_key_values, _VIZ_COLS, None),
     "export_legacy": (
         _rows_export_legacy,
         [("doc_id", "string"), ("fmt", "string"), ("text", "string")],

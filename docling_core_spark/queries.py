@@ -894,6 +894,12 @@ def _q_viz_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visualize_tables(corpus_df(spark, sf_dir))
 
 
+def _q_viz_key_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.visualize import visualize_key_values
+
+    return visualize_key_values(corpus_df(spark, sf_dir))
+
+
 def _q_pdf_cells_in_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_core_spark.pdfpage import q_pdf_cells_in_bbox
 
@@ -983,6 +989,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viz_layout": _q_viz_layout,
         "viz_reading_order": _q_viz_reading_order,
         "viz_tables": _q_viz_tables,
+        "viz_key_values": _q_viz_key_values,
         "caption_resolution": q_caption_resolution,
         "span_kind_stats": q_span_kind_stats,
         "bbox_overlap_stats": q_bbox_overlap_stats,

@@ -352,3 +352,103 @@ def table_viz_rows(doc_id: str, spans) -> List[dict]:
 
 def visualize_tables(docs):
     return _viz_op(docs, table_viz_rows)
+
+
+# ----------------------------------------------------------------------
+# key-value visualizer (key_value_visualizer.py:35-217)
+# ----------------------------------------------------------------------
+
+KV_KEY_FILL = "rgba(0, 170, 0, 70)"
+KV_KEY_OUTLINE = "rgba(0, 170, 0, 255)"
+KV_VALUE_FILL = "rgba(0, 0, 200, 70)"
+KV_VALUE_OUTLINE = "rgba(0, 0, 200, 255)"
+KV_LINK = "rgba(255, 0, 0, 255)"
+KV_LABEL_BG = "rgba(255, 255, 255, 180)"
+KV_LABEL_TXT = "rgba(0, 0, 0, 255)"
+
+
+def synth_kv_cell_bbox(region_bbox, n_cells: int, i: int):
+    """Vertical-slot cell geometry for layout-less key-value graphs
+    (same role as synth_cell_bbox for tables)."""
+    l, t, r, b = region_bbox
+    h = (b - t) / max(n_cells, 1)
+    return (l, t + i * h, r, t + (i + 1) * h)
+
+
+def kv_viz_rows(doc_id: str, spans, show_label: bool = True
+                ) -> List[dict]:
+    """KeyValueVisualizer draw commands: key/value cell rectangles with
+    text tags, then TO_VALUE link lines + small arrowheads (drawn after
+    the cells so they sit on top), per page in ascending order."""
+    from docling_core_spark.model.kv import parse_kv
+
+    doc = doc_from_spans(doc_id, [(s["kind"], s["text"], s["media_ref"],
+                                   s["offset"]) for s in spans])
+    rows: List[dict] = []
+    seq_by_page: Dict[int, int] = {}
+
+    def emit(page_no: int, op: str, coords, fill: str = "",
+             outline: str = "", width: int = 0, text: str = "") -> None:
+        seq = seq_by_page.get(page_no, 0)
+        seq_by_page[page_no] = seq + 1
+        rows.append({"doc_id": doc_id, "page_no": page_no, "seq": seq,
+                     "op": op,
+                     "coords": json.dumps([round(c, 6) for c in coords]),
+                     "fill": fill, "outline": outline, "width": width,
+                     "text": text})
+
+    kv_nodes = [n for n in _items_with_prov(doc, traverse_pictures=False)
+                if n.kind == K_KEY_VALUE]
+    for page_no in sorted({n.page_no for n in kv_nodes}):
+        for node in kv_nodes:
+            if node.page_no != page_no:
+                continue
+            cells, links = parse_kv(node.text or "")
+            if not cells:
+                continue
+            region = node_bbox(node.offset)
+            boxes = {c.cell_id: synth_kv_cell_bbox(region, len(cells), i)
+                     for i, c in enumerate(cells)}
+            for c in cells:
+                x0, y0, x1, y1 = boxes[c.cell_id]
+                fill = KV_KEY_FILL if c.label == "key" else KV_VALUE_FILL
+                outline = (KV_KEY_OUTLINE if c.label == "key"
+                           else KV_VALUE_OUTLINE)
+                emit(page_no, "rect", (x0, y0, x1, y1), fill=fill,
+                     outline=outline)
+                if show_label:
+                    tb = text_bbox(x0, y0, c.text)
+                    pad = 2
+                    emit(page_no, "rect",
+                         (tb[0] - pad, tb[1] - pad,
+                          tb[2] + pad, tb[3] + pad), fill=KV_LABEL_BG)
+                    emit(page_no, "text", (x0, y0), fill=KV_LABEL_TXT,
+                         text=c.text)
+            for link in links:
+                if link.label != "to_value":
+                    continue
+                if link.source not in boxes or link.target not in boxes:
+                    continue
+                sl, st, sr, sb = boxes[link.source]
+                tl, tt, tr, tb_ = boxes[link.target]
+                src = ((sl + sr) / 2, (st + sb) / 2)
+                tgt = ((tl + tr) / 2, (tt + tb_) / 2)
+                emit(page_no, "line", (src[0], src[1], tgt[0], tgt[1]),
+                     fill=KV_LINK, width=2)
+                arrow_len = 6
+                dx, dy = tgt[0] - src[0], tgt[1] - src[1]
+                length = (dx ** 2 + dy ** 2) ** 0.5 or 1.0
+                ux, uy = dx / length, dy / length
+                px, py = -uy, ux
+                left = (tgt[0] - ux * arrow_len - px * arrow_len / 2,
+                        tgt[1] - uy * arrow_len - py * arrow_len / 2)
+                right = (tgt[0] - ux * arrow_len + px * arrow_len / 2,
+                         tgt[1] - uy * arrow_len + py * arrow_len / 2)
+                emit(page_no, "polygon",
+                     (tgt[0], tgt[1], left[0], left[1],
+                      right[0], right[1]), fill=KV_LINK)
+    return rows
+
+
+def visualize_key_values(docs):
+    return _viz_op(docs, kv_viz_rows)

@@ -240,3 +240,45 @@ def test_table_visualizer_parity(doc_index):
             if calls}
     got = _engine_rows_by_page(table_viz_rows(f"doc_{doc_index}", spans))
     assert got == want
+
+
+@pytest.mark.parametrize("doc_index", [3, 5, 20, 28, 31])
+def test_key_value_visualizer_parity(doc_index):
+    """KV cells get vertical-slot synthetic provenance; with the same
+    geometry on the reference GraphCells, the live KeyValueVisualizer
+    draws identically (cell rects + tags, TO_VALUE link arrows)."""
+    _install_recording_pil()
+    from docling_core.transforms.visualizer.key_value_visualizer import (
+        KeyValueVisualizer,
+    )
+    from docling_core.types.doc.base import BoundingBox as RefBBox
+    from docling_core.types.doc.base import CoordOrigin
+    from docling_core.types.doc.document import ProvenanceItem
+
+    from docling_core_spark.visualize import (
+        kv_viz_rows,
+        synth_kv_cell_bbox,
+    )
+
+    spans = gen_doc_spans(doc_index, seed=42)
+    if not any(s["kind"] == "key_value_region" for s in spans):
+        pytest.skip("no kv region in this doc")
+    doc = _ref_doc_with_page_images(f"doc_{doc_index}", spans)
+    for kv in doc.key_value_items:
+        region = kv.prov[0].bbox.as_tuple()
+        page_no = kv.prov[0].page_no
+        n = len(kv.graph.cells)
+        for i, cell in enumerate(kv.graph.cells):
+            l, t, r, b = synth_kv_cell_bbox(region, n, i)
+            cell.prov = ProvenanceItem(
+                page_no=page_no,
+                bbox=RefBBox(l=l, t=t, r=r, b=b,
+                             coord_origin=CoordOrigin.TOPLEFT),
+                charspan=(0, 0))
+    images = KeyValueVisualizer().get_visualization(doc=doc)
+    want = {p: calls for p, calls in _ref_calls_to_rows(images).items()
+            if calls}
+    got = _engine_rows_by_page(kv_viz_rows(f"doc_{doc_index}", spans))
+    assert got == want
+    if not want:
+        pytest.skip("kv region is cell-less in this doc")
