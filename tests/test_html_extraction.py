@@ -243,3 +243,28 @@ def test_hostile_many_siblings_total():
     rows, _ = extract_spans(html)
     assert len(rows) == 20_000
     assert rows[0]["text"] == "p0" and rows[-1]["text"] == "p19999"
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5, 1000, 31337])
+def test_roundtrip_parity_seed_sweep(seed):
+    """Wider fuzz: 25 docs per seed across arbitrary generator seeds."""
+    for doc_index in range(25):
+        got, want, _, _ = _roundtrip(doc_index, seed=seed)
+        assert _triples(got) == _triples(want), (seed, doc_index)
+
+
+def test_origin_uri_roundtrip():
+    """origin:BH:URI spans carry the uri through the page meta tags."""
+    spans = [
+        {"kind": "origin:123456789:https://ex.org/src.pdf",
+         "text": "src.pdf", "media_ref": "application/pdf", "offset": 0},
+        {"kind": "title", "text": "A Title", "media_ref": "",
+         "offset": 1},
+        {"kind": "text", "text": "body text here", "media_ref": "",
+         "offset": 2},
+    ]
+    html = render_page_html("d", spans)
+    rows, _ = extract_spans(html)
+    assert rows[0]["kind"] == "origin:123456789:https://ex.org/src.pdf"
+    assert rows[0]["text"] == "src.pdf"
+    assert _triples(rows) == _triples(project_for_html(spans))
