@@ -3,11 +3,16 @@
 ``entry(spark)`` runs the flagship pipeline (hybrid token-aware
 chunking of the deterministic synthetic interleaved-span corpus) and
 returns the chunk DataFrame. ``queries()`` exposes every implemented
-operator (SURVEY.md §2); ``oracle_sql()`` gives DuckDB-checkable SQL
-for the relational/training-data subset. The document-engine queries
-(tree reconstruction + chunking) are not SQL-expressible; their
-correctness gate is tests/test_chunk_parity.py - span-sequence
-equality against the live reference library.
+operator (SURVEY.md §2; 55 entries as of round 2) and
+``oracle_sql()`` gives a DuckDB oracle for EVERY one of them:
+ANSI-SQL for the relational/training-data queries, and for the
+non-SQL-expressible document-engine queries a ``SELECT`` over
+expected rows materialized by the single-process pure-Python path
+(pyoracle.py) - a distributed-vs-sequential equivalence check whose
+pure-Python side is itself parity-locked to the live reference
+library by the pytest suites (tests/test_chunk_parity.py and
+friends: span-sequence equality, byte-equal exports, recording-shim
+visualizer parity).
 """
 
 from __future__ import annotations
