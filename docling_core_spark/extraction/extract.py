@@ -37,7 +37,28 @@ from typing import Dict, List, Optional, Tuple
 
 from docling_core_spark.model.kv import KvCell, KvLink, encode_kv
 from docling_core_spark.model.otsl import Cell, Table, encode_otsl
-from docling_core_spark.model.spans import encode_pic_anns
+from docling_core_spark.model.spans import (
+    encode_image_ref,
+    encode_pic_anns,
+)
+
+_EXT_MIME = {".png": "image/png", ".jpg": "image/jpeg",
+             ".jpeg": "image/jpeg", ".gif": "image/gif",
+             ".webp": "image/webp"}
+
+
+def mime_of_uri(uri: str) -> str:
+    """Mimetype an image uri implies: data-URI header wins, then the
+    file extension, else image/png (the page-dialect spec, shared with
+    projection.py)."""
+    if uri.startswith("data:"):
+        head = uri[5:].split(",", 1)[0].split(";", 1)[0]
+        return head or "image/png"
+    low = uri.lower()
+    for ext, mime in _EXT_MIME.items():
+        if low.endswith(ext):
+            return mime
+    return "image/png"
 
 # ----------------------------------------------------------------------
 # lightweight DOM
@@ -473,6 +494,11 @@ class _Emitter:
                 chart_class = m.group(1)
         img = _find_first(fig, "img")
         if img is not None:
+            if img.attrs.get("id"):
+                # ImageRef-bearing picture: the anchor id is the media
+                # reference (the src is the actual image uri)
+                return ("chart" if chart_class else "picture",
+                        img.attrs["id"], chart_class)
             src = img.attrs.get("src", "")
             name = src.rsplit("/", 1)[-1]
             if name.endswith(".png"):
@@ -484,12 +510,27 @@ class _Emitter:
             return "table", tbl.attrs.get("id", ""), ""
         return "picture", "", ""
 
+    @staticmethod
+    def _image_ref_of(img: El) -> Optional[dict]:
+        """Reconstruct the ImageRef dict an id-anchored <img> publishes
+        (dialect: dpi is not page-expressible and normalizes to 72)."""
+        if not img.attrs.get("id"):
+            return None
+        src = img.attrs.get("src", "")
+        w = img.attrs.get("width")
+        h = img.attrs.get("height")
+        return {"mimetype": mime_of_uri(src), "dpi": 72,
+                "size": {"width": float(w) if w else 0.0,
+                         "height": float(h) if h else 0.0},
+                "uri": src}
+
     def _emit_figure(self, fig: El) -> None:
         float_kind, mref, chart_class = self._figure_ref(fig)
         anns: List[Tuple[str, str]] = []
         float_idx: Optional[int] = None
         chart_otsl = ""
         table_otsl = ""
+        image_ref: Optional[dict] = None
         for c in fig.children:
             if not isinstance(c, El):
                 continue
@@ -500,6 +541,7 @@ class _Emitter:
             elif c.tag == "img":
                 kind = (f"chart:{chart_class}" if chart_class
                         else "picture")
+                image_ref = self._image_ref_of(c)
                 float_idx = self.emit(kind, "", mref)
             elif c.tag == "table":
                 if chart_class or "chart" in toks:
@@ -517,12 +559,13 @@ class _Emitter:
                 self._emit_block_child(c, as_child=True)
         if float_idx is not None:
             row = self.rows[float_idx]
+            img_tag = encode_image_ref(image_ref)
             if row["kind"].startswith("chart"):
-                row["text"] = chart_otsl + encode_pic_anns(anns)
+                row["text"] = chart_otsl + encode_pic_anns(anns) + img_tag
             elif row["kind"] == "table":
                 row["text"] = table_otsl + encode_pic_anns(anns)
             else:
-                row["text"] = encode_pic_anns(anns)
+                row["text"] = encode_pic_anns(anns) + img_tag
 
     # -- key-value graphs ------------------------------------------------
 

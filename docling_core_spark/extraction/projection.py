@@ -85,6 +85,42 @@ def _norm_otsl(text: str) -> str:
     return encode_otsl(parse_otsl(text))
 
 
+_EXT_MIME = {".png": "image/png", ".jpg": "image/jpeg",
+             ".jpeg": "image/jpeg", ".gif": "image/gif",
+             ".webp": "image/webp"}
+
+
+def _mime_of_uri(uri: str) -> str:
+    """The page-dialect mimetype rule (independent restatement of the
+    spec extract.mime_of_uri implements)."""
+    if uri.startswith("data:"):
+        head = uri[5:].split(",", 1)[0].split(";", 1)[0]
+        return head or "image/png"
+    low = uri.lower()
+    for ext, mime in _EXT_MIME.items():
+        if low.endswith(ext):
+            return mime
+    return "image/png"
+
+
+def _norm_image(image, media_ref: str) -> str:
+    """ImageRefs survive the page round trip when the picture has a
+    media id to anchor them; dpi is not HTML-expressible and
+    normalizes to 72, mimetype re-derives from the uri, size keeps
+    its pixel floats (width/height attributes)."""
+    from docling_core_spark.model.spans import encode_image_ref
+
+    if not image or not media_ref:
+        return ""
+    uri = str(image.get("uri", ""))
+    size = image.get("size") or {}
+    return encode_image_ref({
+        "mimetype": _mime_of_uri(uri), "dpi": 72,
+        "size": {"width": float(size.get("width") or 0.0),
+                 "height": float(size.get("height") or 0.0)},
+        "uri": uri})
+
+
 def _figure_end(ordered: Sequence[dict], i: int) -> int:
     """Index one past the floating item at ``i`` and its attached
     subtree (+child items and :of_prev groups - the codec attaches both
@@ -208,15 +244,17 @@ def project_for_html(spans: Sequence[dict]) -> List[Row]:
             emit(rejoin_kind(base, "", as_child),
                  _norm_otsl(otsl) + encode_pic_anns(anns), s["media_ref"])
         elif root == "chart":
-            stripped, _ = parse_image_ref(s["text"])
+            stripped, image = parse_image_ref(s["text"])
             otsl, anns = split_pic_anns(stripped)
             emit(rejoin_kind(base, "", as_child),
-                 _norm_otsl(otsl) + encode_pic_anns(anns), s["media_ref"])
+                 _norm_otsl(otsl) + encode_pic_anns(anns)
+                 + _norm_image(image, s["media_ref"]), s["media_ref"])
         elif root == "picture":
-            stripped, _ = parse_image_ref(s["text"])
+            stripped, image = parse_image_ref(s["text"])
             _, anns = split_pic_anns(stripped)
             emit(rejoin_kind(base, "", as_child),
-                 encode_pic_anns(anns), s["media_ref"])
+                 encode_pic_anns(anns)
+                 + _norm_image(image, s["media_ref"]), s["media_ref"])
         elif root == "list_item":
             emit(rejoin_kind(norm_list_item(base), fmt, as_child),
                  s["text"], s["media_ref"])

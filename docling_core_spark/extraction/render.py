@@ -247,9 +247,25 @@ class _PageRenderer:
         for cap in self._captions(node, before=True):
             self._emit(f"<figcaption>{escape(cap.text or '')}</figcaption>")
         if node.kind == K_PICTURE:
-            src = f"media/{node.media_ref}.png" if node.media_ref \
-                else "media/unnamed.png"
-            self._emit(f'<img src="{escape(src, quote=True)}" alt="">')
+            if node.image:
+                # picture carries an ImageRef (S9): publish its actual
+                # uri (inline data URI or file/remote path - real pages
+                # do both), the media id as the anchor, and the pixel
+                # size as width/height attributes
+                size = node.image.get("size") or {}
+                attrs = f' id="{escape(node.media_ref, quote=True)}"' \
+                    if node.media_ref else ""
+                if size.get("width"):
+                    attrs += f' width="{size["width"]}"'
+                if size.get("height"):
+                    attrs += f' height="{size["height"]}"'
+                src = str(node.image.get("uri", ""))
+                self._emit(f'<img src="{escape(src, quote=True)}"'
+                           f'{attrs} alt="">')
+            else:
+                src = f"media/{node.media_ref}.png" if node.media_ref \
+                    else "media/unnamed.png"
+                self._emit(f'<img src="{escape(src, quote=True)}" alt="">')
             if is_chart and (node.text or "").strip():
                 self._render_table_el(node.text, None, "chart-data")
         else:

@@ -7,7 +7,8 @@ batch, the output explodes to one row per extracted span inside the
 stage, and there is no shuffle anywhere in the path (a page is a
 self-contained unit of work). At cluster scale the input is an Iceberg
 scan; skew from mega-pages is defused the same way as the chunking path
-(round-robin ``repartition`` before the UDF).
+(round-robin ``repartition`` before the UDF - the ``salt_partitions``
+parameter of extract_pages).
 
 The synthetic page table is materialized once per (sf, version) as
 parquet - the production shape: extraction benchmarks measure the
@@ -47,9 +48,15 @@ def render_pages(docs: DataFrame) -> DataFrame:
         run, "doc_id string, html string")
 
 
-def extract_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
+def extract_pages(pages: DataFrame, html_col: str = "html",
+                  salt_partitions: int = 0) -> DataFrame:
     """(doc_id, html) -> exploded span rows
-    (doc_id, ord, kind, text, media_ref): the extraction operator."""
+    (doc_id, ord, kind, text, media_ref): the extraction operator.
+
+    ``salt_partitions`` round-robin-rebalances skewed inputs before the
+    UDF (few huge crawl files, or mega-pages clustered in one split) -
+    same defusal as engine.chunk_documents; extraction is per-row, so
+    any partitioning is semantically identical."""
     import pyarrow as pa
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
@@ -74,7 +81,10 @@ def extract_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
                  pa.array(mrefs, pa.string())],
                 names=["doc_id", "ord", "kind", "text", "media_ref"])
 
-    return pages.select("doc_id", html_col).mapInArrow(
+    sel = pages.select("doc_id", html_col)
+    if salt_partitions:
+        sel = sel.repartition(salt_partitions)
+    return sel.mapInArrow(
         run, "doc_id string, ord int, kind string, text string, "
              "media_ref string")
 

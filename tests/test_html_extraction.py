@@ -268,3 +268,61 @@ def test_origin_uri_roundtrip():
     assert rows[0]["kind"] == "origin:123456789:https://ex.org/src.pdf"
     assert rows[0]["text"] == "src.pdf"
     assert _triples(rows) == _triples(project_for_html(spans))
+
+
+def test_image_refs_survive_page_roundtrip():
+    """ImageRef-bearing pictures (S9) publish their real uri + pixel
+    size on the page and come back normalized (dpi -> 72, mimetype
+    from the uri): the extraction tier composes with re-homing."""
+    from docling_core_spark.mediaops import _payload_for
+    from docling_core_spark.model.spans import parse_image_ref
+    from docling_core_spark.rehome import attach_file_images, embed_spans
+
+    for doc_index in (3, 7, 42):
+        spans = attach_file_images(gen_doc_spans(doc_index, seed=42))
+        refs = {s["media_ref"] for s in spans
+                if s["kind"].split(":", 1)[0] in ("picture", "chart")
+                and s["media_ref"]}
+        if not refs:
+            continue
+        for variant in ("file", "data"):
+            use = spans if variant == "file" else embed_spans(
+                spans, {m: _payload_for(m) for m in refs})
+            html = render_page_html(f"doc_{doc_index}", use)
+            got, _ = extract_spans(html)
+            want = project_for_html(use)
+            assert _triples(got) == _triples(want), (doc_index, variant)
+            imgs = [parse_image_ref(str(r["text"]))[1] for r in got
+                    if str(r["kind"]).split(":", 1)[0]
+                    in ("picture", "chart")]
+            assert imgs and all(i is not None for i in imgs)
+            assert all(i["dpi"] == 72 for i in imgs)
+            if variant == "data":
+                assert all(str(i["uri"]).startswith("data:image/png")
+                           for i in imgs)
+
+
+def test_extract_then_rehome_reference_payloads():
+    """Full tier composition: attach -> embed -> publish page ->
+    extract -> reference-pass writes the ORIGINAL media bytes."""
+    import hashlib
+
+    from docling_core_spark.mediaops import _payload_for
+    from docling_core_spark.rehome import (
+        attach_file_images,
+        embed_spans,
+        reference_spans,
+    )
+
+    spans = attach_file_images(gen_doc_spans(3, seed=42))
+    refs = {s["media_ref"] for s in spans
+            if s["kind"].split(":", 1)[0] in ("picture", "chart")
+            and s["media_ref"]}
+    payloads = {m: _payload_for(m) for m in refs}
+    embedded = embed_spans(spans, payloads)
+    html = render_page_html("doc_3", embedded)
+    extracted, _ = extract_spans(html)
+    _, files = reference_spans(extracted, "artifacts")
+    assert sorted(p for _, p in files) == sorted(payloads.values())
+    for path, payload in files:
+        assert hashlib.sha256(payload).hexdigest() in path
