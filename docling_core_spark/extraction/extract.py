@@ -60,6 +60,26 @@ def mime_of_uri(uri: str) -> str:
             return mime
     return "image/png"
 
+
+def _span_attr(el: "El", name: str, cap: int = 512) -> int:
+    """rowspan/colspan parsing: non-numeric -> 1, clamped to
+    [1, cap] (adversarial 1e8-spans would make the grid fill
+    quadratic)."""
+    raw = el.attrs.get(name, "") or ""
+    try:
+        v = int(raw)
+    except (TypeError, ValueError):
+        return 1
+    return max(1, min(v, cap))
+
+
+def _float_attr(raw) -> float:
+    """width/height attr -> float; '50%', 'auto', None -> 0.0."""
+    try:
+        return float(raw)
+    except (TypeError, ValueError):
+        return 0.0
+
 # ----------------------------------------------------------------------
 # lightweight DOM
 # ----------------------------------------------------------------------
@@ -128,6 +148,12 @@ class _TreeBuilder(HTMLParser):
         self.root = El("#root", {})
         self.stack: List[El] = [self.root]
 
+    @staticmethod
+    def _attrs(attrs) -> Dict[str, str]:
+        # valueless attributes (<p class>, <img src>) arrive as None
+        # from HTMLParser; normalize so every consumer sees strings
+        return {k: (v if v is not None else "") for k, v in attrs}
+
     def handle_starttag(self, tag: str, attrs) -> None:
         if tag in _BLOCK_TAGS:
             # <p>one<p>two / <li>a<li>b style auto-closing; inline-group
@@ -146,13 +172,13 @@ class _TreeBuilder(HTMLParser):
             if tag == "tr":
                 while self.stack[-1].tag in ("td", "th", "tr"):
                     self.stack.pop()
-        el = El(tag, dict(attrs))
+        el = El(tag, self._attrs(attrs))
         self.stack[-1].children.append(el)
         if tag not in _VOID_TAGS and len(self.stack) < _MAX_DEPTH:
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
-        self.stack[-1].children.append(El(tag, dict(attrs)))
+        self.stack[-1].children.append(El(tag, self._attrs(attrs)))
 
     def handle_endtag(self, tag: str) -> None:
         for i in range(len(self.stack) - 1, 0, -1):
@@ -174,6 +200,21 @@ def parse_html(html: str) -> El:
     p.feed(html)
     p.close()
     return p.root
+
+
+def _find_in_figure(fig: El, tag: str) -> Optional[El]:
+    """First ``tag`` descendant of a figure WITHOUT descending into
+    nested <figure> children (an attached child picture must not
+    hijack the outer figure's identity)."""
+    stack: List[object] = list(fig.children)
+    while stack:
+        n = stack.pop(0)
+        if isinstance(n, El):
+            if n.tag == tag:
+                return n
+            if n.tag != "figure":
+                stack = n.children + stack
+    return None
 
 
 def _find_first(el: El, tag: str) -> Optional[El]:
@@ -350,10 +391,14 @@ class _Emitter:
     # -- inline item decomposition --------------------------------------
 
     def _parse_item(self, el: El) -> Tuple[str, str, str, List[El]]:
-        """Item element -> (text, fmt, hyperlink, trailing group els)."""
+        """Item element -> (text, fmt, hyperlink, trailing attached
+        els): trailing groups (ul/ol/span.inline -> :of_prev) and
+        trailing block elements (p/pre/figure/dl/table -> +child)."""
         kids = list(el.children)
         groups: List[El] = []
-        while kids and isinstance(kids[-1], El) and _is_group_el(kids[-1]):
+        while kids and isinstance(kids[-1], El) \
+                and (_is_group_el(kids[-1])
+                     or kids[-1].tag in _CHILD_BLOCK_TAGS):
             groups.insert(0, kids.pop())
         fmt = ""
         href = ""
@@ -370,15 +415,18 @@ class _Emitter:
 
     def _emit_textual(self, base_kind: str, el: El,
                       as_child: bool = False) -> None:
-        text, fmt, href, groups = self._parse_item(el)
+        text, fmt, href, attached = self._parse_item(el)
         kind = base_kind
         if fmt:
             kind += f"+fmt={fmt}"
         if as_child:
             kind += "+child"
         self.emit(kind, text, href)
-        for g in groups:
-            self._emit_group(g, of_prev=True)
+        for g in attached:
+            if _is_group_el(g):
+                self._emit_group(g, of_prev=True)
+            else:
+                self._emit_block_child(g, as_child=True)
 
     # -- groups ----------------------------------------------------------
 
@@ -441,6 +489,12 @@ class _Emitter:
     # -- tables ----------------------------------------------------------
 
     def _table_otsl(self, tbl: El) -> str:
+        """HTML grid -> OTSL; row/col spans are validated and clamped
+        (non-numeric -> 1, huge adversarial values -> 512) so one
+        hostile cell cannot wedge the occupancy fill."""
+        return self._table_otsl_impl(tbl)
+
+    def _table_otsl_impl(self, tbl: El) -> str:
         rows = [c for c in tbl.children
                 if isinstance(c, El) and c.tag == "tr"]
         # some parsers put tr under tbody
@@ -461,8 +515,8 @@ class _Emitter:
                     continue
                 while occupied.get((i, j)):
                     j += 1
-                rs = int(cell_el.attrs.get("rowspan", 1) or 1)
-                cs = int(cell_el.attrs.get("colspan", 1) or 1)
+                rs = _span_attr(cell_el, "rowspan")
+                cs = _span_attr(cell_el, "colspan")
                 toks = cell_el.cls_tokens()
                 cells.append(Cell(
                     text=cell_el.text(),
@@ -492,7 +546,7 @@ class _Emitter:
             m = re.search(r"chart-([A-Za-z0-9_]+)", cls_attr)
             if m:
                 chart_class = m.group(1)
-        img = _find_first(fig, "img")
+        img = _find_in_figure(fig, "img")
         if img is not None:
             if img.attrs.get("id"):
                 # ImageRef-bearing picture: the anchor id is the media
@@ -500,12 +554,16 @@ class _Emitter:
                 return ("chart" if chart_class else "picture",
                         img.attrs["id"], chart_class)
             src = img.attrs.get("src", "")
+            if src.startswith("data:"):
+                # inline images carry no filename: no reference
+                return ("chart" if chart_class else "picture", "",
+                        chart_class)
             name = src.rsplit("/", 1)[-1]
             if name.endswith(".png"):
                 name = name[: -len(".png")]
             return ("chart" if chart_class else "picture", name,
                     chart_class)
-        tbl = _find_first(fig, "table")
+        tbl = _find_in_figure(fig, "table")
         if tbl is not None:
             return "table", tbl.attrs.get("id", ""), ""
         return "picture", "", ""
@@ -520,12 +578,12 @@ class _Emitter:
         w = img.attrs.get("width")
         h = img.attrs.get("height")
         return {"mimetype": mime_of_uri(src), "dpi": 72,
-                "size": {"width": float(w) if w else 0.0,
-                         "height": float(h) if h else 0.0},
+                "size": {"width": _float_attr(w), "height": _float_attr(h)},
                 "uri": src}
 
-    def _emit_figure(self, fig: El) -> None:
+    def _emit_figure(self, fig: El, as_child: bool = False) -> None:
         float_kind, mref, chart_class = self._figure_ref(fig)
+        child_suffix = "+child" if as_child else ""
         anns: List[Tuple[str, str]] = []
         float_idx: Optional[int] = None
         chart_otsl = ""
@@ -540,7 +598,7 @@ class _Emitter:
                           c.text())
             elif c.tag == "img":
                 kind = (f"chart:{chart_class}" if chart_class
-                        else "picture")
+                        else "picture") + child_suffix
                 image_ref = self._image_ref_of(c)
                 float_idx = self.emit(kind, "", mref)
             elif c.tag == "table":
@@ -548,7 +606,8 @@ class _Emitter:
                     chart_otsl = self._table_otsl(c)
                 else:
                     table_otsl = self._table_otsl(c)
-                    float_idx = self.emit("table", "", mref)
+                    float_idx = self.emit("table" + child_suffix, "",
+                                          mref)
             elif c.tag == "p" and toks and toks[0] == "annotation":
                 # class "annotation-desc" -> tokens [annotation, desc]
                 anns.append((toks[1] if len(toks) > 1 else "desc",
@@ -562,16 +621,18 @@ class _Emitter:
             img_tag = encode_image_ref(image_ref)
             if row["kind"].startswith("chart"):
                 row["text"] = chart_otsl + encode_pic_anns(anns) + img_tag
-            elif row["kind"] == "table":
+            elif row["kind"].startswith("table"):
                 row["text"] = table_otsl + encode_pic_anns(anns)
             else:
                 row["text"] = encode_pic_anns(anns) + img_tag
 
     # -- key-value graphs ------------------------------------------------
 
-    def _emit_kv(self, dl: El) -> None:
+    def _emit_kv(self, dl: El, as_child: bool = False) -> None:
         kind = ("form" if "form-region" in (dl.attrs.get("class") or "")
                 else "key_value_region")
+        if as_child:
+            kind += "+child"
         cells: List[KvCell] = []
         links: List[KvLink] = []
         for c in dl.children:
@@ -641,13 +702,13 @@ class _Emitter:
             else:
                 self._emit_code(el, block=True, as_child=as_child)
         elif tag == "figure":
-            self._emit_figure(el)
+            self._emit_figure(el, as_child=as_child)
         elif tag == "table":
             otsl = self._table_otsl(el)
             kind = "table" + ("+child" if as_child else "")
             self.emit(kind, otsl, el.attrs.get("id", ""))
         elif tag == "dl":
-            self._emit_kv(el)
+            self._emit_kv(el, as_child=as_child)
         elif tag == "span":
             if "inline" in toks:
                 self._emit_group(el)
@@ -655,12 +716,28 @@ class _Emitter:
                 self.emit("formula", el.text())
             else:
                 self._emit_textual("text", el, as_child)
+        elif tag == "div" and "attached" in toks:
+            # item-with-block-children wrapper (render.py: block kids
+            # cannot legally nest in <p>): first element is the item,
+            # the rest are its attached children in order
+            kids = [c for c in el.children if isinstance(c, El)]
+            if kids:
+                self._emit_block_child(kids[0], as_child=as_child)
+                for c in kids[1:]:
+                    if _is_group_el(c):
+                        self._emit_group(c, of_prev=True)
+                    else:
+                        self._emit_block_child(c, as_child=True)
         elif tag in ("div", "section", "article", "main", "body",
                      "blockquote"):
             for c in el.children:
                 if isinstance(c, El):
                     self._emit_block_child(c)
         # anything else: not content (hr, br, stray wrappers)
+
+
+_CHILD_BLOCK_TAGS = ("p", "pre", "figure", "dl", "table",
+                     "blockquote", "div")
 
 
 def _is_group_el(el: El) -> bool:

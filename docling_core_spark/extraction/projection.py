@@ -267,6 +267,15 @@ def project_for_html(spans: Sequence[dict]) -> List[Row]:
             cells, links = parse_kv(s["text"])
             emit(rejoin_kind(base, "", as_child),
                  encode_kv(cells, links), "")
+        elif root == "section_header":
+            # h2..h6 only: levels clamp to 1..5 (render.py heading tag)
+            try:
+                lvl = int(base.split(":", 1)[1])
+            except (IndexError, ValueError):
+                lvl = 1
+            lvl = min(max(lvl, 1), 5)
+            emit(rejoin_kind(f"section_header:{lvl}", fmt, as_child),
+                 s["text"], s["media_ref"])
         else:
             emit(s["kind"], s["text"], s["media_ref"])
 

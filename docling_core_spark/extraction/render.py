@@ -186,8 +186,19 @@ class _PageRenderer:
                        f"{self._child_groups_html(node)}</span>")
             return
         cls = "" if label == "text" else f' class="{label.replace("_", "-")}"'
-        self._emit(f"<p{cls}>{_item_text_html(node)}"
-                   f"{self._child_groups_html(node)}</p>")
+        # block children cannot legally live inside <p> (browsers - and
+        # this parser - auto-close it); only inline groups stay inside.
+        # Anything else moves to a div.attached wrapper holding the
+        # item element followed by ALL its children in order.
+        block_kids = [c for c in node.children
+                      if not (c.is_group and c.kind == K_INLINE_GROUP)]
+        if block_kids:
+            self._emit(f'<div class="attached"><p{cls}>'
+                       f"{_item_text_html(node)}</p>"
+                       f"{self._child_groups_html(node)}</div>")
+        else:
+            self._emit(f"<p{cls}>{_item_text_html(node)}"
+                       f"{self._child_groups_html(node)}</p>")
 
     def _render_code(self, node: Node, inline: bool) -> None:
         lang = node.code_language or "unknown"
@@ -247,7 +258,7 @@ class _PageRenderer:
         for cap in self._captions(node, before=True):
             self._emit(f"<figcaption>{escape(cap.text or '')}</figcaption>")
         if node.kind == K_PICTURE:
-            if node.image:
+            if node.image and node.media_ref:
                 # picture carries an ImageRef (S9): publish its actual
                 # uri (inline data URI or file/remote path - real pages
                 # do both), the media id as the anchor, and the pixel
@@ -263,8 +274,10 @@ class _PageRenderer:
                 self._emit(f'<img src="{escape(src, quote=True)}"'
                            f'{attrs} alt="">')
             else:
+                # no media id -> nothing to reference: an empty inline
+                # data URI (extraction maps data: srcs to no reference)
                 src = f"media/{node.media_ref}.png" if node.media_ref \
-                    else "media/unnamed.png"
+                    else "data:,"
                 self._emit(f'<img src="{escape(src, quote=True)}" alt="">')
             if is_chart and (node.text or "").strip():
                 self._render_table_el(node.text, None, "chart-data")

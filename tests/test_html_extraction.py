@@ -326,3 +326,101 @@ def test_extract_then_rehome_reference_payloads():
     assert sorted(p for _, p in files) == sorted(payloads.values())
     for path, payload in files:
         assert hashlib.sha256(payload).hexdigest() in path
+
+
+# ----------------------------------------------------------------------
+# code-review regressions (round 2): adversarial attrs/spans, nested
+# figures, attached block children, heading-level clamp
+# ----------------------------------------------------------------------
+
+def test_valueless_attributes_total():
+    html = ('<html><body><main><p class>x</p>'
+            '<figure class="fig-picture"><img src></figure>'
+            '</main></body></html>')
+    rows, _ = extract_spans(html)
+    assert rows[0] == {"kind": "text", "text": "x", "media_ref": "",
+                      "offset": 0}
+
+
+def test_hostile_rowspan_bounded():
+    import time
+
+    t0 = time.perf_counter()
+    rows, _ = extract_spans(
+        '<html><body><main><table><tr>'
+        '<td rowspan="99999999" colspan="99999999">x</td>'
+        '</tr></table></main></body></html>')
+    assert time.perf_counter() - t0 < 5.0
+    assert rows and rows[0]["kind"] == "table"
+    rows2, _ = extract_spans(
+        '<html><body><main><table><tr><td rowspan="x">a</td>'
+        '<td>b</td></tr></table></main></body></html>')
+    assert rows2[0]["text"] == "<fcel>a<fcel>b<nl>"
+
+
+def test_percent_width_image_total():
+    rows, _ = extract_spans(
+        '<html><body><main><figure class="fig-picture">'
+        '<img id="m1" src="a.png" width="50%"></figure>'
+        "</main></body></html>")
+    assert rows[0]["media_ref"] == "m1"
+    assert '"width":0.0' in rows[0]["text"]
+
+
+def _rt(spans):
+    got = [(r["kind"], r["text"], r["media_ref"])
+           for r in extract_spans(render_page_html("d", spans))[0]]
+    want = [(r["kind"], r["text"], r["media_ref"])
+            for r in project_for_html(spans)]
+    return got, want
+
+
+def test_nested_child_picture_keeps_table_identity():
+    spans = [
+        {"kind": "table", "text": "<fcel>a<nl>", "media_ref": "t1",
+         "offset": 0},
+        {"kind": "picture+child", "text": "", "media_ref": "m1",
+         "offset": 1},
+        {"kind": "caption:t1", "text": "cap", "media_ref": "",
+         "offset": 2},
+    ]
+    got, want = _rt(spans)
+    assert got == want
+    assert got[0][2] == "t1" and got[1][0] == "picture+child"
+
+
+def test_text_item_with_block_children_roundtrip():
+    spans = [
+        {"kind": "text", "text": "hello", "media_ref": "", "offset": 0},
+        {"kind": "list_group:of_prev", "text": "", "media_ref": "",
+         "offset": 1},
+        {"kind": "list_item", "text": "a", "media_ref": "", "offset": 2},
+        {"kind": "end_group", "text": "", "media_ref": "", "offset": 3},
+    ]
+    got, want = _rt(spans)
+    assert got == want and got[1][0] == "list_group:of_prev"
+
+
+def test_heading_with_nongroup_child_roundtrip():
+    spans = [
+        {"kind": "section_header:2", "text": "head", "media_ref": "",
+         "offset": 0},
+        {"kind": "text+child", "text": "kid", "media_ref": "",
+         "offset": 1},
+    ]
+    got, want = _rt(spans)
+    assert got == want and got[1][0] == "text+child"
+
+
+def test_section_level_clamped_to_h6():
+    spans = [{"kind": "section_header:7", "text": "deep",
+              "media_ref": "", "offset": 0}]
+    got, want = _rt(spans)
+    assert got == want == [("section_header:5", "deep", "")]
+
+
+def test_empty_media_ref_picture_stays_unreferenced():
+    spans = [{"kind": "picture", "text": "", "media_ref": "",
+              "offset": 0}]
+    got, want = _rt(spans)
+    assert got == want == [("picture", "", "")]
