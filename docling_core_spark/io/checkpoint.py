@@ -113,6 +113,18 @@ def run_resumable(
          .withColumn("wall_s", F.lit(round(wall, 3)))
          .withColumn("committed_at", F.current_timestamp())
          .select(*LINEAGE_COLS))
+        if lineage.isEmpty():
+            # an empty bucket still needs a commit record, else resume
+            # would reprocess it forever (and a max_buckets_this_run
+            # loop would stall on it); schema must match the aggregate
+            # path exactly or mixed appends corrupt the lineage table
+            lineage = (spark.createDataFrame(
+                [(b, -1, None, None, 0, 0, round(wall, 3))],
+                "bucket int, partition_id int, doc_id_min string, "
+                "doc_id_max string, n_docs bigint, n_chunks bigint, "
+                "wall_s double")
+                .withColumn("committed_at", F.current_timestamp())
+                .select(*LINEAGE_COLS))
         # the commit point: bucket becomes visible only once this lands
         lineage.coalesce(1).write.mode("append").parquet(
             os.path.join(out_dir, "lineage"))

@@ -163,6 +163,11 @@ def gen_page_cells(doc_index: int, page_no: int = 1,
     return {"dimension": (width, height), "words": words, "lines": lines}
 
 
+_CELL_COLS = ("doc_id", "page_no", "unit", "idx", "text",
+              "rx0", "ry0", "rx1", "ry1", "rx2", "ry2", "rx3", "ry3",
+              "coord_origin", "font_name", "text_direction",
+              "page_w", "page_h")
+
 _CELL_SCHEMA = ("doc_id string, page_no int, unit string, idx int, "
                 "text string, rx0 double, ry0 double, rx1 double, "
                 "ry1 double, rx2 double, ry2 double, rx3 double, "
@@ -170,14 +175,10 @@ _CELL_SCHEMA = ("doc_id string, page_no int, unit string, idx int, "
                 "text_direction string, page_w double, page_h double")
 
 
-def synth_pdf_cells(spark: SparkSession, n_docs: int,
-                    seed: int = 42) -> DataFrame:
-    """Distributed generator: each executor derives its pages from
-    (seed, index) - no shuffle, linear scale-out (same pattern as
-    engine.synth_documents)."""
+def _arrow_cell_schema():
     import pyarrow as pa
 
-    arrow_schema = pa.schema(
+    return pa.schema(
         [("doc_id", pa.string()), ("page_no", pa.int32()),
          ("unit", pa.string()), ("idx", pa.int32()),
          ("text", pa.string())]
@@ -187,34 +188,46 @@ def synth_pdf_cells(spark: SparkSession, n_docs: int,
            ("text_direction", pa.string()),
            ("page_w", pa.float64()), ("page_h", pa.float64())])
 
+
+def _append_cell_rows(cols: Dict[str, list], doc_index: int,
+                      page: dict) -> None:
+    """Flatten one synthetic page into the columnar cell layout (the
+    single definition of the cell-row shape, shared by the Spark
+    generator and the DuckDB-oracle materializer)."""
+    w, h = page["dimension"]
+    for unit, cells in (("word", page["words"]),
+                        ("line", page["lines"])):
+        for c in cells:
+            cols["doc_id"].append(f"doc_{doc_index:012d}")
+            cols["page_no"].append(1)
+            cols["unit"].append(unit)
+            cols["idx"].append(c["index"])
+            cols["text"].append(c["text"])
+            for j, name in enumerate(("rx0", "ry0", "rx1", "ry1",
+                                      "rx2", "ry2", "rx3", "ry3")):
+                cols[name].append(float(c["quad"][j]))
+            cols["coord_origin"].append(BOTTOMLEFT)
+            cols["font_name"].append(c["font_name"])
+            cols["text_direction"].append(c["text_direction"])
+            cols["page_w"].append(w)
+            cols["page_h"].append(h)
+
+
+def synth_pdf_cells(spark: SparkSession, n_docs: int,
+                    seed: int = 42) -> DataFrame:
+    """Distributed generator: each executor derives its pages from
+    (seed, index) - no shuffle, linear scale-out (same pattern as
+    engine.synth_documents)."""
+    import pyarrow as pa
+
+    arrow_schema = _arrow_cell_schema()
+
     def gen(batches):
         for batch in batches:
-            cols: Dict[str, list] = {k: [] for k in (
-                "doc_id", "page_no", "unit", "idx", "text", "rx0", "ry0",
-                "rx1", "ry1", "rx2", "ry2", "rx3", "ry3", "coord_origin",
-                "font_name", "text_direction", "page_w", "page_h")}
+            cols: Dict[str, list] = {k: [] for k in _CELL_COLS}
             for i in batch.column("id").to_pylist():
-                i = int(i)
-                page = gen_page_cells(i, 1, seed)
-                w, h = page["dimension"]
-                for unit, cells in (("word", page["words"]),
-                                    ("line", page["lines"])):
-                    for c in cells:
-                        cols["doc_id"].append(f"doc_{i:012d}")
-                        cols["page_no"].append(1)
-                        cols["unit"].append(unit)
-                        cols["idx"].append(c["index"])
-                        cols["text"].append(c["text"])
-                        for j, name in enumerate(("rx0", "ry0", "rx1",
-                                                  "ry1", "rx2", "ry2",
-                                                  "rx3", "ry3")):
-                            cols[name].append(float(c["quad"][j]))
-                        cols["coord_origin"].append(BOTTOMLEFT)
-                        cols["font_name"].append(c["font_name"])
-                        cols["text_direction"].append(
-                            c["text_direction"])
-                        cols["page_w"].append(w)
-                        cols["page_h"].append(h)
+                _append_cell_rows(cols, int(i), gen_page_cells(int(i), 1,
+                                                               seed))
             yield pa.RecordBatch.from_pydict(cols, schema=arrow_schema)
 
     return (spark.range(0, n_docs)
@@ -428,41 +441,10 @@ def ensure_pdf_cells_local(sf_dir: str) -> str:
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     n = corpus_docs_for(sf_dir)
-    cols: Dict[str, list] = {k: [] for k in (
-        "doc_id", "page_no", "unit", "idx", "text", "rx0", "ry0", "rx1",
-        "ry1", "rx2", "ry2", "rx3", "ry3", "coord_origin", "font_name",
-        "text_direction", "page_w", "page_h")}
+    cols: Dict[str, list] = {k: [] for k in _CELL_COLS}
     for i in range(n):
-        page = gen_page_cells(i, 1, 42)
-        w, h = page["dimension"]
-        for unit, cells in (("word", page["words"]),
-                            ("line", page["lines"])):
-            for c in cells:
-                cols["doc_id"].append(f"doc_{i:012d}")
-                cols["page_no"].append(1)
-                cols["unit"].append(unit)
-                cols["idx"].append(c["index"])
-                cols["text"].append(c["text"])
-                for j, name in enumerate(("rx0", "ry0", "rx1", "ry1",
-                                          "rx2", "ry2", "rx3", "ry3")):
-                    cols[name].append(float(c["quad"][j]))
-                cols["coord_origin"].append(BOTTOMLEFT)
-                cols["font_name"].append(c["font_name"])
-                cols["text_direction"].append(c["text_direction"])
-                cols["page_w"].append(w)
-                cols["page_h"].append(h)
-    schema = pa.schema([
-        ("doc_id", pa.string()), ("page_no", pa.int32()),
-        ("unit", pa.string()), ("idx", pa.int32()),
-        ("text", pa.string()),
-        ("rx0", pa.float64()), ("ry0", pa.float64()),
-        ("rx1", pa.float64()), ("ry1", pa.float64()),
-        ("rx2", pa.float64()), ("ry2", pa.float64()),
-        ("rx3", pa.float64()), ("ry3", pa.float64()),
-        ("coord_origin", pa.string()), ("font_name", pa.string()),
-        ("text_direction", pa.string()),
-        ("page_w", pa.float64()), ("page_h", pa.float64())])
-    table = pa.Table.from_pydict(cols, schema=schema)
+        _append_cell_rows(cols, i, gen_page_cells(i, 1, 42))
+    table = pa.Table.from_pydict(cols, schema=_arrow_cell_schema())
     os.makedirs(path, exist_ok=True)
     pq.write_table(table, os.path.join(path, "part-00000.parquet"))
     open(os.path.join(path, "_SUCCESS"), "w").close()

@@ -77,10 +77,18 @@ def attach_file_images(spans: List[dict],
     return out
 
 
+_SCHEME_RE = __import__("re").compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
 def _is_file_uri(uri: str) -> bool:
-    """file-flavored = file:// or a bare path (reference checks
-    AnyUrl.scheme == 'file' or pathlib.Path, document.py:4188-4198)."""
-    return bool(uri) and not uri.startswith(("data:", "http:", "https:"))
+    """file-flavored = file: scheme or a bare path (reference checks
+    AnyUrl.scheme == 'file' or pathlib.Path, document.py:4188-4198).
+    Any other scheme (data:, http:, s3:, gs:, ...) is left untouched,
+    matching the reference's pass-through."""
+    if not uri:
+        return False
+    m = _SCHEME_RE.match(uri)
+    return m is None or uri[:m.end() - 1].lower() == "file"
 
 
 def embed_spans(spans: List[dict],
@@ -122,24 +130,24 @@ def reference_spans(spans: List[dict], image_dir: str = "artifacts"
             continue
         text, image = parse_image_ref(s["text"])
         uri = str(image.get("uri", "")) if image else ""
-        if not uri.startswith("data:"):
-            if image is not None:
-                img_count += 1  # reference counts every pictured item
+        payload = None
+        if uri.startswith("data:"):
+            try:
+                payload = base64.b64decode(uri.split(",", 1)[1])
+            except (IndexError, ValueError):
+                payload = None
+        if payload is None:
             out.append(s)
-            continue
-        try:
-            payload = base64.b64decode(uri.split(",", 1)[1])
-        except (IndexError, ValueError):
-            out.append(s)
-            continue
-        hexhash = hashlib.sha256(payload).hexdigest()
-        fname = f"image_{img_count:06d}_{hexhash}.png"
+        else:
+            hexhash = hashlib.sha256(payload).hexdigest()
+            path = f"{image_dir}/image_{img_count:06d}_{hexhash}.png"
+            files.append((path, payload))
+            new_image = dict(image)
+            new_image["uri"] = path
+            out.append({**s, "text": text + encode_image_ref(new_image)})
+        # the reference increments for EVERY PictureItem, imaged or not
+        # (document.py:4250, outside the `img is not None` block)
         img_count += 1
-        path = f"{image_dir}/{fname}"
-        files.append((path, payload))
-        new_image = dict(image)
-        new_image["uri"] = path
-        out.append({**s, "text": text + encode_image_ref(new_image)})
     return out, files
 
 
@@ -154,7 +162,10 @@ def _doc_payloads(docs: DataFrame, media: DataFrame) -> DataFrame:
             .select("doc_id", F.explode("spans").alias("s"))
             .filter(F.col("s.kind").rlike(_PIC_RE))
             .select("doc_id", F.col("s.media_ref").alias("media_ref"))
-            .filter(F.col("media_ref") != ""))
+            .filter(F.col("media_ref") != "")
+            # a repeated media_ref within one doc (shared logo) would
+            # trip map_from_entries' DUPLICATED_MAP_KEY exception
+            .distinct())
     return (refs
             .join(media.select("media_ref", "payload"), "media_ref")
             .groupBy("doc_id")
@@ -356,28 +367,9 @@ def image_ref_rows(docs: DataFrame) -> DataFrame:
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         for batch in batches:
             tbl = batch.to_pydict()
-            cols = {k: [] for k in ("doc_id", "media_ref", "mimetype",
-                                    "dpi", "width", "height",
-                                    "uri_scheme", "uri_sha256")}
-            for did, spans in zip(tbl["doc_id"], tbl["spans"]):
-                for r in image_ref_rows_py(did, spans):
-                    for k, v in r.items():
-                        cols[k].append(v)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(cols["doc_id"], pa.string()),
-                 pa.array(cols["media_ref"], pa.string()),
-                 pa.array(cols["mimetype"], pa.string()),
-                 pa.array(cols["dpi"], pa.int32()),
-                 pa.array(cols["width"], pa.float64()),
-                 pa.array(cols["height"], pa.float64()),
-                 pa.array(cols["uri_scheme"], pa.string()),
-                 pa.array(cols["uri_sha256"], pa.string())],
-                names=list(cols))
+            yield _witness_batch(pa, tbl["doc_id"], tbl["spans"])
 
-    return docs.select("doc_id", "spans").mapInArrow(
-        run, "doc_id string, media_ref string, mimetype string, "
-             "dpi int, width double, height double, uri_scheme string, "
-             "uri_sha256 string")
+    return docs.select("doc_id", "spans").mapInArrow(run, _WITNESS_SCHEMA)
 
 
 def image_ref_rows_py(doc_id: str, spans: List[dict]) -> List[dict]:

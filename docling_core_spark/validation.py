@@ -48,9 +48,12 @@ def check_version(v: object) -> Optional[str]:
     semantics: same major, doc minor <= SDK minor)."""
     sdk = re.match(VERSION_PATTERN, CURRENT_VERSION)
     doc = re.match(VERSION_PATTERN, str(v)) if isinstance(v, str) else None
+    # NB: the reference compares the regex *group strings* ("10" > "6"
+    # is False), so minor must be compared lexicographically to match
+    # its accept set exactly (document.py:5547-5551).
     if (doc is None or sdk is None
             or doc["major"] != sdk["major"]
-            or int(doc["minor"]) > int(sdk["minor"])):
+            or doc["minor"] > sdk["minor"]):
         return (f"version: doc version {v!r} incompatible with SDK "
                 f"schema version {CURRENT_VERSION}")
     return None
@@ -86,37 +89,46 @@ def _validate_tree(doc: dict, root: dict, errors: List[str],
     """validate_tree (document.py:4045-4060) over the raw dict: child
     refs resolve, children's parent refs point back, rich table cells'
     targets are parented by the table. ``seen`` guards ref cycles
-    (the pydantic model cannot even represent one; raw JSON can)."""
-    root_ref = _self_ref_of(doc, root)
-    if root_ref in seen:
-        errors.append(f"tree: cycle through {root_ref}")
-        return
-    seen.add(root_ref)
-    for child_ref_obj in root.get("children") or []:
-        ref = _ref_str(child_ref_obj)
-        child = _resolve(doc, ref)
-        if child is None:
-            errors.append(f"tree: unresolvable child ref {ref!r} "
-                          f"under {root_ref}")
+    (the pydantic model cannot even represent one; raw JSON can).
+    Iterative pre-order walk — a deep ref chain in flat JSON must not
+    blow the Python recursion limit and escape the quarantine wrapper
+    (same hazard the traversal avoids, model/doc.py:186)."""
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        root_ref = _self_ref_of(doc, node)
+        if root_ref in seen:
+            errors.append(f"tree: cycle through {root_ref}")
             continue
-        parent_ref = _ref_str(child.get("parent"))
-        if parent_ref != root_ref:
-            errors.append(
-                f"tree: {ref} parent points at {parent_ref!r}, "
-                f"expected {root_ref}")
-            continue
-        _validate_tree(doc, child, errors, seen)
-    data = root.get("data")
-    if isinstance(data, dict):
-        for cell in data.get("table_cells") or []:
-            cell_ref = (cell or {}).get("ref")
-            if cell_ref is None:
-                continue  # plain TableCell
-            target = _resolve(doc, _ref_str(cell_ref))
-            if target is None or _ref_str(target.get("parent")) != root_ref:
+        seen.add(root_ref)
+        pending: List[dict] = []
+        for child_ref_obj in node.get("children") or []:
+            ref = _ref_str(child_ref_obj)
+            child = _resolve(doc, ref)
+            if child is None:
+                errors.append(f"tree: unresolvable child ref {ref!r} "
+                              f"under {root_ref}")
+                continue
+            parent_ref = _ref_str(child.get("parent"))
+            if parent_ref != root_ref:
                 errors.append(
-                    f"tree: rich cell ref {_ref_str(cell_ref)!r} of "
-                    f"{root_ref} is not a child of the table")
+                    f"tree: {ref} parent points at {parent_ref!r}, "
+                    f"expected {root_ref}")
+                continue
+            pending.append(child)
+        stack.extend(reversed(pending))  # preserve pre-order
+        data = node.get("data")
+        if isinstance(data, dict):
+            for cell in data.get("table_cells") or []:
+                cell_ref = (cell or {}).get("ref")
+                if cell_ref is None:
+                    continue  # plain TableCell
+                target = _resolve(doc, _ref_str(cell_ref))
+                if (target is None
+                        or _ref_str(target.get("parent")) != root_ref):
+                    errors.append(
+                        f"tree: rich cell ref {_ref_str(cell_ref)!r} of "
+                        f"{root_ref} is not a child of the table")
 
 
 def validate_docjson_dict(doc: dict) -> List[str]:

@@ -122,12 +122,9 @@ def _items_with_prov(doc: Doc, traverse_pictures: bool):
         yield node
 
 
-def layout_draw_rows(doc_id: str, spans, show_label: bool = True
-                     ) -> List[dict]:
-    """LayoutVisualizer draw commands for one document."""
-    doc = doc_from_spans(doc_id, [(s["kind"], s["text"], s["media_ref"],
-                                   s["offset"]) for s in spans])
-    rows: List[dict] = []
+def _make_emitter(doc_id: str, rows: List[dict]):
+    """The one definition of the draw-row contract (shape, coord
+    rounding, per-page seq counter) shared by all four visualizers."""
     seq_by_page: Dict[int, int] = {}
 
     def emit(page_no: int, op: str, coords, fill: str = "",
@@ -139,6 +136,17 @@ def layout_draw_rows(doc_id: str, spans, show_label: bool = True
                      "coords": json.dumps([round(c, 6) for c in coords]),
                      "fill": fill, "outline": outline, "width": width,
                      "text": text})
+
+    return emit
+
+
+def layout_draw_rows(doc_id: str, spans, show_label: bool = True
+                     ) -> List[dict]:
+    """LayoutVisualizer draw commands for one document."""
+    doc = doc_from_spans(doc_id, [(s["kind"], s["text"], s["media_ref"],
+                                   s["offset"]) for s in spans])
+    rows: List[dict] = []
+    emit = _make_emitter(doc_id, rows)
 
     def flush(page_no: int, clusters: List[Node]) -> None:
         for c in clusters:
@@ -178,17 +186,7 @@ def reading_order_rows(doc_id: str, spans,
     doc = doc_from_spans(doc_id, [(s["kind"], s["text"], s["media_ref"],
                                    s["offset"]) for s in spans])
     rows: List[dict] = []
-    seq_by_page: Dict[int, int] = {}
-
-    def emit(page_no: int, op: str, coords, fill: str = "",
-             outline: str = "", width: int = 0, text: str = "") -> None:
-        seq = seq_by_page.get(page_no, 0)
-        seq_by_page[page_no] = seq + 1
-        rows.append({"doc_id": doc_id, "page_no": page_no, "seq": seq,
-                     "op": op,
-                     "coords": json.dumps([round(c, 6) for c in coords]),
-                     "fill": fill, "outline": outline, "width": width,
-                     "text": text})
+    emit = _make_emitter(doc_id, rows)
 
     numbers: Dict[int, List[Tuple[float, float, str]]] = {}
     x0 = y0 = None
@@ -318,16 +316,7 @@ def table_viz_rows(doc_id: str, spans) -> List[dict]:
     doc = doc_from_spans(doc_id, [(s["kind"], s["text"], s["media_ref"],
                                    s["offset"]) for s in spans])
     rows: List[dict] = []
-    seq_by_page: Dict[int, int] = {}
-
-    def emit(page_no: int, coords, fill: str, outline: str) -> None:
-        seq = seq_by_page.get(page_no, 0)
-        seq_by_page[page_no] = seq + 1
-        rows.append({"doc_id": doc_id, "page_no": page_no, "seq": seq,
-                     "op": "rect",
-                     "coords": json.dumps([round(c, 6) for c in coords]),
-                     "fill": fill, "outline": outline, "width": 0,
-                     "text": ""})
+    emit = _make_emitter(doc_id, rows)
 
     for node in _items_with_prov(doc, traverse_pictures=False):
         if node.kind != K_TABLE:
@@ -342,11 +331,11 @@ def table_viz_rows(doc_id: str, spans) -> List[dict]:
                 fill, outline = TABLE_COLHEAD_FILL, TABLE_COLHEAD_OUTLINE
             if cell.row_header or cell.row_section:
                 fill, outline = TABLE_ROWHEAD_FILL, TABLE_ROWHEAD_OUTLINE
-            emit(node.page_no,
+            emit(node.page_no, "rect",
                  synth_cell_bbox(tb, table.num_rows, table.num_cols,
                                  cell.start_row, cell.end_row,
                                  cell.start_col, cell.end_col),
-                 fill, outline)
+                 fill=fill, outline=outline)
     return rows
 
 
@@ -385,17 +374,7 @@ def kv_viz_rows(doc_id: str, spans, show_label: bool = True
     doc = doc_from_spans(doc_id, [(s["kind"], s["text"], s["media_ref"],
                                    s["offset"]) for s in spans])
     rows: List[dict] = []
-    seq_by_page: Dict[int, int] = {}
-
-    def emit(page_no: int, op: str, coords, fill: str = "",
-             outline: str = "", width: int = 0, text: str = "") -> None:
-        seq = seq_by_page.get(page_no, 0)
-        seq_by_page[page_no] = seq + 1
-        rows.append({"doc_id": doc_id, "page_no": page_no, "seq": seq,
-                     "op": op,
-                     "coords": json.dumps([round(c, 6) for c in coords]),
-                     "fill": fill, "outline": outline, "width": width,
-                     "text": text})
+    emit = _make_emitter(doc_id, rows)
 
     kv_nodes = [n for n in _items_with_prov(doc, traverse_pictures=False)
                 if n.kind == K_KEY_VALUE]

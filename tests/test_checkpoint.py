@@ -86,6 +86,26 @@ def test_rerun_is_noop(spark, out_dir):
     assert read_lineage(spark, out_dir).count() == lineage1
 
 
+def test_empty_buckets_commit(spark, out_dir):
+    """Fewer docs than buckets: empty buckets must still commit (a
+    sentinel lineage row), or resume reprocesses them forever and a
+    max_buckets_this_run loop stalls on the first empty bucket."""
+    few = synth_documents(spark, 3, seed=42)
+    # drive to completion one bucket per call; must terminate
+    for _ in range(16):
+        if len(completed_buckets(spark, out_dir)) == 16:
+            break
+        run_resumable(few, out_dir, _stage, n_buckets=16,
+                      max_buckets_this_run=1)
+    assert completed_buckets(spark, out_dir) == list(range(16))
+    out = run_resumable(few, out_dir, _stage, n_buckets=16)  # noop
+    assert out.select("doc_id").distinct().count() == 3
+    lineage = read_lineage(spark, out_dir)
+    assert lineage.filter(lineage.n_docs == 0).count() == 16 - len(
+        {r["bucket"] for r in lineage.filter(lineage.n_docs > 0)
+         .select("bucket").distinct().collect()})
+
+
 def test_lineage_metrics(spark, out_dir):
     out = run_resumable(_docs(spark), out_dir, _stage, n_buckets=N_BUCKETS)
     lineage = read_lineage(spark, out_dir)

@@ -112,6 +112,55 @@ def test_embed_skips_non_file_uris():
         == "https://ex.org/i.png"
 
 
+def test_embed_skips_object_store_schemes():
+    """s3:/gs:/ftp: are neither file: nor bare paths — the reference's
+    AnyUrl-scheme check passes them through untouched
+    (document.py:4188-4198)."""
+    for uri in ("s3://bucket/i.png", "gs://bucket/i.png",
+                "ftp://host/i.png"):
+        image = {"mimetype": "image/png", "dpi": 72,
+                 "size": {"width": 1.0, "height": 1.0}, "uri": uri}
+        spans = [{"kind": "picture", "text": encode_image_ref(image),
+                  "media_ref": "img_x", "offset": 0}]
+        out = embed_spans(spans, {"img_x": b"bytes"})
+        assert parse_image_ref(out[0]["text"])[1]["uri"] == uri
+    # file: scheme and bare paths DO embed
+    for uri in ("file:///tmp/i.png", "artifacts/i.png"):
+        image = {"mimetype": "image/png", "dpi": 72,
+                 "size": {"width": 1.0, "height": 1.0}, "uri": uri}
+        spans = [{"kind": "picture", "text": encode_image_ref(image),
+                  "media_ref": "img_x", "offset": 0}]
+        out = embed_spans(spans, {"img_x": b"bytes"})
+        assert parse_image_ref(out[0]["text"])[1]["uri"].startswith(
+            "data:image/png;base64,")
+
+
+def test_img_count_increments_for_imageless_pictures():
+    """The reference bumps img_count for EVERY PictureItem, with or
+    without an image (document.py:4250) — a leading image-less picture
+    must shift the names of the imaged ones that follow."""
+    data_uri = ("data:image/png;base64,"
+                + base64.b64encode(b"payload").decode())
+    imaged = {"mimetype": "image/png", "dpi": 72,
+              "size": {"width": 1.0, "height": 1.0}, "uri": data_uri}
+    spans = [
+        {"kind": "picture", "text": "", "media_ref": "img_a",
+         "offset": 0},                               # no ImageRef at all
+        {"kind": "picture", "text": encode_image_ref(
+            {**imaged, "uri": "data:image/png;base64,@@corrupt@@"}),
+         "media_ref": "img_b", "offset": 1},         # undecodable
+        {"kind": "picture", "text": encode_image_ref(imaged),
+         "media_ref": "img_c", "offset": 2},         # real data URI
+    ]
+    _, files = reference_spans(spans, "imgdir")
+    assert len(files) == 1
+    path, payload = files[0]
+    assert payload == b"payload"
+    # count 0 and 1 were consumed by the image-less/corrupt pictures
+    assert path == ("imgdir/image_000002_"
+                    + hashlib.sha256(b"payload").hexdigest() + ".png")
+
+
 def test_witness_rows_shape():
     spans = attach_file_images(gen_doc_spans(3, seed=42))
     rows = image_ref_rows_py("d", embed_spans(spans, _payloads(spans)))
@@ -163,6 +212,29 @@ def test_reference_loads_rehomed_json():
         doc2 = doc_from_spans(f"doc_{i}", tuples2)
         ref_doc2 = DoclingDocument.model_validate(export_to_docjson(doc2))
         assert ref_doc.export_to_markdown() == ref_doc2.export_to_markdown()
+
+
+def test_spark_embed_handles_repeated_media_ref(spark):
+    """One doc using the same media_ref twice (a repeated logo) must
+    not trip map_from_entries' DUPLICATED_MAP_KEY in _doc_payloads."""
+    from docling_core_spark.engine import DOCUMENTS_SCHEMA
+    from docling_core_spark.rehome import embed_pictures
+
+    uri = {"mimetype": "image/png", "dpi": 72,
+           "size": {"width": 1.0, "height": 1.0},
+           "uri": "artifacts/img_0.png"}
+    span = ("picture", encode_image_ref(uri), "img_0", 0)
+    docs = spark.createDataFrame(
+        [("d0", [span, ("picture", encode_image_ref(uri), "img_0", 1)])],
+        DOCUMENTS_SCHEMA)
+    media = spark.createDataFrame([("img_0", bytearray(b"bytes"))],
+                                  "media_ref string, payload binary")
+    rows = embed_pictures(docs, media).collect()
+    assert len(rows) == 1
+    for s in rows[0]["spans"]:
+        got = parse_image_ref(s["text"])[1]
+        assert got["uri"] == "data:image/png;base64," \
+            + base64.b64encode(b"bytes").decode()
 
 
 def test_spark_rehome_matches_oracle(spark):

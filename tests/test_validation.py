@@ -51,6 +51,10 @@ def test_valid_corpus_docs_pass_both():
     ("2.0.0", False),   # different major
     ("0.9.0", False),   # different major
     ("abc", False), (None, False), ("1.6", False),
+    # the reference compares the regex minor groups as STRINGS
+    # (document.py:5551): '10' < '6' lexicographically, so 1.10.0 is
+    # accepted while 1.60.0 ('60' > '6') is rejected
+    ("1.10.0", True), ("1.59.0", True), ("1.60.0", False),
 ])
 def test_version_rule_matches_reference(version, ok):
     assert (check_version(version) is None) == ok
@@ -125,6 +129,37 @@ def test_cycle_guard_total():
     item["parent"] = {"$ref": first}
     errs = validate_docjson_dict(js)
     assert errs  # flagged, did not hang
+
+
+def test_deep_ref_chain_no_recursion_error():
+    """A flat-JSON doc whose refs chain thousands deep must validate
+    (or quarantine) without blowing the recursion limit — a
+    RecursionError here would escape the quarantine wrapper and kill
+    the Spark task."""
+    n = 5000
+    texts = []
+    for i in range(n):
+        texts.append({
+            "self_ref": f"#/texts/{i}",
+            "parent": ({"$ref": "#/body"} if i == 0
+                       else {"$ref": f"#/texts/{i - 1}"}),
+            "children": ([{"$ref": f"#/texts/{i + 1}"}]
+                         if i + 1 < n else []),
+            "label": "text", "orig": "x", "text": "x",
+        })
+    js = {
+        "schema_name": "DoclingDocument", "version": "1.6.0",
+        "name": "deep",
+        "body": {"self_ref": "#/body", "children": [{"$ref": "#/texts/0"}],
+                 "content_layer": "body", "name": "_root_",
+                 "label": "unspecified"},
+        "furniture": {"self_ref": "#/furniture", "children": [],
+                      "content_layer": "furniture", "name": "_root_",
+                      "label": "unspecified"},
+        "groups": [], "texts": texts, "pictures": [], "tables": [],
+        "key_value_items": [], "form_items": [], "pages": {},
+    }
+    assert validate_docjson_dict(js) == []
 
 
 def test_corruption_split_deterministic():
