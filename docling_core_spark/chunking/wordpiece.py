@@ -58,9 +58,13 @@ def _is_cjk(cp: int) -> bool:
 
 
 def _is_control(ch: str) -> bool:
+    # the HF fast tokenizer's BertNormalizer strips the whole
+    # category-C group (Rust char::is_other: Cc/Cf/Co/Cn/Cs), not just
+    # Cc/Cf like the slow Python BasicTokenizer - parity target is the
+    # fast tokenizer (module docstring)
     if ch in ("\t", "\n", "\r"):
         return False
-    return unicodedata.category(ch) in ("Cc", "Cf")
+    return unicodedata.category(ch).startswith("C")
 
 
 def basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
@@ -167,20 +171,58 @@ class WordPieceCounter:
 # ----------------------------------------------------------------------
 
 # GPT-4-family pre-tokenization pattern (cl100k_base, published in the
-# tiktoken source). Python re lacks \p{L}/\p{N}; the unicode-aware
-# equivalents are [^\W\d_] (letter) and \d (number), and the optional
-# one-char prefix before a letter run is any non-letter/non-number
-# char except \r\n - including the leading space, which is what glues
-# " world"-style tokens together.
-_BPE_SPLIT_RE = re.compile(
-    r"(?i:'(?:[sdmt]|ll|ve|re))"
-    r"|(?:[^\w\r\n]|_)?[^\W\d_]+"
-    r"|\d{1,3}"
-    r"| ?(?:[^\s\w]|_)+[\r\n]*"
-    r"|\s*[\r\n]+"
-    r"|\s+(?!\S)"
-    r"|\s+",
-    re.UNICODE)
+# tiktoken source). Python re lacks \p{L}/\p{N}; the translation:
+#
+# * \w = L* + Nd + Nl + No + '_', so [^\w\r\n]|_ is exactly
+#   [^\r\n\p{L}\p{N}] and [^\s\w]|_ is [^\s\p{L}\p{N}];
+# * \d = Nd only, so \p{N} needs the Nl/No codepoints added explicitly
+#   (fractions like U+00BC, superscripts, Roman numerals) and \p{L}
+#   ([^\W\d_]) needs them REMOVED - else 'x²' pre-splits as one
+#   letter run where tiktoken splits ['x', '²'];
+# * the optional one-char prefix before a letter run includes the
+#   leading space, which is what glues " world"-style tokens together.
+_NLNO_CLASS: Optional[str] = None
+_BPE_SPLIT_RE_C: Optional["re.Pattern[str]"] = None
+
+
+def _nlno_class() -> str:
+    """Character-class body matching categories Nl + No (built once:
+    a full codepoint scan is ~0.5 s, paid per worker process at first
+    BytePairCounter use, never per batch)."""
+    global _NLNO_CLASS
+    if _NLNO_CLASS is None:
+        import sys
+
+        cps = [c for c in range(sys.maxunicode + 1)
+               if unicodedata.category(chr(c)) in ("Nl", "No")]
+        parts: List[str] = []
+        i = 0
+        while i < len(cps):
+            j = i
+            while j + 1 < len(cps) and cps[j + 1] == cps[j] + 1:
+                j += 1
+            a, b = cps[i], cps[j]
+            parts.append(f"\\U{a:08X}"
+                         + (f"-\\U{b:08X}" if b > a else ""))
+            i = j + 1
+        _NLNO_CLASS = "".join(parts)
+    return _NLNO_CLASS
+
+
+def _bpe_split_re() -> "re.Pattern[str]":
+    global _BPE_SPLIT_RE_C
+    if _BPE_SPLIT_RE_C is None:
+        nlno = _nlno_class()
+        _BPE_SPLIT_RE_C = re.compile(
+            r"(?i:'(?:[sdmt]|ll|ve|re))"
+            r"|(?:[^\w\r\n]|_)?" + rf"[^\W\d_{nlno}]+"
+            rf"|[\d{nlno}]{{1,3}}"
+            r"| ?(?:[^\s\w]|_)+[\r\n]*"
+            r"|\s*[\r\n]+"
+            r"|\s+(?!\S)"
+            r"|\s+",
+            re.UNICODE)
+    return _BPE_SPLIT_RE_C
 
 
 def bpe_merge_count(piece: bytes, ranks: Dict[bytes, int]) -> int:
@@ -231,7 +273,7 @@ class BytePairCounter:
 
     def count_tokens(self, text: str) -> int:
         n = 0
-        for m in _BPE_SPLIT_RE.finditer(text):
+        for m in _bpe_split_re().finditer(text):
             n += bpe_merge_count(m.group().encode("utf-8"), self.ranks)
         return n
 

@@ -258,11 +258,21 @@ def media_feature_stats(docs: DataFrame) -> DataFrame:
     """Rollup query for the registry: corpus -> media table -> features
     -> per-kind stats (rows-only driver check: the byte-level decode is
     not SQL-expressible)."""
+    from docling_core_spark.textops import _r2, _r4
+
     feats = extract_media_features(media_table(docs))
+    # floor-based round-half-up (textops._r*): byte_mean is a rational
+    # (sum/len), and Spark's ROUND vs DuckDB's ROUND disagree on ties
     return (feats.groupBy("kind")
             .agg(F.count(F.lit(1)).alias("n_items"),
-                 F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
-                 F.round(F.avg("width"), 2).alias("avg_width"),
-                 F.round(F.avg("duration_s"), 3).alias("avg_duration_s"),
+                 F.avg("byte_mean").alias("_abm"),
+                 F.avg("width").alias("_aw"),
+                 F.avg("duration_s").alias("_ad"),
                  F.countDistinct("phash16").alias("n_distinct_phash"))
+            .select("kind", "n_items",
+                    _r4(F.col("_abm")).alias("avg_byte_mean"),
+                    _r2(F.col("_aw")).alias("avg_width"),
+                    (F.floor(F.col("_ad") * 1000 + F.lit(0.5)) / 1000.0)
+                    .alias("avg_duration_s"),
+                    "n_distinct_phash")
             .orderBy("kind"))

@@ -531,10 +531,12 @@ _SPECS: Dict[str, tuple] = {
          ("n_frames", "int32"), ("duration_s", "float64"),
          ("byte_mean", "float64"), ("phash16", "int64")],
         # aggregate exactly like mediaops.media_feature_stats
+        # (floor-based rounding: ROUND tie behavior differs between
+        # Spark and DuckDB on rational averages)
         "SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_items, "
-        "ROUND(AVG(byte_mean), 4) AS avg_byte_mean, "
-        "ROUND(AVG(width), 2) AS avg_width, "
-        "ROUND(AVG(duration_s), 3) AS avg_duration_s, "
+        "FLOOR(AVG(byte_mean) * 10000 + 0.5) / 10000.0 AS avg_byte_mean, "
+        "FLOOR(AVG(width) * 100 + 0.5) / 100.0 AS avg_width, "
+        "FLOOR(AVG(duration_s) * 1000 + 0.5) / 1000.0 AS avg_duration_s, "
         "CAST(COUNT(DISTINCT phash16) AS BIGINT) AS n_distinct_phash "
         "FROM t GROUP BY kind ORDER BY kind"),
     "concat_chunks": (_rows_concat_chunks, _CHUNK_COLS, None),

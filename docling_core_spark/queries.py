@@ -826,18 +826,24 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
     sim = dot / (norm(F.col("embedding")) * norm(F.col("q_embedding")))
+    from docling_core_spark.textops import _r4
+
     return (
-        joined.select("vec_id", F.round(sim, 4).alias("cos_sim"))
+        joined.select("vec_id", _r4(sim).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(20)
     )
 
 
+# cosine in float64 (CAST ... AS DOUBLE[] BEFORE list_cosine_similarity;
+# the embeddings table stores FLOAT[] and a float32 cosine can differ at
+# the rounded 4th decimal), floor-based rounding to match the Spark side
 SQL_KNN_COSINE = """
 WITH q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
-       ROUND(CAST(list_cosine_similarity(embedding, q_embedding) AS DOUBLE), 4)
-           AS cos_sim
+       FLOOR(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(q_embedding AS DOUBLE[]))
+             * 10000 + 0.5) / 10000.0 AS cos_sim
 FROM embeddings, q
 WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id

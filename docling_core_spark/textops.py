@@ -87,11 +87,8 @@ WORDHASH_DUCK = (
     f"c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc*31 + c) % {P})")
 
 # word 3-gram shingle strings from a words column ``ws``
-SHINGLES_SPARK = (
-    "CASE WHEN size(ws) >= 3 THEN array_distinct(transform("
-    "sequence(1, size(ws) - 2), "
-    "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))) "
-    "ELSE array(concat_ws(' ', ws)) END")
+# (the Spark side builds shingles relationally in _shingle_rows; these
+# DUCK twins are the oracle's definitions)
 SHINGLES_DUCK = (
     "CASE WHEN len(ws) >= 3 THEN list_distinct(list_transform("
     "range(1, len(ws) - 1), "
@@ -99,14 +96,9 @@ SHINGLES_DUCK = (
     "ELSE [array_to_string(ws, ' ')] END")
 
 # shingle hashes from a shingle-strings column ``sh`` (w = shingle)
-SHASH_SPARK = f"transform(sh, w -> {WORDHASH_SPARK})"
 SHASH_DUCK = f"list_transform(sh, w -> {WORDHASH_DUCK})"
 
 # minhash signature (array of N_MINHASH mins) from hash column ``hs``
-MINSIG_SPARK = (
-    f"transform(sequence(0, {N_MINHASH - 1}), j -> "
-    f"aggregate(hs, CAST({P} AS LONG), "
-    f"(m, h) -> least(m, ((2*j + 31)*h + 17*j + 7) % {P})))")
 MINSIG_DUCK = (
     f"list_transform(range(0, {N_MINHASH}), j -> "
     f"list_min(list_transform(hs, h -> ((2*j + 31)*h + 17*j + 7) % {P})))")
@@ -299,18 +291,10 @@ FROM h ORDER BY doc_id
 # MinHash + LSH near-dup candidate pairs (verified Jaccard)
 # ----------------------------------------------------------------------
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh array) - array form, for small-side verification."""
-    return (_t(spark, sf_dir, "documents")
-            .withColumn("ws", F.expr(words_spark()))
-            .withColumn("sh", F.expr(SHINGLES_SPARK))
-            .select("doc_id", "sh"))
-
-
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sh) distinct shingles, one row each - the relational
     build: posexplode words once, 3-grams via window lead() within the
-    doc partition. Same shingle set as SHINGLES_SPARK, but the word
+    doc partition. Same shingle set as SHINGLES_DUCK, but the word
     regexp runs once per doc instead of once per indexed reference
     (interpreted lambdas re-evaluate referenced array expressions)."""
     from pyspark.sql import Window
@@ -369,9 +353,9 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("sh").alias("sh_a")), "doc_a")
                 .join(sh.select(F.col("doc_id").alias("doc_b"),
                                 F.col("sh").alias("sh_b")), "doc_b")
-                .withColumn("jaccard", F.round(
+                .withColumn("jaccard", _r4(
                     F.size(F.array_intersect("sh_a", "sh_b"))
-                    / F.size(F.array_union("sh_a", "sh_b")), 4)))
+                    / F.size(F.array_union("sh_a", "sh_b")))))
     return (verified.filter(F.col("jaccard") >= JACCARD_MIN)
             .select("doc_a", "doc_b", "jaccard")
             .orderBy("doc_a", "doc_b"))
@@ -392,8 +376,9 @@ cand AS (
     ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
 v AS (
   SELECT c.doc_a, c.doc_b,
-         ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-               / len(list_distinct(list_concat(x.sh, y.sh))), 4) AS jaccard
+         {_sql_r("CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+                 " / len(list_distinct(list_concat(x.sh, y.sh)))", 4)}
+             AS jaccard
   FROM cand c
   JOIN sig x ON x.doc_id = c.doc_a
   JOIN sig y ON y.doc_id = c.doc_b)
@@ -489,15 +474,31 @@ def jaccard_pairs_prefix(sh_rows: DataFrame,
                 .join(full.select(F.col("doc_id").alias("doc_b"),
                                   F.col("shs").alias("sh_b")), "doc_b")
                 .withColumn("c", F.size(F.array_intersect("sh_a", "sh_b")))
-                .withColumn("jaccard", F.round(
+                .withColumn("jaccard", _r4(
                     F.col("c") / (F.size("sh_a") + F.size("sh_b")
-                                  - F.col("c")), 4)))
+                                  - F.col("c")))))
     return (verified.filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
             .orderBy("doc_a", "doc_b"))
 
 
 SHINGLE_INDEX_VERSION = 1
+
+
+def _source_identity(sf_dir: str) -> str:
+    """Short digest of the documents table's identity (absolute path +
+    size + mtime) so a cached derived table can never be served for a
+    different or regenerated corpus that shares a basename - the local
+    analogue of keying an Iceberg intermediate by source snapshot id."""
+    import hashlib
+
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{src}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        ident = src
+    return hashlib.sha1(ident.encode()).hexdigest()[:12]
 
 
 def shingle_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,7 +510,8 @@ def shingle_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(
         os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
-        f"docling_shingles_{base}_v{SHINGLE_INDEX_VERSION}.parquet")
+        f"docling_shingles_{base}_{_source_identity(sf_dir)}"
+        f"_v{SHINGLE_INDEX_VERSION}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         _shingle_rows(spark, sf_dir).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
@@ -539,8 +541,7 @@ def jaccard_pairs_postings(sh_rows: DataFrame,
                  F.col("a.n_sh").alias("na"),
                  F.col("b.n_sh").alias("nb"))
         .agg(F.count(F.lit(1)).alias("c")))
-    jac = F.round(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")),
-                  4)
+    jac = _r4(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
     return (pairs.withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
@@ -571,10 +572,13 @@ p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          COUNT(*) AS c
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
-SELECT doc_a, doc_b,
-       ROUND(CAST(c AS DOUBLE) / (na + nb - c), 4) AS jaccard
-FROM p WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {JACCARD_MIN}
+  GROUP BY 1, 2, 3, 4),
+j AS (
+  SELECT doc_a, doc_b,
+         {_sql_r("CAST(c AS DOUBLE) / (na + nb - c)", 4)} AS jaccard
+  FROM p)
+SELECT doc_a, doc_b, jaccard
+FROM j WHERE jaccard >= {JACCARD_MIN}
 ORDER BY doc_a, doc_b
 """
 
@@ -588,7 +592,8 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     each once, groupBy(doc_id) with one conditional SUM per bit -
     codegen'd aggregation (see minhash note on why not nested lambdas).
     """
-    hashed = (_t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents")
+    hashed = (docs
               .withColumn("ws", F.expr(words_spark()))
               .select("doc_id", F.explode("ws").alias("w"))
               .select("doc_id", F.expr(WORDHASH_SPARK).alias("h")))
@@ -601,7 +606,13 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = bits[0]
     for b in bits[1:]:
         total = total + b
-    return votes.select("doc_id", total.cast("long").alias("simhash"))
+    sig = votes.select("doc_id", total.cast("long").alias("simhash"))
+    # explode drops wordless docs, but the oracle's CASE len(hs)=0
+    # branch gives them simhash 0 — keep every doc on both sides
+    return (docs.select("doc_id").join(sig, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("simhash", F.lit(0)).cast("long")
+                    .alias("simhash")))
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,7 +748,7 @@ def embedding_top_pairs(emb: DataFrame, tile_size: int = 4096,
     pairs = rep.groupBy("label", "ti", "tj").applyInPandas(
         block, schema="vec_a long, vec_b long, label int, cos_raw double")
     return (pairs.select("vec_a", "vec_b", "label",
-                         F.round(F.col("cos_raw"), 4).alias("cos_sim"))
+                         _r4(F.col("cos_raw")).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
             .limit(k))
 
@@ -748,9 +759,13 @@ def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"))
 
 
-SQL_EMBEDDING_TOP_PAIRS = """
+_COS_DUCK = ("list_cosine_similarity(CAST({a} AS DOUBLE[]), "
+             "CAST({b} AS DOUBLE[]))")
+
+SQL_EMBEDDING_TOP_PAIRS = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-       ROUND(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cos_sim
+       {_sql_r(_COS_DUCK.format(a='a.embedding', b='b.embedding'), 4)}
+           AS cos_sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
 ORDER BY cos_sim DESC, vec_a, vec_b
@@ -818,7 +833,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (F.expr(_NORM_SPARK.format(c="embedding"))
               * F.expr(_NORM_SPARK.format(c="eb"))))
     return (cand.select("vec_id", "hamming",
-                        F.round(cos, 4).alias("cos_sim"))
+                        _r4(cos).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_id")
             .limit(10))
 
@@ -835,7 +850,7 @@ c AS (
   SELECT vec_id,
          CAST(bit_count(CAST(xor(sig, qsig) AS BIGINT)) AS INTEGER)
              AS hamming,
-         ROUND(CAST(list_cosine_similarity(embedding, qemb) AS DOUBLE), 4) AS cos_sim
+         {_sql_r(_COS_DUCK.format(a='embedding', b='qemb'), 4)} AS cos_sim
   FROM s, q WHERE vec_id <> 0)
 SELECT vec_id, hamming, cos_sim FROM c
 WHERE hamming <= {ANN_HAMMING_MAX}
@@ -891,7 +906,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            / (F.expr(_NORM_SPARK.format(c="embedding"))
               * F.expr(_NORM_SPARK.format(c="eb"))))
     return (cand.select("vec_id", F.col("cell").cast("long").alias("cell"),
-                        F.round(cos, 4).alias("cos_sim"))
+                        _r4(cos).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "vec_id")
             .limit(10))
 
@@ -918,7 +933,7 @@ probes AS (
   LIMIT {N_PROBES}),
 q AS (SELECT embedding AS qemb FROM e WHERE vec_id = 0)
 SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
-       ROUND(CAST(list_cosine_similarity(a.embedding, qemb) AS DOUBLE), 4) AS cos_sim
+       {_sql_r(_COS_DUCK.format(a='a.embedding', b='qemb'), 4)} AS cos_sim
 FROM assigned a JOIN probes p ON a.cell = p.cell, q
 WHERE a.vec_id <> 0
 ORDER BY cos_sim DESC, a.vec_id
@@ -954,6 +969,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 15
               .withColumn("label", F.col("doc_id"))
               .persist(StorageLevel.MEMORY_AND_DISK))
     labels.count()
+    changed = 1
     for _ in range(max_iter):
         neigh = (sym.join(labels.select(
                     F.col("doc_id").alias("dst"),
@@ -974,6 +990,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 15
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # labels move one hop per round, so a chain longer than
+        # max_iter would exit unconverged; silently returning split
+        # components would disagree with the exact-closure oracle
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still moving); raise "
+            "max_iter for long-chain duplicate clusters")
     return labels.withColumnRenamed("label", "cluster_id")
 
 
