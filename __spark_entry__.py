@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship pipeline (hybrid token-aware
 chunking of the deterministic synthetic interleaved-span corpus) and
 returns the chunk DataFrame. ``queries()`` exposes every implemented
-operator (SURVEY.md §2; 55 entries as of round 2) and
+operator (SURVEY.md §2; 57 entries as of round 2) and
 ``oracle_sql()`` gives a DuckDB oracle for EVERY one of them:
 ANSI-SQL for the relational/training-data queries, and for the
 non-SQL-expressible document-engine queries a ``SELECT`` over

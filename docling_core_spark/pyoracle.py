@@ -30,7 +30,7 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 # bump when any expected-row computation here changes shape/semantics
-ORACLE_VERSION = 3
+ORACLE_VERSION = 4
 
 # headings are free text; \x1f (ASCII unit separator) never appears in
 # the corpus and both sides apply the identical join, so equality of
@@ -278,6 +278,40 @@ def _rows_html_page_stats(n: int) -> list:
                     "n_dropped": st["n_dropped"],
                     "main_found": st["main_found"],
                     "content_ratio": round(ratio, 6)})
+    return out
+
+
+def _rows_layout_extract(n: int) -> list:
+    """Expected PDF/layout-parse output = the layout projection of the
+    source spans (extraction/layout.py:project_for_layout), computed
+    WITHOUT running the printer or the geometry parser - independent
+    code paths, same architecture as _rows_html_extract."""
+    from docling_core_spark.extraction.layout import project_for_layout
+
+    out = []
+    for r in _corpus_rows(n):
+        for row in project_for_layout(r["spans"]):
+            out.append({"doc_id": r["doc_id"], "ord": row["offset"],
+                        "kind": row["kind"], "text": row["text"],
+                        "media_ref": row["media_ref"]})
+    return out
+
+
+def _rows_layout_page_stats(n: int) -> list:
+    """Single-process print+parse per doc (distributed-vs-sequential
+    equivalence for the layout accounting)."""
+    from docling_core_spark.extraction.layout import (
+        extract_layout_spans,
+        render_layout_cells,
+    )
+
+    out = []
+    for r in _corpus_rows(n):
+        _rows, st = extract_layout_spans(
+            render_layout_cells(r["doc_id"], r["spans"]))
+        row = {"doc_id": r["doc_id"]}
+        row.update(st)
+        out.append(row)
     return out
 
 
@@ -551,6 +585,16 @@ _SPECS: Dict[str, tuple] = {
         [("doc_id", "string"), ("page_chars", "int64"),
          ("content_chars", "int64"), ("n_dropped", "int32"),
          ("main_found", "int32"), ("content_ratio", "float64")], None),
+    "layout_extract": (
+        _rows_layout_extract,
+        [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
+         ("text", "string"), ("media_ref", "string")], None),
+    "layout_page_stats": (
+        _rows_layout_page_stats,
+        [("doc_id", "string"), ("n_pages", "int32"),
+         ("n_cells", "int32"), ("n_chrome_cells", "int32"),
+         ("n_lines", "int32"), ("n_blocks", "int32"),
+         ("n_spans", "int32"), ("content_chars", "int64")], None),
     "rehome_embed": (
         _rows_rehome_embed,
         [("doc_id", "string"), ("media_ref", "string"),

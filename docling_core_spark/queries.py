@@ -964,6 +964,20 @@ def _q_html_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_html_page_stats(spark, sf_dir)
 
 
+def _q_layout_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.extraction.layout_spark import (
+        q_layout_extract,
+    )
+    return q_layout_extract(spark, sf_dir)
+
+
+def _q_layout_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_core_spark.extraction.layout_spark import (
+        q_layout_page_stats,
+    )
+    return q_layout_page_stats(spark, sf_dir)
+
+
 # ----------------------------------------------------------------------
 def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     from docling_core_spark import textops
@@ -984,6 +998,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_range_chunks": q_extract_range_chunks,
         "html_extract": _q_html_extract,
         "html_page_stats": _q_html_page_stats,
+        "layout_extract": _q_layout_extract,
+        "layout_page_stats": _q_layout_page_stats,
         "rehome_embed": _q_rehome_embed,
         "rehome_refs": _q_rehome_refs,
         "docjson_validation": _q_docjson_validation,

@@ -1,0 +1,348 @@
+"""PDF/layout-parse extraction: round-trip parity + dialect rules.
+
+Parity contract: ``extract_layout_spans(render_layout_cells(id,
+spans)) == project_for_layout(spans)`` - the left side prints the
+document to positioned word cells (font/size/indent/margins, paginated
+with running chrome) and re-parses it from GEOMETRY ONLY; the right
+side normalizes the spans directly. The geometry paths share no logic
+with the projection, so agreement validates both.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_core_spark.corpus import gen_doc_spans
+from docling_core_spark.extraction.layout import (
+    CHROME_BOT,
+    CHROME_TOP,
+    extract_layout_spans,
+    project_for_layout,
+    render_layout_cells,
+)
+
+
+def _triples(rows):
+    return [(r["kind"], r["text"], r["media_ref"]) for r in rows]
+
+
+def _roundtrip(spans, doc_id="d"):
+    cells = render_layout_cells(doc_id, spans)
+    got, stats = extract_layout_spans(cells)
+    want = project_for_layout(spans)
+    return got, want, stats, cells
+
+
+def _rt_doc(doc_index: int, seed: int = 42, mega_every=None):
+    spans = gen_doc_spans(doc_index, seed=seed, mega_every=mega_every)
+    return _roundtrip(spans, f"doc_{doc_index:012d}")
+
+
+S = lambda kind, text="", mref="": {"kind": kind, "text": text,
+                                    "media_ref": mref, "offset": 0}
+
+
+def _kinds(rows):
+    return [r["kind"] for r in rows]
+
+
+# ---------------------------------------------------------------------
+# corpus round trip
+# ---------------------------------------------------------------------
+
+@pytest.mark.parametrize("doc_index", list(range(0, 300)))
+def test_roundtrip_parity(doc_index):
+    got, want, _, _ = _rt_doc(doc_index)
+    assert _triples(got) == _triples(want)
+    assert [r["offset"] for r in got] == list(range(len(got)))
+
+
+@pytest.mark.parametrize("seed", [7, 99, 12345, 2024])
+def test_roundtrip_parity_other_seeds(seed):
+    for doc_index in range(60):
+        got, want, _, _ = _rt_doc(doc_index, seed=seed)
+        assert _triples(got) == _triples(want), (seed, doc_index)
+
+
+def test_roundtrip_mega_doc():
+    got, want, stats, _ = _rt_doc(99, mega_every=100)
+    assert _triples(got) == _triples(want)
+    assert stats["n_pages"] > 100  # really paginated
+
+
+# ---------------------------------------------------------------------
+# dialect rules, one hostile unit each
+# ---------------------------------------------------------------------
+
+def test_furniture_and_chrome_stripped():
+    spans = [S("furniture:page_header", "acme corp internal"),
+             S("title", "Report"),
+             S("text", "body words here"),
+             S("page_break:2"),
+             S("text", "second page words"),
+             S("furniture:page_footer", "confidential")]
+    got, want, stats, cells = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    txt = " ".join(str(r["text"]) for r in got)
+    assert "acme" not in txt and "confidential" not in txt
+    assert stats["n_pages"] == 2
+    # chrome printed on BOTH pages (header, footer, page number)
+    assert stats["n_chrome_cells"] >= 2 * (3 + 1 + 1)
+
+
+def test_page_number_chrome_only_doc():
+    """A doc whose every item is media prints nothing but chrome."""
+    spans = [S("picture", "", "img_x"), S("table", "<fcel>a<nl>", "t1")]
+    got, want, stats, _ = _roundtrip(spans)
+    assert got == [] and want == []
+    assert stats["n_spans"] == 0
+
+
+def test_heading_levels_survive_as_rank():
+    spans = [S("section_header:2", "Alpha"),
+             S("text", "p one"),
+             S("section_header:5", "Beta"),  # caps to 3
+             S("text", "p two"),
+             S("section_header:2", "Gamma")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert _kinds(got) == ["section_header:1", "text",
+                           "section_header:2", "text",
+                           "section_header:1"]
+
+
+def test_empty_heading_merges_of_prev_inline_group():
+    spans = [S("section_header:1", ""),
+             S("inline_group:of_prev"),
+             S("text+fmt=b", "Bold Lead"),
+             S("text", "tail words"),
+             S("end_group"),
+             S("text", "body")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert got[0] == {"kind": "section_header:1",
+                      "text": "Bold Lead tail words",
+                      "media_ref": "", "offset": 0}
+
+
+def test_of_prev_after_code_stays_standalone():
+    spans = [S("code", "x = 1"),
+             S("inline_group:of_prev"),
+             S("text", "trailing prose"),
+             S("end_group")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert _kinds(got) == ["code", "text"]
+
+
+def test_list_nesting_and_markers():
+    spans = [S("list_group"),
+             S("list_item:enum:(a)", "first"),
+             S("list_item:enum", "second"),
+             S("list_group"),
+             S("list_item:plain:->", "nested"),
+             S("end_group"),
+             S("list_item", "third"),
+             S("end_group")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert _kinds(got) == ["list_group", "list_item:enum",
+                           "list_item:enum", "list_group", "list_item",
+                           "end_group", "list_item", "end_group"]
+    # custom markers are not in the text
+    assert all("(a)" not in r["text"] and "->" not in r["text"]
+               for r in got)
+
+
+def test_adjacent_sibling_groups_merge_interrupted_split():
+    spans = [S("list_group"), S("list_item", "a"), S("end_group"),
+             S("list_group"), S("list_item", "b"), S("end_group"),
+             S("text", "break"),
+             S("list_group"), S("list_item", "c"), S("end_group")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert _kinds(got) == ["list_group", "list_item", "list_item",
+                           "end_group", "text", "list_group",
+                           "list_item", "end_group"]
+
+
+def test_empty_list_item_survives():
+    spans = [S("list_group"), S("list_item", ""),
+             S("inline_group:of_prev"), S("text", "merged in"),
+             S("code", "cmd_1"), S("end_group"),
+             S("list_item", ""), S("end_group")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert got[1]["text"] == "merged in cmd_1"
+    assert got[2] == {"kind": "list_item", "text": "",
+                      "media_ref": "", "offset": 2}
+
+
+def test_code_indent_blank_lines_trailing_ws():
+    code = "def f():   \n\n\tif x:\n        return 2  \n   \n"
+    got, want, _, _ = _roundtrip([S("code:Python+fmt=i", code)])
+    assert _triples(got) == _triples(want)
+    assert got[0]["kind"] == "code"
+    assert got[0]["text"] == ("def f():\n        if x:\n"
+                              "        return 2")
+
+
+def test_checkbox_glyphs():
+    spans = [S("checkbox_selected", "remember me"),
+             S("checkbox_unselected", "subscribe")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert _kinds(got) == ["checkbox_selected", "checkbox_unselected"]
+    assert got[0]["text"] == "remember me"
+
+
+def test_caption_survives_media_dropped():
+    spans = [S("caption:img_1", "Figure 1: a chart"),
+             S("picture", "<desc>desc text</desc>", "img_1"),
+             S("chart:bar_chart", "<fcel>x<nl>", "c1"),
+             S("caption:c1", "Chart 2: bars"),
+             S("key_value_region", "<key_0>k</key_0>"),
+             S("form", "<key_0>f</key_0>"),
+             S("footnote", "a footnote"),
+             S("reference", "a reference")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert _kinds(got) == ["caption", "caption", "footnote",
+                           "reference"]
+    assert all(r["media_ref"] == "" for r in got)
+
+
+def test_title_wraps_centered_and_mid_doc():
+    long_title = " ".join(["chapter"] * 18)  # several centered lines
+    spans = [S("text", "pre"), S("title", long_title), S("text", "post")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert _kinds(got) == ["text", "title", "text"]
+    assert got[1]["text"] == long_title
+
+
+def test_whitespace_collapses():
+    spans = [S("text", "  two\t\twords \n split  ")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert got[0]["text"] == "two words split"
+
+
+def test_formula_and_empty_spans_drop():
+    spans = [S("formula", "E = mc^2"),
+             S("formula", "", "orig-present"),
+             S("text", ""), S("title", ""),
+             S("section_header:1", "")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert _kinds(got) == ["formula"]
+
+
+def test_hrefs_and_fmt_flags_drop():
+    spans = [S("text+fmt=bi", "linked words", "https://ex.org/p"),
+             S("paragraph", "plain para")]
+    got, want, _, _ = _roundtrip(spans)
+    assert _triples(got) == _triples(want)
+    assert _triples(got) == [("text", "linked words", ""),
+                             ("text", "plain para", "")]
+
+
+def test_content_clear_of_chrome_bands():
+    """No content baseline may enter the margin chrome bands."""
+    _, _, _, cells = _rt_doc(5)
+    for c in cells:
+        yc = (c["y0"] + c["y1"]) / 2.0
+        in_band = yc >= CHROME_TOP or yc <= CHROME_BOT
+        is_chrome = c["page_no"] >= 1 and in_band
+        # every cell is either clearly content or clearly chrome;
+        # nothing straddles the band boundaries
+        assert in_band == is_chrome
+
+
+def test_extracted_doc_chunks_cleanly():
+    """Layout-extracted spans feed the existing chunk pipeline."""
+    from docling_core_spark.chunking.hybrid import hybrid_chunk
+    from docling_core_spark.model.spans import doc_from_spans
+
+    for doc_index in (0, 3, 17, 42):
+        got, want, _, _ = _rt_doc(doc_index)
+        to_t = lambda rows: [(r["kind"], r["text"], r["media_ref"],
+                              r["offset"]) for r in rows]
+        c_got = [(c.text, c.headings) for c in hybrid_chunk(
+            doc_from_spans("d", to_t(got)), max_tokens=64)]
+        c_want = [(c.text, c.headings) for c in hybrid_chunk(
+            doc_from_spans("d", to_t(want)), max_tokens=64)]
+        assert c_got == c_want
+        assert c_got
+
+
+# ---------------------------------------------------------------------
+# Spark path == single-process path
+# ---------------------------------------------------------------------
+
+def test_spark_layout_extract_matches_projection(spark):
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.layout_spark import (
+        extract_layout,
+        render_layout,
+    )
+
+    docs = synth_documents(spark, n_docs=60, seed=42)
+    cells = render_layout(docs)
+    got = {(r["doc_id"], r["ord"]): (r["kind"], r["text"], r["media_ref"])
+           for r in extract_layout(cells).collect()}
+    want = {}
+    for i in range(60):
+        for r in project_for_layout(gen_doc_spans(i, seed=42)):
+            want[(f"doc_{i:012d}", r["offset"])] = (
+                r["kind"], r["text"], r["media_ref"])
+    assert got == want
+
+
+def test_spark_layout_stats_match(spark):
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.layout_spark import layout_stats
+
+    docs = synth_documents(spark, n_docs=40, seed=42)
+    got = {r["doc_id"]: (r["n_pages"], r["n_cells"], r["n_spans"],
+                         r["content_chars"])
+           for r in layout_stats(docs).collect()}
+    assert len(got) == 40
+    for i in range(40):
+        spans = gen_doc_spans(i, seed=42)
+        _, st = extract_layout_spans(
+            render_layout_cells(f"doc_{i:012d}", spans))
+        assert got[f"doc_{i:012d}"] == (
+            st["n_pages"], st["n_cells"], st["n_spans"],
+            st["content_chars"])
+
+
+def test_spark_extract_carries_doc_across_batches(spark):
+    """Small Arrow batches force a document's cells to straddle batch
+    boundaries inside a partition - the carry buffer must stitch them."""
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.layout_spark import (
+        extract_layout,
+        render_layout,
+    )
+
+    docs = synth_documents(spark, n_docs=12, seed=42)
+    cells = render_layout(docs).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        rows = extract_layout(cells).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(
+                "spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {(r["doc_id"], r["ord"]): r["kind"] for r in rows}
+    want = {}
+    for i in range(12):
+        for r in project_for_layout(gen_doc_spans(i, seed=42)):
+            want[(f"doc_{i:012d}", r["offset"])] = r["kind"]
+    assert got == want
