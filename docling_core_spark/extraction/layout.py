@@ -581,6 +581,18 @@ def _blocks_to_rows(blocks: List[Block],
     return rows
 
 
+# cell tuple layout for the extractor hot path (layout_spark streams
+# millions of cells per partition; tuples beat per-cell dicts ~2x)
+CT_PAGE, CT_TEXT, CT_X0, CT_Y0, CT_X1, CT_Y1, CT_FONT = range(7)
+CellTup = Tuple[int, str, float, float, float, float, str]
+
+
+def cell_tuple(c: Cell) -> CellTup:
+    return (int(c["page_no"]), str(c["text"]), float(c["x0"]),
+            float(c["y0"]), float(c["x1"]), float(c["y1"]),
+            str(c["font"]))
+
+
 def extract_layout_spans(cells: Iterable[Cell]
                          ) -> Tuple[List[Row], Dict[str, int]]:
     """Reconstruct the span sequence from geometry alone.
@@ -588,25 +600,31 @@ def extract_layout_spans(cells: Iterable[Cell]
     Stages: margin-band chrome strip -> baseline clustering into lines
     -> leading/indent block merge -> font/size/marker classification ->
     indent-depth list regrouping. Returns (rows, stats)."""
-    all_cells = list(cells)
+    return extract_layout_tuples([cell_tuple(c) for c in cells])
+
+
+def extract_layout_tuples(all_cells: List[CellTup]
+                          ) -> Tuple[List[Row], Dict[str, int]]:
+    """Tuple-columnar fast path of extract_layout_spans (see
+    ``cell_tuple`` for the field order)."""
     n_chrome = 0
-    by_page: Dict[int, List[Cell]] = {}
+    by_page: Dict[int, List[CellTup]] = {}
     for c in all_cells:
-        yc = (float(c["y0"]) + float(c["y1"])) / 2.0
+        yc = (c[CT_Y0] + c[CT_Y1]) / 2.0
         if yc >= CHROME_TOP or yc <= CHROME_BOT:
             n_chrome += 1
             continue
-        by_page.setdefault(int(c["page_no"]), []).append(c)
+        by_page.setdefault(c[CT_PAGE], []).append(c)
 
     # lines: per page, cluster by baseline, order top-down
     lines: List[Dict[str, object]] = []
     for page in sorted(by_page):
         pcells = sorted(by_page[page],
-                        key=lambda c: (-float(c["y0"]), float(c["x0"])))
-        cur: List[Cell] = []
+                        key=lambda c: (-c[CT_Y0], c[CT_X0]))
+        cur: List[CellTup] = []
         cur_y = None
         for c in pcells:
-            y = float(c["y0"])
+            y = c[CT_Y0]
             if cur_y is None or abs(y - cur_y) > 2.0:
                 if cur:
                     lines.append(_mk_line(page, cur))
@@ -692,12 +710,12 @@ def extract_layout_spans(cells: Iterable[Cell]
     return rows, stats
 
 
-def _mk_line(page: int, cs: List[Cell]) -> Dict[str, object]:
+def _mk_line(page: int, cs: List[CellTup]) -> Dict[str, object]:
     """Cells of one baseline -> line record (cells arrive x-sorted)."""
-    x_left = float(cs[0]["x0"])
-    x_right = float(cs[-1]["x1"])
-    size = float(cs[0]["y1"]) - float(cs[0]["y0"])
-    font = str(cs[0]["font"])
+    x_left = cs[0][CT_X0]
+    x_right = cs[-1][CT_X1]
+    size = cs[0][CT_Y1] - cs[0][CT_Y0]
+    font = cs[0][CT_FONT]
     left_gap = x_left - MARGIN
     right_gap = (PAGE_W - MARGIN) - x_right
     centered = left_gap > 20.0 and abs(left_gap - right_gap) < 3.0
@@ -705,11 +723,11 @@ def _mk_line(page: int, cs: List[Cell]) -> Dict[str, object]:
     if font == F_MONO:
         lead = int(round((x_left - MARGIN) / MONO_CHAR_W))
         code_text = " " * max(lead, 0) + " ".join(
-            str(c["text"]) for c in cs)
-    return {"page": page, "y": float(cs[0]["y0"]), "x_left": x_left,
+            c[CT_TEXT] for c in cs)
+    return {"page": page, "y": cs[0][CT_Y0], "x_left": x_left,
             "x_right": x_right, "size": size, "font": font,
             "centered": centered,
-            "words": [str(c["text"]) for c in cs],
+            "words": [c[CT_TEXT] for c in cs],
             "code_text": code_text}
 
 

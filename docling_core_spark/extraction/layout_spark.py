@@ -86,15 +86,15 @@ def extract_layout(cells: DataFrame) -> DataFrame:
 
     def run(batches: Iterator) -> Iterator:
         from docling_core_spark.extraction.layout import (
-            extract_layout_spans,
+            extract_layout_tuples,
         )
         carry_doc = None
-        carry: List[dict] = []
+        carry: List[tuple] = []
 
         def flush(rows_out: List[tuple]) -> None:
             if carry_doc is None:
                 return
-            rows, _st = extract_layout_spans(carry)
+            rows, _st = extract_layout_tuples(carry)
             for r in rows:
                 rows_out.append((carry_doc, r["offset"], r["kind"],
                                  r["text"], r["media_ref"]))
@@ -109,15 +109,28 @@ def extract_layout(cells: DataFrame) -> DataFrame:
                 names=["doc_id", "ord", "kind", "text", "media_ref"])
 
         for batch in batches:
-            cols = {k: batch.column(k).to_pylist() for k in _CELL_COLS}
+            doc_ids = batch.column("doc_id").to_pylist()
+            # cell-tuple field order (layout.cell_tuple)
+            tups = list(zip(batch.column("page_no").to_pylist(),
+                            batch.column("text").to_pylist(),
+                            batch.column("x0").to_pylist(),
+                            batch.column("y0").to_pylist(),
+                            batch.column("x1").to_pylist(),
+                            batch.column("y1").to_pylist(),
+                            batch.column("font").to_pylist()))
             rows_out: List[tuple] = []
-            n = len(cols["doc_id"])
-            for j in range(n):
-                d = cols["doc_id"][j]
+            n = len(doc_ids)
+            j = 0
+            while j < n:
+                d = doc_ids[j]
+                k = j
+                while k < n and doc_ids[k] == d:
+                    k += 1
                 if d != carry_doc:
                     flush(rows_out)
                     carry_doc, carry = d, []
-                carry.append({k: cols[k][j] for k in _CELL_COLS})
+                carry.extend(tups[j:k])
+                j = k
             if rows_out:
                 yield to_batch(rows_out)
         rows_out = []
