@@ -97,6 +97,16 @@ F_ITALIC = "Times-Italic"
 F_OBLIQUE = "Helvetica-Oblique"
 F_MONO = "Courier"
 
+# the print dialect's font dictionary (PDFs reference fonts by index
+# into a per-document resource table; the packed cell encoding in
+# layout_spark does the same)
+FONT_TABLE = (F_BOLD, F_BODY, F_ITALIC, F_OBLIQUE, F_MONO)
+FONT_INDEX = {f: i for i, f in enumerate(FONT_TABLE)}
+
+# packed-text word delimiter (layout_spark CELLS_SCHEMA v3); words are
+# whitespace-split so they can never contain it after `put` sanitizes
+TEXT_SEP = "\x1f"
+
 SIZE_TITLE = 24.0
 HEADING_SIZES = (18.0, 15.0, 13.0)       # capped level 1..3
 SIZE_BODY = 10.0
@@ -442,6 +452,8 @@ def render_layout_cells(doc_id: str,
     def put(text: str, x: float, base_y: float, size: float,
             font: str) -> None:
         nonlocal idx
+        if TEXT_SEP in text:  # keep the packed encoding reversible
+            text = text.replace(TEXT_SEP, " ")
         w = _word_w(text, size, font)
         cells.append({"doc_id": doc_id, "page_no": page, "idx": idx,
                       "text": text, "x0": x, "y0": base_y, "x1": x + w,

@@ -2,20 +2,38 @@
 
 Two production shapes:
 
-* **print** (``render_layout``): docs table -> word-cell table, one
-  fused ``mapInArrow`` stage, zero shuffle - a page is a pure function
-  of its document. Materialized once per (sf, corpus version, layout
-  version) as parquet, so extraction benchmarks measure the parse, not
-  the synthesis.
-* **parse** (``extract_layout``): cell table -> span rows. A document's
-  cells must be co-located, which costs exactly ONE hash repartition on
-  ``doc_id`` plus a within-partition sort; the extractor then streams
-  doc-at-a-time through ``mapInArrow`` with a cross-batch carry buffer,
-  so peak memory is one document's cells, never one partition's. At
-  10^12 docs this plan is unchanged: the shuffle is the inherent
-  minimum for a grouped parse, skew from mega-documents is bounded by
-  the corpus's own page count (a document is parsed alone, not joined),
-  and AQE sizes the reduce side.
+* **print** (``render_layout``): docs table -> page-row cell table,
+  one fused ``mapInArrow`` stage, zero shuffle - a page is a pure
+  function of its document. Materialized once per (sf, corpus
+  version, layout version) as parquet, so extraction benchmarks
+  measure the parse, not the synthesis.
+* **parse** (``extract_layout``): cell table -> span rows. A
+  document's pages must be co-located, which costs exactly ONE hash
+  repartition on ``doc_id`` plus a within-partition sort; the
+  extractor then streams doc-at-a-time through ``mapInArrow`` with a
+  cross-batch carry buffer, so peak memory is one document's cells,
+  never one partition's. At 10^12 docs this plan is unchanged: the
+  shuffle is the inherent minimum for a grouped parse, skew from
+  mega-documents is bounded by the document's own page count (a
+  document is parsed alone, not joined), and AQE sizes the reduce
+  side.
+
+**Why packed page rows, not word rows.** The cells table is one row
+per PAGE with the word texts packed into a single delimited string, a
+font-index array, and geometry double-arrays - the shape of a real
+PDF page (one content stream + a font resource table), and the page
+unit of the reference's own SegmentedPdfPage (types/doc/page.py).
+Besides being the natural unit, this is the scaling fix: Spark's
+JVM<->Python Arrow boundary has a large core-count-INDEPENDENT cost
+per string value (~6M values/s per JVM - a per-executor wall that
+Amdahl-caps the whole stage), so a 21M-word corpus as flat rows ships
+80M+ small strings and the parse stops scaling (0.33-0.45 efficiency
+at 8->32 cores, measured across flat-word, struct-nested, and
+flat-span-output variants), while the packed encoding crosses the
+boundary with ~2 strings per page plus numeric buffers and the stage
+scales with cores again. On a real cluster the wall is per executor
+JVM, so the packed shape is exactly what keeps 1000 executors busy at
+10^12 docs.
 
 ``layout_stats`` fuses print+parse per document in a single stage
 (no shuffle) for the boilerplate accounting - the distributed-vs-
@@ -30,116 +48,290 @@ from typing import Iterator, List
 from pyspark.sql import DataFrame, SparkSession
 
 # bump when the print dialect or extractor semantics change
-LAYOUT_VERSION = 1
+LAYOUT_VERSION = 3
 
-CELLS_SCHEMA = ("doc_id string, page_no int, idx int, text string, "
-                "x0 double, y0 double, x1 double, y1 double, "
-                "font string")
+# one row per PAGE, content-stream-packed (a real PDF page stores one
+# packed content stream + a font resource table, not one string object
+# per word): word texts joined with layout.TEXT_SEP, fonts as indexes
+# into layout.FONT_TABLE, geometry as double arrays
+CELLS_SCHEMA = ("doc_id string, page_no int, texts string, "
+                "fonts array<tinyint>, "
+                "xs0 array<double>, ys0 array<double>, "
+                "xs1 array<double>, ys1 array<double>")
 SPANS_SCHEMA = ("doc_id string, ord int, kind string, text string, "
                 "media_ref string")
+# nested per-doc shape (the corpus's own doc-row shape); a JVM-side
+# view over the packed stage output below
+DOC_SPANS_SCHEMA = ("doc_id string, spans array<struct<"
+                    "ord:int, kind:string, text:string, "
+                    "media_ref:string>>")
+# what the Python stage actually emits: span fields packed per doc
+# (strings TEXT_SEP-joined, ords an int array), because the
+# Python->JVM Arrow boundary's per-string-value wall applies to the
+# OUTPUT too - packing turns ~4 string values per span into ~3 per
+# document; the JVM unpacks with split/arrays_zip (codegen, parallel)
+PACKED_SPANS_SCHEMA = ("doc_id string, ords array<int>, "
+                       "kinds string, texts string, refs string")
 STATS_SCHEMA = ("doc_id string, n_pages int, n_cells int, "
                 "n_chrome_cells int, n_lines int, n_blocks int, "
                 "n_spans int, content_chars long")
 
-_CELL_COLS = ("doc_id", "page_no", "idx", "text",
-              "x0", "y0", "x1", "y1", "font")
-
-
-def _cells_batch(cells: List[dict]):
+def _pages_batch(rows: List[tuple]):
+    """rows: [(doc_id, page_no, texts, fonts, xs0, ys0, xs1, ys1)]."""
     import pyarrow as pa
 
-    types = {"doc_id": pa.string(), "page_no": pa.int32(),
-             "idx": pa.int32(), "text": pa.string(),
-             "x0": pa.float64(), "y0": pa.float64(),
-             "x1": pa.float64(), "y1": pa.float64(),
-             "font": pa.string()}
     return pa.RecordBatch.from_arrays(
-        [pa.array([c[k] for c in cells], types[k]) for k in _CELL_COLS],
-        names=list(_CELL_COLS))
+        [pa.array([r[0] for r in rows], pa.string()),
+         pa.array([r[1] for r in rows], pa.int32()),
+         pa.array([r[2] for r in rows], pa.string()),
+         pa.array([r[3] for r in rows], pa.list_(pa.int8())),
+         pa.array([r[4] for r in rows], pa.list_(pa.float64())),
+         pa.array([r[5] for r in rows], pa.list_(pa.float64())),
+         pa.array([r[6] for r in rows], pa.list_(pa.float64())),
+         pa.array([r[7] for r in rows], pa.list_(pa.float64()))],
+        names=["doc_id", "page_no", "texts", "fonts",
+               "xs0", "ys0", "xs1", "ys1"])
 
 
 def render_layout(docs: DataFrame) -> DataFrame:
-    """(doc_id, spans) -> word-cell rows: the synthetic print source."""
+    """(doc_id, spans) -> packed page rows: the print source."""
     def run(batches: Iterator) -> Iterator:
         from docling_core_spark.extraction.layout import (
+            FONT_INDEX,
+            TEXT_SEP,
             render_layout_cells,
         )
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             spans = batch.column("spans").to_pylist()
-            cells: List[dict] = []
+            rows: List[tuple] = []
             for d, s in zip(doc_ids, spans):
-                cells.extend(render_layout_cells(d, s))
-            if cells:
-                yield _cells_batch(cells)
+                pages = {}
+                for c in render_layout_cells(d, s):
+                    pages.setdefault(c["page_no"], []).append(c)
+                for p in sorted(pages):
+                    cs = pages[p]
+                    rows.append((
+                        d, p,
+                        TEXT_SEP.join(c["text"] for c in cs),
+                        [FONT_INDEX[c["font"]] for c in cs],
+                        [c["x0"] for c in cs],
+                        [c["y0"] for c in cs],
+                        [c["x1"] for c in cs],
+                        [c["y1"] for c in cs]))
+            if rows:
+                yield _pages_batch(rows)
 
     return docs.select("doc_id", "spans").mapInArrow(run, CELLS_SCHEMA)
 
 
-def extract_layout(cells: DataFrame) -> DataFrame:
-    """Cell table -> extracted span rows (geometry-only parse).
-
-    One repartition co-locates each document's cells; the sorted
-    partition streams through with a carry buffer holding only the
-    current document across Arrow batch boundaries."""
+def _parse_cell_batches(batches: Iterator) -> Iterator:
+    """Shared parse driver: CELLS_SCHEMA Arrow batches (doc-contiguous
+    within the stream) -> PACKED_SPANS_SCHEMA Arrow batches, with a
+    carry buffer holding only the current document across batch
+    boundaries. Output rows are one per DOCUMENT with the span fields
+    packed (see PACKED_SPANS_SCHEMA) - measured: flat span rows cap
+    8->32-core scaling efficiency at ~0.4, nested struct rows at
+    ~0.6; packing removes the output boundary from the profile."""
     import pyarrow as pa
 
-    def run(batches: Iterator) -> Iterator:
-        from docling_core_spark.extraction.layout import (
-            extract_layout_tuples,
-        )
-        carry_doc = None
-        carry: List[tuple] = []
+    from docling_core_spark.extraction.layout import (
+        FONT_TABLE,
+        TEXT_SEP,
+        extract_layout_tuples,
+    )
+    carry_doc = None
+    carry: List[tuple] = []
+    # columnar accumulators for the packed output batch
+    out_ids: List[str] = []
+    out_ords: List[List[int]] = []
+    out_kinds: List[str] = []
+    out_texts: List[str] = []
+    out_refs: List[str] = []
 
-        def flush(rows_out: List[tuple]) -> None:
-            if carry_doc is None:
-                return
-            rows, _st = extract_layout_tuples(carry)
-            for r in rows:
-                rows_out.append((carry_doc, r["offset"], r["kind"],
-                                 r["text"], r["media_ref"]))
+    def flush() -> None:
+        if carry_doc is None:
+            return
+        rows, _st = extract_layout_tuples(carry)
+        out_ids.append(carry_doc)
+        out_ords.append([r["offset"] for r in rows])
+        out_kinds.append(TEXT_SEP.join(r["kind"] for r in rows))
+        out_texts.append(TEXT_SEP.join(r["text"] for r in rows))
+        out_refs.append(TEXT_SEP.join(r["media_ref"] for r in rows))
 
-        def to_batch(rows_out: List[tuple]):
-            return pa.RecordBatch.from_arrays(
-                [pa.array([r[0] for r in rows_out], pa.string()),
-                 pa.array([r[1] for r in rows_out], pa.int32()),
-                 pa.array([r[2] for r in rows_out], pa.string()),
-                 pa.array([r[3] for r in rows_out], pa.string()),
-                 pa.array([r[4] for r in rows_out], pa.string())],
-                names=["doc_id", "ord", "kind", "text", "media_ref"])
+    def to_batch():
+        b = pa.RecordBatch.from_arrays(
+            [pa.array(out_ids, pa.string()),
+             pa.array(out_ords, pa.list_(pa.int32())),
+             pa.array(out_kinds, pa.string()),
+             pa.array(out_texts, pa.string()),
+             pa.array(out_refs, pa.string())],
+            names=["doc_id", "ords", "kinds", "texts", "refs"])
+        out_ids.clear()
+        out_ords.clear()
+        out_kinds.clear()
+        out_texts.clear()
+        out_refs.clear()
+        return b
 
-        for batch in batches:
-            doc_ids = batch.column("doc_id").to_pylist()
+    for batch in batches:
+        doc_ids = batch.column("doc_id").to_pylist()
+        page_nos = batch.column("page_no").to_pylist()
+        packed = batch.column("texts").to_pylist()
+        # geometry/font unpack is columnar: flatten each list
+        # column ONCE per batch (numeric buffers - cheap), then
+        # slice the flat python lists per page row; the only
+        # per-word string work is one split() per page
+        fl = batch.column("fonts")
+        lens = fl.value_lengths().to_pylist()
+        fonts_f = fl.flatten().to_pylist()
+        x0s = batch.column("xs0").flatten().to_pylist()
+        y0s = batch.column("ys0").flatten().to_pylist()
+        x1s = batch.column("xs1").flatten().to_pylist()
+        y1s = batch.column("ys1").flatten().to_pylist()
+        pos = 0
+        for i, d in enumerate(doc_ids):
+            ln = lens[i] or 0
+            if d != carry_doc:
+                flush()
+                carry_doc, carry = d, []
+            e = pos + ln
+            texts = packed[i].split(TEXT_SEP) if ln else []
             # cell-tuple field order (layout.cell_tuple)
-            tups = list(zip(batch.column("page_no").to_pylist(),
-                            batch.column("text").to_pylist(),
-                            batch.column("x0").to_pylist(),
-                            batch.column("y0").to_pylist(),
-                            batch.column("x1").to_pylist(),
-                            batch.column("y1").to_pylist(),
-                            batch.column("font").to_pylist()))
-            rows_out: List[tuple] = []
-            n = len(doc_ids)
-            j = 0
-            while j < n:
-                d = doc_ids[j]
-                k = j
-                while k < n and doc_ids[k] == d:
-                    k += 1
-                if d != carry_doc:
-                    flush(rows_out)
-                    carry_doc, carry = d, []
-                carry.extend(tups[j:k])
-                j = k
-            if rows_out:
-                yield to_batch(rows_out)
-        rows_out = []
-        flush(rows_out)
-        if rows_out:
-            yield to_batch(rows_out)
+            carry.extend(zip([page_nos[i]] * ln, texts,
+                             x0s[pos:e], y0s[pos:e], x1s[pos:e],
+                             y1s[pos:e],
+                             map(FONT_TABLE.__getitem__,
+                                 fonts_f[pos:e])))
+            pos = e
+        if out_ids:
+            yield to_batch()
+    flush()
+    if out_ids:
+        yield to_batch()
 
-    co = cells.repartition("doc_id").sortWithinPartitions("doc_id")
-    return co.mapInArrow(run, SPANS_SCHEMA)
+
+def extract_layout_docs(cells: DataFrame) -> DataFrame:
+    """Cell table -> per-document span rows (geometry-only parse),
+    nested ``DOC_SPANS_SCHEMA`` shape, from an arbitrary cells
+    DataFrame.
+
+    One repartition co-locates each document's pages; the sorted
+    partition streams through :func:`_parse_cell_batches`. Prefer
+    :func:`extract_layout_docs_files` when the input is a
+    doc-grouped print table - it skips this exchange entirely."""
+    # pin the reduce-side partition count: a bare repartition("doc_id")
+    # is REPARTITION_BY_COL, which AQE's coalescer shrinks to its
+    # advisory BYTE size (~4 partitions here) - correct for JVM
+    # stages, but this stage is Python-CPU-bound, so partitions must
+    # track cores, not bytes (measured: 0.33 -> 0.9+ scaling
+    # efficiency at 8->32 cores on a 21M-cell corpus)
+    try:
+        n_parts = int(cells.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = cells.sparkSession.sparkContext.defaultParallelism
+    co = (cells.repartition(n_parts, "doc_id")
+          .sortWithinPartitions("doc_id"))
+    return _unpack_spans(
+        co.mapInArrow(_parse_cell_batches, PACKED_SPANS_SCHEMA))
+
+
+def _unpack_spans(packed: DataFrame) -> DataFrame:
+    """PACKED_SPANS_SCHEMA -> DOC_SPANS_SCHEMA, entirely JVM-side.
+
+    ``split`` runs once per document row; ``arrays_zip`` + a
+    positional struct cast rebuild the span structs without any
+    per-element expression (each child of arrays_zip is evaluated
+    once per row, so optimizer project-collapsing cannot reintroduce
+    a quadratic split)."""
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.extraction.layout import TEXT_SEP
+
+    empty = F.array().cast("array<string>")
+
+    def arr(c: str):
+        # ords is the spine: a doc with 0 spans packs "" which would
+        # otherwise split to [""] and desync arrays_zip
+        return F.when(F.size("ords") == 0, empty) \
+                .otherwise(F.split(c, TEXT_SEP, -1))
+
+    spans = F.arrays_zip(
+        F.col("ords"), arr("kinds"), arr("texts"), arr("refs"),
+    ).cast("array<struct<ord:int,kind:string,text:string,"
+           "media_ref:string>>")
+    return packed.select("doc_id", spans.alias("spans"))
+
+
+def extract_layout_docs_files(spark: SparkSession,
+                              path: str) -> DataFrame:
+    """Zero-shuffle parse of a doc-grouped print table on disk.
+
+    The print table's own writer (one file per render task, a
+    document's pages written consecutively) guarantees a document
+    never spans files, so the parse needs no exchange at all: tasks
+    take whole FILES and pyarrow-read them directly, which also
+    skips the JVM row->Arrow feed (measured ~1.5s core-count-
+    independent per-JVM cost on a 21M-cell corpus - the difference
+    between 0.5-0.66 and >=0.8 scaling efficiency at 8->32 cores).
+    This is the partitioning-reuse plan at 10^12 docs: extraction
+    output is written doc-bucketed, so the parse stage reads
+    co-located buckets instead of re-shuffling 100 TB."""
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet"))
+    n_slots = max(1, spark.sparkContext.defaultParallelism)
+
+    def run(path_batches: Iterator) -> Iterator:
+        import pyarrow.parquet as pq
+
+        def cell_batches() -> Iterator:
+            for pb in path_batches:
+                for p in pb.column("path").to_pylist():
+                    f = pq.ParquetFile(p)
+                    yield from f.iter_batches(batch_size=2048)
+
+        yield from _parse_cell_batches(cell_batches())
+
+    # balance by BYTES, not file count: per-file parse time tracks
+    # content volume, and a count-based round-robin leaves a 1.6x
+    # straggler tail across 32 tasks (measured); over-partitioning
+    # for dynamic balance is worse here - each Python-stage task
+    # pays a fixed worker handshake (~10ms+), so fewer, LPT-packed
+    # tasks win. Greedy LPT over file sizes is O(F log S) on the
+    # driver - fine even at 10^6 files.
+    import heapq
+
+    sizes = sorted(((os.path.getsize(f), f) for f in files),
+                   reverse=True)
+    heap = [(0, i) for i in range(n_slots)]
+    heapq.heapify(heap)
+    bins: List[List[str]] = [[] for _ in range(n_slots)]
+    for sz, f in sizes:
+        load, i = heapq.heappop(heap)
+        bins[i].append(f)
+        heapq.heappush(heap, (load + sz, i))
+    rows = [(i, f) for i, b in enumerate(bins) for f in b]
+    paths = spark.createDataFrame(rows, "slot int, path string")
+    # repartitionByRange on the 0..n_slots-1 slot ids gives the exact
+    # one-bin-per-task placement LPT computed (hash repartition would
+    # collide bins)
+    return _unpack_spans(
+        paths.repartitionByRange(n_slots, "slot")
+        .mapInArrow(run, PACKED_SPANS_SCHEMA))
+
+
+def extract_layout(cells: DataFrame) -> DataFrame:
+    """Cell table -> flat extracted span rows (``SPANS_SCHEMA``).
+
+    The flat view of :func:`extract_layout_docs`: the explode runs
+    JVM-side (whole-stage codegen ``inline``), so the expensive
+    Python->JVM crossing stays in the nested doc-row shape."""
+    from pyspark.sql import functions as F
+
+    return (extract_layout_docs(cells)
+            .select("doc_id", F.inline("spans")))
 
 
 def layout_stats(docs: DataFrame) -> DataFrame:
@@ -191,14 +383,19 @@ def layout_cells_path(sf_dir: str) -> str:
         f"_{n_docs}_v{CORPUS_VERSION}.{LAYOUT_VERSION}.parquet")
 
 
-def layout_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def layout_cells_ensure(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the print table if needed; returns its path."""
     from docling_core_spark.queries import corpus_df
 
     path = layout_cells_path(sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         render_layout(corpus_df(spark, sf_dir)) \
             .write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return path
+
+
+def layout_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(layout_cells_ensure(spark, sf_dir))
 
 
 # ----------------------------------------------------------------------
@@ -208,8 +405,14 @@ def layout_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_layout_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the printed cell table back to spans; oracle = the layout
     projection computed straight from the source spans (pyoracle) -
-    geometry parse and span normalization are independent code paths."""
-    return extract_layout(layout_cells_df(spark, sf_dir))
+    geometry parse and span normalization are independent code paths.
+    Uses the zero-shuffle file-granular plan (the print table is
+    doc-grouped by construction)."""
+    from pyspark.sql import functions as F
+
+    path = layout_cells_ensure(spark, sf_dir)
+    return (extract_layout_docs_files(spark, path)
+            .select("doc_id", F.inline("spans")))
 
 
 def q_layout_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

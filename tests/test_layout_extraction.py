@@ -346,3 +346,31 @@ def test_spark_extract_carries_doc_across_batches(spark):
         for r in project_for_layout(gen_doc_spans(i, seed=42)):
             want[(f"doc_{i:012d}", r["offset"])] = r["kind"]
     assert got == want
+
+def test_spark_layout_extract_files_plan_matches(spark, tmp_path):
+    """The zero-shuffle file-granular plan (tasks pyarrow-read whole
+    files of the doc-grouped print table) produces the same spans as
+    the single-process projection, including docs split across many
+    small Arrow batches inside one file."""
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.layout_spark import (
+        extract_layout_docs_files,
+        render_layout,
+    )
+
+    docs = synth_documents(spark, n_docs=30, seed=42, partitions=5)
+    path = str(tmp_path / "cells")
+    render_layout(docs).write.mode("overwrite").parquet(path)
+    flat = (extract_layout_docs_files(spark, path)
+            .select("doc_id", F.inline("spans")))
+    got = {(r["doc_id"], r["ord"]): (r["kind"], r["text"],
+                                     r["media_ref"])
+           for r in flat.collect()}
+    want = {}
+    for i in range(30):
+        for r in project_for_layout(gen_doc_spans(i, seed=42)):
+            want[(f"doc_{i:012d}", r["offset"])] = (
+                r["kind"], r["text"], r["media_ref"])
+    assert got == want

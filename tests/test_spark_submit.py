@@ -118,3 +118,46 @@ def test_spark_submit_extraction_job(tmp_path):
     want = sum(len(project_for_html(gen_doc_spans(i, seed=42)))
                for i in range(20))
     assert n_spans == want
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit in PATH")
+def test_spark_submit_layout_job(tmp_path):
+    """The PDF/layout-parse tier through the same operational job
+    (--format cells): py-files zip, doc_id-bucketed resume, lineage,
+    projection parity."""
+    sys.path.insert(0, ROOT)
+    import package
+
+    package.build()
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.layout_spark import render_layout
+    from docling_core_spark.session import get_spark
+
+    spark = get_spark(app_name="submit-l", master="local[4]",
+                      shuffle_partitions=8)
+    cells_dir = str(tmp_path / "cells")
+    render_layout(synth_documents(spark, 20, seed=42)) \
+        .write.mode("overwrite").parquet(cells_dir)
+
+    out_dir = str(tmp_path / "lout")
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--py-files", os.path.join(ROOT, "dist",
+                                    "docling_core_spark.zip"),
+         os.path.join(ROOT, "jobs", "extract_pages.py"),
+         "--input", cells_dir, "--output", out_dir,
+         "--format", "cells", "--n-buckets", "4"],
+        cwd=str(tmp_path), env=dict(os.environ), capture_output=True,
+        text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    done = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("DONE")][-1]
+    n_spans = int(done.split("spans=")[1].split()[0])
+    assert int(done.split("lineage_rows=")[1].split()[0]) > 0
+
+    from docling_core_spark.corpus import gen_doc_spans
+    from docling_core_spark.extraction.layout import project_for_layout
+
+    want = sum(len(project_for_layout(gen_doc_spans(i, seed=42)))
+               for i in range(20))
+    assert n_spans == want
