@@ -14,6 +14,10 @@ import sys
 import duckdb
 import pandas as pd
 
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 os.environ["TEST_SF_DIR"] = SF_DIR
 ONLY = set(sys.argv[2:])
