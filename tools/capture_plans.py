@@ -37,6 +37,11 @@ CAPTURE = {
     "pdf_crop_text": "one Exchange on the page key; HOF string fold, no Python",
     "export_legacy": "single MapInArrow, zero shuffle",
     "docjson_validation": "chained MapInArrow stages, zero shuffle",
+    "layout_extract": ("file-granular parse: one rangepartitioning "
+                       "Exchange over the LPT path list only, ONE "
+                       "MapInArrow, no parquet Scan (pyarrow reads), "
+                       "JVM-side split/arrays_zip/inline unpack"),
+    "layout_page_stats": "fused print+parse: single MapInArrow, zero shuffle",
 }
 
 
