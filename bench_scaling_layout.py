@@ -68,6 +68,57 @@ spark.stop()
 """
 
 
+# No-Spark control in the SAME window: parse the same print files
+# with a bare multiprocessing pool (LPT bins, same as the Spark plan,
+# 4 bins/proc so the pool load-balances the same way). Whatever this
+# scales at is what the box's memory bandwidth + co-tenant load allow
+# a 4x process fan-out of this parse AT ALL - the Spark efficiency is
+# read against it, not against an ideal 1.0.
+CONTROL = r"""
+import heapq, json, multiprocessing as mp, os, sys, time
+sys.path.insert(0, "/root/repo")
+path, procs = sys.argv[1], int(sys.argv[2])
+
+
+def parse_bin(files):
+    import pyarrow.parquet as pq
+    from docling_core_spark.extraction.layout_spark import (
+        _parse_cell_batches)
+
+    def cell_batches():
+        for p in files:
+            yield from pq.ParquetFile(p).iter_batches(batch_size=2048)
+
+    return sum(b.num_rows for b in _parse_cell_batches(cell_batches()))
+
+
+if __name__ == "__main__":
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    n_bins = min(procs * 4, len(files)) or 1
+    sizes = sorted(((os.path.getsize(f), f) for f in files),
+                   reverse=True)
+    heap = [(0, i) for i in range(n_bins)]
+    heapq.heapify(heap)
+    bins = [[] for _ in range(n_bins)]
+    for sz, f in sizes:
+        load, i = heapq.heappop(heap)
+        bins[i].append(f)
+        heapq.heappush(heap, (load + sz, i))
+    with mp.Pool(procs) as pool:
+        pool.map(parse_bin, bins)  # warm (workers + imports)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            docs = sum(pool.map(parse_bin, bins))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+    print(json.dumps({"procs": procs, "secs": round(best, 3),
+                      "docs": docs,
+                      "docs_per_sec": round(docs / best, 2)}))
+"""
+
+
 def run(n_docs: int, cpus: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(n_docs), str(cpus)],
@@ -76,10 +127,26 @@ def run(n_docs: int, cpus: int) -> dict:
     return json.loads(line)
 
 
+def run_control(cells_path: str, procs: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CONTROL, cells_path, str(procs)],
+        capture_output=True, text=True, check=True)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _cells_path(n_docs: int) -> str:
+    sys.path.insert(0, "/root/repo")
+    from docling_core_spark.corpus import CORPUS_VERSION
+    from docling_core_spark.extraction.layout_spark import LAYOUT_VERSION
+    return (f"/tmp/docling_scaling_layout_cells_{n_docs}"
+            f"_v{CORPUS_VERSION}.{LAYOUT_VERSION}.parquet")
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    effs = []
+    effs, ctl_effs = [], []
     for p in range(n_pairs):
         lo = run(n_docs, 8)
         hi = run(n_docs, 32)
@@ -90,8 +157,19 @@ def main() -> None:
         print(f"pair {p}: layout-parse 8 -> 32 cores: "
               f"{lo['docs_per_sec']} -> {hi['docs_per_sec']} docs/s, "
               f"efficiency {eff:.2f}")
+        cp = _cells_path(n_docs)
+        clo = run_control(cp, 8)
+        chi = run_control(cp, 32)
+        ceff = chi["docs_per_sec"] / (4 * clo["docs_per_sec"])
+        ctl_effs.append(ceff)
+        print(f"pair {p} control (no Spark, mp pool): "
+              f"{clo['docs_per_sec']} -> {chi['docs_per_sec']} docs/s, "
+              f"efficiency {ceff:.2f} "
+              f"(spark/control = {eff / ceff:.2f})")
     print(f"layout-parse 8 -> 32 efficiency: best {max(effs):.2f} "
-          f"worst {min(effs):.2f} over {n_pairs} interleaved pairs")
+          f"worst {min(effs):.2f} over {n_pairs} interleaved pairs; "
+          f"box control best {max(ctl_effs):.2f} "
+          f"worst {min(ctl_effs):.2f}")
 
 
 if __name__ == "__main__":
