@@ -175,3 +175,59 @@ def stream_extract_once(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def stream_extract_cells_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> None:
+    """Streaming PDF/layout-parse: drain currently-available packed
+    cell files (layout_spark.CELLS_SCHEMA parquet), parse each
+    micro-batch, stop. Re-invocation processes only new files.
+
+    Unlike the HTML tier (one page row = one complete document,
+    row-stateless, so the batch operator streams as-is), the layout
+    parse is a GROUPED operator - a document's pages must be
+    co-located and sorted, which Structured Streaming only allows
+    with batch semantics inside ``foreachBatch``. Correctness rests
+    on the print writer's invariant that a document never spans
+    files: the file source assigns whole files to micro-batches, so
+    every micro-batch holds complete documents.
+
+    Exactly-once: the sink writes each micro-batch to
+    ``output_dir/batch=<batchId>`` with overwrite, so a batch retried
+    after a crash replaces its own partial output instead of
+    appending duplicates (the foreachBatch idempotence pattern; the
+    parquet-sink file log used by the stateless tiers is unavailable
+    here). Read the result back with ``spark.read.parquet(output_dir)``
+    - ``batch`` surfaces as a partition column."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.extraction.layout_spark import (
+        CELLS_SCHEMA,
+        extract_layout_docs,
+    )
+
+    reader = spark.readStream.schema(CELLS_SCHEMA).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    cells = reader.load(input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (extract_layout_docs(batch_df)
+         .select("doc_id", F.inline("spans"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(output_dir, f"batch={batch_id}")))
+
+    q = (cells.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -119,3 +119,49 @@ def test_stream_extraction_matches_projection(spark, tmp_path):
         for i in range(14)
         for p in project_for_html(gen_doc_spans(i, seed=42)))
     assert rows == want
+
+
+def test_stream_layout_extraction_matches_projection(spark, tmp_path):
+    """Streaming PDF/layout-parse (foreachBatch, grouped parse per
+    micro-batch): cell files land in two batches; drained span rows
+    equal the independent projection; resume parses only new files
+    and a re-drain appends nothing."""
+    from docling_core_spark.corpus import gen_doc_spans
+    from docling_core_spark.extraction.layout import project_for_layout
+    from docling_core_spark.extraction.layout_spark import render_layout
+    from docling_core_spark.streaming import stream_extract_cells_once
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "cells")
+    out_dir = os.path.join(tmp, "spans")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def land(lo, hi):
+        docs = synth_documents(spark, hi, seed=42).filter(
+            f"doc_id >= 'doc_{lo:012d}' AND doc_id < 'doc_{hi:012d}'")
+        render_layout(docs).write.mode("append").parquet(in_dir)
+
+    land(0, 8)
+    stream_extract_cells_once(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir) \
+        .select("doc_id").distinct().count() == 8
+
+    land(8, 14)
+    stream_extract_cells_once(spark, in_dir, out_dir, ckpt)
+    got = spark.read.parquet(out_dir)
+    assert got.select("doc_id").distinct().count() == 14
+    assert got.count() == got.dropDuplicates(["doc_id", "ord"]).count()
+    n_before = got.count()
+
+    # no new files -> idempotent no-op drain
+    stream_extract_cells_once(spark, in_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == n_before
+
+    rows = sorted((r["doc_id"], r["ord"], r["kind"], r["text"],
+                   r["media_ref"]) for r in got.collect())
+    want = sorted(
+        (f"doc_{i:012d}", p["offset"], p["kind"], p["text"],
+         p["media_ref"])
+        for i in range(14)
+        for p in project_for_layout(gen_doc_spans(i, seed=42)))
+    assert rows == want
