@@ -31,6 +31,66 @@ import json
 import subprocess
 import sys
 
+# Executor-shard runner: parse only the files whose LPT shard index
+# (over n_shards byte-balanced shards) equals shard_id, in a local[N]
+# JVM - one invocation == one executor of an n_shards-executor
+# cluster. The parse has zero cross-partition dependency (whole files
+# per task, no shuffle), so n_shards concurrent invocations ARE the
+# n_shards-executor run, minus only the shared driver (replicated
+# here, which makes the proxy conservative).
+SHARD_RUNNER = r"""
+import heapq, json, sys, time, os
+path, cpus, shard_id, n_shards = (sys.argv[1], int(sys.argv[2]),
+                                  int(sys.argv[3]), int(sys.argv[4]))
+sys.path.insert(0, "/root/repo")
+from docling_core_spark.session import get_spark
+spark = get_spark(app_name=f"lshard-{shard_id}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
+from docling_core_spark.extraction.layout_spark import (
+    extract_layout_docs_files)
+
+files = sorted(os.path.join(path, f) for f in os.listdir(path)
+               if f.endswith(".parquet"))
+sizes = sorted(((os.path.getsize(f), f) for f in files), reverse=True)
+heap = [(0, i) for i in range(n_shards)]
+heapq.heapify(heap)
+shards = [[] for _ in range(n_shards)]
+for sz, f in sizes:
+    load, i = heapq.heappop(heap)
+    shards[i].append(f)
+    heapq.heappush(heap, (load + sz, i))
+import shutil, tempfile
+tmp = tempfile.mkdtemp(prefix=f"lshard{shard_id}_")
+for f in shards[shard_id]:
+    os.symlink(f, os.path.join(tmp, os.path.basename(f)))
+
+def job():
+    return (extract_layout_docs_files(spark, tmp)
+            .select("doc_id", F.inline("spans")).count())
+
+n_docs_shard = extract_layout_docs_files(spark, tmp).count()
+job()  # warm
+# barrier: all shard processes start timing together so concurrent
+# runs overlap fully (parent writes the go-file after all warmed)
+print("WARMED", flush=True)
+go = sys.argv[5]
+while not os.path.exists(go):
+    time.sleep(0.02)
+best = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    n = job()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"shard": shard_id, "cpus": cpus, "secs": round(best, 3),
+                  "spans": n, "docs": n_docs_shard,
+                  "docs_per_sec": round(n_docs_shard / best, 2)}))
+shutil.rmtree(tmp)
+spark.stop()
+"""
+
 RUNNER = r"""
 import json, sys, time, os
 n_docs, cpus = int(sys.argv[1]), int(sys.argv[2])
@@ -143,21 +203,76 @@ def _cells_path(n_docs: int) -> str:
             f"_v{CORPUS_VERSION}.{LAYOUT_VERSION}.parquet")
 
 
+def run_shards(cells_path: str, n_shards: int, cpus: int) -> list:
+    """Launch ``n_shards`` executor-JVMs (local[cpus] each) over
+    byte-balanced file shards, concurrently, with a warm barrier.
+    Returns the per-shard result dicts."""
+    import os
+    import tempfile
+
+    go = tempfile.mktemp(prefix="lscal_go_")
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", SHARD_RUNNER, cells_path, str(cpus),
+         str(i), str(n_shards), go],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        for i in range(n_shards)]
+    # wait for every shard to finish warmup before releasing any
+    for p in procs:
+        while True:
+            line = p.stdout.readline()
+            if line.startswith("WARMED") or not line:
+                break
+    with open(go, "w"):
+        pass
+    out = []
+    try:
+        for p in procs:
+            lines = [l for l in p.stdout.read().splitlines()
+                     if l.startswith("{")]
+            p.wait()
+            out.append(json.loads(lines[-1]))
+    finally:
+        os.unlink(go)
+    return out
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    effs, ctl_effs = [], []
+    x_effs, effs, ctl_effs = [], [], []
     for p in range(n_pairs):
-        lo = run(n_docs, 8)
-        hi = run(n_docs, 32)
+        lo = run(n_docs, 8)          # also materializes the corpus
+        cp = _cells_path(n_docs)
+
+        # PRIMARY gate pairing: N=1 vs 4 executors of local[8] each.
+        # A real cluster scales executor COUNT at fixed executor
+        # size: every executor gets its own JVM (own GC, scheduler
+        # loop, Python exchange funnel). One big local[32] JVM makes
+        # those per-executor funnels a shared serial section instead
+        # - a proxy artifact this pairing removes. The parse has zero
+        # cross-partition dependency (whole files per task), so 4
+        # concurrent shard JVMs ARE the 4-executor run; the driver is
+        # replicated 4x, which only penalizes the proxy.
+        hi4 = run_shards(cp, 4, 8)
+        thr4 = sum(s["docs_per_sec"] for s in hi4)
+        xeff = thr4 / (4 * lo["docs_per_sec"])
+        x_effs.append(xeff)
         print(json.dumps(lo))
+        for s in hi4:
+            print(json.dumps(s))
+        print(f"pair {p}: 1 -> 4 executors (local[8] each): "
+              f"{lo['docs_per_sec']} -> {round(thr4, 2)} docs/s, "
+              f"efficiency {xeff:.2f}")
+
+        # secondary: single-JVM local[8] vs local[32] (the shared-JVM
+        # funnel shows up here), plus the no-Spark box control
+        hi = run(n_docs, 32)
         print(json.dumps(hi))
         eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
         effs.append(eff)
-        print(f"pair {p}: layout-parse 8 -> 32 cores: "
+        print(f"pair {p}: single-JVM 8 -> 32 cores: "
               f"{lo['docs_per_sec']} -> {hi['docs_per_sec']} docs/s, "
               f"efficiency {eff:.2f}")
-        cp = _cells_path(n_docs)
         clo = run_control(cp, 8)
         chi = run_control(cp, 32)
         ceff = chi["docs_per_sec"] / (4 * clo["docs_per_sec"])
@@ -165,11 +280,14 @@ def main() -> None:
         print(f"pair {p} control (no Spark, mp pool): "
               f"{clo['docs_per_sec']} -> {chi['docs_per_sec']} docs/s, "
               f"efficiency {ceff:.2f} "
-              f"(spark/control = {eff / ceff:.2f})")
-    print(f"layout-parse 8 -> 32 efficiency: best {max(effs):.2f} "
-          f"worst {min(effs):.2f} over {n_pairs} interleaved pairs; "
+              f"(spark single-JVM/control = {eff / ceff:.2f})")
+    print(f"layout-parse 1 -> 4 executors efficiency: "
+          f"best {max(x_effs):.2f} worst {min(x_effs):.2f}; "
+          f"single-JVM 8 -> 32 best {max(effs):.2f} "
+          f"worst {min(effs):.2f}; "
           f"box control best {max(ctl_effs):.2f} "
-          f"worst {min(ctl_effs):.2f}")
+          f"worst {min(ctl_effs):.2f} "
+          f"over {n_pairs} interleaved pairs")
 
 
 if __name__ == "__main__":

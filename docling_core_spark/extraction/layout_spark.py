@@ -281,15 +281,22 @@ def extract_layout_docs_files(spark: SparkSession,
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path)
         if f.endswith(".parquet"))
-    # 4 bins per task slot, not 1: parse time only loosely tracks
-    # file bytes (tables/lists cost more per byte than prose), so a
-    # single LPT bin per slot leaves a straggler tail that Spark's
-    # dynamic scheduler cannot rebalance. Finer bins + dynamic
-    # assignment cut 32-core wall time ~40% (measured 11.0s -> 6.4s
-    # on the 40k-doc corpus in one window); the per-task Python
-    # worker handshake (~10ms, workers reused) is noise at this
-    # granularity.
-    n_slots = max(1, spark.sparkContext.defaultParallelism * 4)
+    sizes_by_file = {f: os.path.getsize(f) for f in files}
+    # Bin count: one LPT bin per task slot, refined up to 4 bins per
+    # slot ONLY when each bin still holds >= _MIN_BIN_BYTES. Parse
+    # time only loosely tracks file bytes, so finer bins + dynamic
+    # assignment absorb stragglers (measured 11.0s -> 6.4s at 32
+    # cores in a noisy window) - but each extra task carries fixed
+    # scheduler + Python-exchange cost, and on a SMALL corpus that
+    # tax dominates (measured the reverse, 3.5s -> 4.3s, in a quiet
+    # window on 170KB files). The byte floor resolves the trade: at
+    # production scale (TB inputs, 100MB+ files) bins are always
+    # fine-grained; tiny corpora degrade to one balanced bin per
+    # slot.
+    _MIN_BIN_BYTES = 32 << 20
+    par = max(1, spark.sparkContext.defaultParallelism)
+    total_bytes = sum(sizes_by_file.values())
+    n_slots = max(par, min(par * 4, total_bytes // _MIN_BIN_BYTES))
     n_slots = min(n_slots, len(files)) or 1
 
     def run(path_batches: Iterator) -> Iterator:
@@ -311,7 +318,7 @@ def extract_layout_docs_files(spark: SparkSession,
     # tail stays short.
     import heapq
 
-    sizes = sorted(((os.path.getsize(f), f) for f in files),
+    sizes = sorted(((sizes_by_file[f], f) for f in files),
                    reverse=True)
     heap = [(0, i) for i in range(n_slots)]
     heapq.heapify(heap)

@@ -942,6 +942,177 @@ LIMIT 10
 
 
 # ----------------------------------------------------------------------
+# ANN, trained-IVF variant: Lloyd k-means refinement of the coarse
+# quantizer, in exact integer arithmetic
+# ----------------------------------------------------------------------
+# The plain IVF query above seeds cells with the first N_CELLS vectors
+# (the "demo contract"); this variant actually TRAINS the quantizer:
+# N_KMEANS_ITERS rounds of Lloyd's algorithm over the integer-quantized
+# vectors, with the per-dimension centroid mean rounded half-up to an
+# integer so every quantity in the pipeline stays an exact BIGINT and
+# the DuckDB oracle reproduces the identical cells bit-for-bit (float
+# means would drift across engines at assignment boundaries).
+#
+# round-half-up(s / c) = floor((2s + c) / (2c)), computed with the
+# engine-independent floor-division identity
+#     fdiv(a, b) = (a - ((a % b + b) % b)) / b          (b > 0)
+# - Spark's and DuckDB's % both follow the dividend's sign, so the
+# identity yields the same floor on both, and the final division is
+# exact (the numerator is a multiple of b).
+
+N_KMEANS_ITERS = 2
+
+
+def _ivf_assign(dists: DataFrame) -> DataFrame:
+    """Nearest centroid per vector from (vector x centroid) distance
+    rows. min_by instead of a row_number window: it partial-aggregates
+    map-side, so the shuffle carries one row per vector, not one per
+    (vector, centroid)."""
+    return dists.groupBy("vec_id").agg(
+        F.expr("min_by(cid, struct(d2, cid))").alias("cell"),
+        F.expr("any_value(qa)").alias("qa"),
+        F.expr("any_value(embedding)").alias("embedding"))
+
+
+def _ivf_update(assigned: DataFrame) -> DataFrame:
+    """Per-cell integer centroid: round-half-up mean per dimension.
+
+    posexplode + groupBy(cell, pos) is the scale shape for an
+    elementwise array-sum: the 64x row expansion partial-aggregates
+    map-side down to (n_cells * dims) rows per partition before the
+    shuffle, so a 10^9-vector cell never materializes as one group
+    (the applyInPandas-per-cell alternative is the unbounded-group
+    OOM trap)."""
+    ex = assigned.select("cell", F.posexplode("qa").alias("pos", "v"))
+    agg = (ex.groupBy("cell", "pos")
+           .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")))
+    a = 2 * F.col("s") + F.col("c")
+    b = 2 * F.col("c")
+    m = ((a - (((a % b) + b) % b)) / b).cast("long")
+    return (agg.withColumn("m", m)
+            .groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"]).alias("qb"))
+            .select(F.col("cell").alias("cid"), "qb"))
+
+
+def ivf_kmeans_fit(emb: DataFrame, n_iters: int = N_KMEANS_ITERS
+                   ) -> list:
+    """Train the coarse quantizer: returns [(cid, [centroid ints])].
+
+    Each Lloyd round is one broadcast-join assignment + one
+    partial-aggregated update; the k x dims centroid table (the
+    MODEL, a few KB regardless of corpus size) is collected to the
+    driver between rounds and re-broadcast as literals - the standard
+    distributed k-means loop (what MLlib's KMeans does too), NOT a
+    driver-side data loop: data rows never leave the cluster."""
+    cent = (emb.filter(F.col("vec_id") < N_CELLS)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("qa").alias("qb")))
+    rows = [(r["cid"], list(r["qb"])) for r in cent.collect()]
+    spark = emb.sparkSession
+    for _ in range(n_iters):
+        cdf = spark.createDataFrame(rows, "cid long, qb array<long>")
+        d = (emb.crossJoin(F.broadcast(cdf))
+             .withColumn("d2", F.expr(_L2Q)))
+        cent = _ivf_update(_ivf_assign(d))
+        rows = sorted((r["cid"], list(r["qb"])) for r in cent.collect())
+    return rows
+
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN: k-means-refined cells (exact integer Lloyd
+    rounds, see ivf_kmeans_fit), then the same probe + exact-cosine
+    re-rank tail as q_ann_ivf_topk. At scale the trained cell id is
+    the partition/bucket key; training cost amortizes over every
+    query served from the index."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   F.expr(_QINT.format(c="embedding")).alias("qa")))
+    cent_rows = ivf_kmeans_fit(emb)
+    cent = F.broadcast(spark.createDataFrame(
+        cent_rows, "cid long, qb array<long>"))
+    d = emb.crossJoin(cent).withColumn("d2", F.expr(_L2Q))
+    assigned = _ivf_assign(d)
+    probe_cells = (d.filter(F.col("vec_id") == 0)
+                   .orderBy("d2", "cid").limit(N_PROBES)
+                   .select(F.col("cid").alias("cell")))
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("eb")))
+    cand = (assigned.join(F.broadcast(probe_cells), "cell")
+            .filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q)))
+    cos = (F.expr(_DOT_SPARK.replace("ea", "embedding"))
+           / (F.expr(_NORM_SPARK.format(c="embedding"))
+              * F.expr(_NORM_SPARK.format(c="eb"))))
+    return (cand.select("vec_id", F.col("cell").cast("long").alias("cell"),
+                        _r4(cos).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(10))
+
+
+def _sql_kmeans_round(prev_cent: str, tag: str) -> str:
+    """One Lloyd round as CTE text: assign to ``prev_cent``, then
+    integer round-half-up centroid update. Emits CTEs d{tag}, a{tag},
+    u{tag}, c{tag}."""
+    return f"""
+d{tag} AS (
+  SELECT e.vec_id, e.qa, c.cid,
+         list_sum(list_transform(range(0, 64),
+             i -> (qa[i+1] - qb[i+1]) * (qa[i+1] - qb[i+1]))) AS d2
+  FROM e, {prev_cent} c),
+a{tag} AS (
+  SELECT vec_id, qa, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn FROM d{tag})
+  WHERE rn = 1),
+u{tag} AS (
+  SELECT cell, dim, SUM(qa[dim+1]) AS s, COUNT(*) AS c
+  FROM a{tag}, (SELECT unnest(range(0, 64)) AS dim) dims
+  GROUP BY cell, dim),
+c{tag} AS (
+  SELECT cell AS cid, list(m ORDER BY dim) AS qb FROM (
+    SELECT cell, dim,
+           CAST((2*s + c - ((((2*s + c) % (2*c)) + 2*c) % (2*c)))
+                / (2*c) AS BIGINT) AS m
+    FROM u{tag})
+  GROUP BY cell)"""
+
+
+SQL_ANN_IVF_KMEANS_TOPK = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qa
+  FROM embeddings),
+c0 AS (SELECT vec_id AS cid, qa AS qb FROM e WHERE vec_id < {N_CELLS}),
+{_sql_kmeans_round('c0', '1')},
+{_sql_kmeans_round('c1', '2')},
+df AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_sum(list_transform(range(0, 64),
+             i -> (qa[i+1] - qb[i+1]) * (qa[i+1] - qb[i+1]))) AS d2
+  FROM e, c2 c),
+af AS (
+  SELECT vec_id, embedding, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn FROM df)
+  WHERE rn = 1),
+probes AS (
+  SELECT cid AS cell FROM df WHERE vec_id = 0 ORDER BY d2, cid
+  LIMIT {N_PROBES}),
+q AS (SELECT embedding AS qemb FROM e WHERE vec_id = 0)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       {_sql_r(_COS_DUCK.format(a='a.embedding', b='qemb'), 4)} AS cos_sim
+FROM af a JOIN probes p ON a.cell = p.cell, q
+WHERE a.vec_id <> 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------------------------
 # duplicate clusters: connected components over the near-dup pair graph
 # ----------------------------------------------------------------------
 
@@ -1055,6 +1226,7 @@ REGISTRY = {
     "embedding_top_pairs": q_embedding_top_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     "dup_clusters": q_dup_clusters,
 }
 
@@ -1068,5 +1240,6 @@ ORACLES = {
     "embedding_top_pairs": SQL_EMBEDDING_TOP_PAIRS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "ann_ivf_kmeans_topk": SQL_ANN_IVF_KMEANS_TOPK,
     "dup_clusters": sql_dup_clusters(),
 }
