@@ -205,3 +205,80 @@ def test_connected_components_matches_union_find(spark):
     # the 6-node chain has diameter 5: label propagation still
     # converges inside the iteration cap
     assert ("c", "a") in got and ("e", "d") in got
+
+
+# ----------------------------------------------------------------------
+# trained IVF: the distributed exact-integer Lloyd rounds must equal a
+# sequential numpy reference of the same spec
+# ----------------------------------------------------------------------
+
+def _np_ivf_kmeans(vecs, n_cells, n_iters):
+    """Sequential reference: integer-quantized Lloyd with round-half-up
+    integer centroids (floor((2s + c) / (2c)) per dimension)."""
+    import numpy as np
+
+    qa = np.rint(np.asarray(vecs, dtype=np.float64) * 1000).astype(
+        np.int64)
+    cent = {cid: qa[cid].copy() for cid in range(min(n_cells, len(qa)))}
+
+    def assign(cent):
+        cids = sorted(cent)
+        cm = np.stack([cent[c] for c in cids])
+        d2 = ((qa[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        # ties -> lowest cid; cids sorted so argmin picks it
+        return np.asarray(cids)[d2.argmin(axis=1)]
+
+    for _ in range(n_iters):
+        cells = assign(cent)
+        new = {}
+        for cid in sorted(set(cells.tolist())):
+            m = qa[cells == cid]
+            s, c = m.sum(axis=0), len(m)
+            a = 2 * s + c
+            b = 2 * c
+            new[cid] = (a - ((a % b + b) % b)) // b
+        cent = new
+    return assign(cent), cent
+
+
+def test_ivf_kmeans_fit_matches_numpy_reference(spark):
+    from pyspark.sql import Row
+
+    from docling_core_spark.textops import (
+        _QINT,
+        _L2Q,
+        N_CELLS,
+        _ivf_assign,
+        ivf_kmeans_fit,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # 3 planted clusters + uniform noise, 60 vectors x 64 dims
+    centers = rng.uniform(-0.4, 0.4, size=(3, 64))
+    vecs = np.vstack([
+        centers[i % 3] + rng.uniform(-0.05, 0.05, size=64)
+        for i in range(48)
+    ] + [rng.uniform(-0.5, 0.5, size=(12, 64))])
+    emb_rows = [Row(vec_id=i, embedding=[float(x) for x in v])
+                for i, v in enumerate(vecs)]
+    emb = (spark.createDataFrame(emb_rows)
+           .select("vec_id", "embedding",
+                   F.expr(_QINT.format(c="embedding")).alias("qa")))
+
+    got_cent = dict(ivf_kmeans_fit(emb, n_iters=2))
+    want_assign, want_cent = _np_ivf_kmeans(vecs, N_CELLS, 2)
+
+    assert sorted(got_cent) == sorted(want_cent)
+    for cid in want_cent:
+        assert got_cent[cid] == want_cent[cid].tolist(), cid
+
+    # final assignment equality too
+    cdf = spark.createDataFrame(
+        sorted((int(c), [int(x) for x in q]) for c, q in got_cent.items()),
+        "cid long, qb array<long>")
+    d = emb.crossJoin(F.broadcast(cdf)).withColumn("d2", F.expr(_L2Q))
+    got_assign = {r["vec_id"]: r["cell"]
+                  for r in _ivf_assign(d).collect()}
+    assert got_assign == {i: int(c) for i, c in enumerate(want_assign)}
