@@ -646,6 +646,15 @@ def extract_layout_tuples(all_cells: List[CellTup]
         if cur:
             lines.append(_mk_line(page, cur))
 
+    return _lines_to_result(lines, len(by_page), len(all_cells),
+                            n_chrome)
+
+
+def _lines_to_result(lines: List[Dict[str, object]], n_pages: int,
+                     n_cells: int, n_chrome: int
+                     ) -> Tuple[List[Row], Dict[str, int]]:
+    """Shared parse tail: reading-ordered line records -> block merge
+    -> classification -> span rows + stats."""
     # blocks: merge consecutive lines with same style + alignment and
     # a within-block leading (gap <= 1.4 * size)
     merged: List[Dict[str, object]] = []
@@ -715,7 +724,7 @@ def extract_layout_tuples(all_cells: List[CellTup]
     ranked = sorted(heading_sizes, reverse=True)
     level_of = {s: i + 1 for i, s in enumerate(ranked)}
     rows = _blocks_to_rows(blocks, level_of)
-    stats = {"n_pages": len(by_page), "n_cells": len(all_cells),
+    stats = {"n_pages": n_pages, "n_cells": n_cells,
              "n_chrome_cells": n_chrome, "n_lines": len(lines),
              "n_blocks": len(blocks), "n_spans": len(rows),
              "content_chars": sum(len(str(r["text"])) for r in rows)}
@@ -741,6 +750,98 @@ def _mk_line(page: int, cs: List[CellTup]) -> Dict[str, object]:
             "centered": centered,
             "words": [c[CT_TEXT] for c in cs],
             "code_text": code_text}
+
+
+# page-record layout for the packed fast path: one entry per PAGE,
+# geometry as float64 arrays, fonts as indexes into FONT_TABLE - the
+# exact shape layout_spark's cell batches arrive in, so the parse
+# never materializes per-cell tuples
+PageRec = Tuple[int, List[str], Sequence, Sequence, Sequence,
+                Sequence, Sequence]
+
+
+def _mk_line_idx(page: int, sel, texts: List[str], fonts,
+                 x0, y0, x1, y1) -> Dict[str, object]:
+    """Array-indexed twin of _mk_line: ``sel`` holds the line's cell
+    indexes in (-y0, x0) order."""
+    f0 = sel[0]
+    x_left = float(x0[f0])
+    x_right = float(x1[sel[-1]])
+    size = float(y1[f0] - y0[f0])
+    font = FONT_TABLE[int(fonts[f0])]
+    left_gap = x_left - MARGIN
+    right_gap = (PAGE_W - MARGIN) - x_right
+    centered = left_gap > 20.0 and abs(left_gap - right_gap) < 3.0
+    words = [texts[i] for i in sel]
+    code_text = ""
+    if font == F_MONO:
+        lead = int(round((x_left - MARGIN) / MONO_CHAR_W))
+        code_text = " " * max(lead, 0) + " ".join(words)
+    return {"page": page, "y": float(y0[f0]), "x_left": x_left,
+            "x_right": x_right, "size": size, "font": font,
+            "centered": centered, "words": words,
+            "code_text": code_text}
+
+
+def extract_layout_pages(pages: List[PageRec]
+                         ) -> Tuple[List[Row], Dict[str, int]]:
+    """Page-columnar fast path of extract_layout_tuples: same result,
+    but cells stay in per-page arrays (chrome strip and reading-order
+    sort run as numpy masks/lexsorts over page slices) instead of
+    2M+ per-cell Python tuples - the allocation pressure those tuples
+    create is what caps the multi-process scaling ceiling of the
+    parse (equivalence pinned by
+    tests/test_layout_extraction.py::test_pages_path_equals_tuples_path).
+    """
+    import numpy as np
+
+    by_page: Dict[int, List[PageRec]] = {}
+    for rec in pages:
+        by_page.setdefault(rec[0], []).append(rec)
+
+    n_cells = 0
+    n_chrome = 0
+    n_pages = 0
+    lines: List[Dict[str, object]] = []
+    for page in sorted(by_page):
+        recs = by_page[page]
+        if len(recs) == 1:
+            _, texts, fonts, x0, y0, x1, y1 = recs[0]
+            x0 = np.asarray(x0, dtype=np.float64)
+            y0 = np.asarray(y0, dtype=np.float64)
+            x1 = np.asarray(x1, dtype=np.float64)
+            y1 = np.asarray(y1, dtype=np.float64)
+        else:  # same page split across records: concatenate in order
+            texts = [t for r in recs for t in r[1]]
+            fonts = np.concatenate([np.asarray(r[2]) for r in recs])
+            x0, y0, x1, y1 = (np.concatenate(
+                [np.asarray(r[k], dtype=np.float64) for r in recs])
+                for k in (3, 4, 5, 6))
+        n = len(texts)
+        n_cells += n
+        if not n:
+            continue
+        yc = (y0 + y1) * 0.5
+        keep = (yc < CHROME_TOP) & (yc > CHROME_BOT)
+        kept = int(keep.sum())
+        n_chrome += n - kept
+        if not kept:
+            continue
+        n_pages += 1
+        idx = np.flatnonzero(keep)
+        order = idx[np.lexsort((x0[idx], -y0[idx]))]
+        ys = y0[order]
+        start = 0
+        anchor = ys[0]
+        for i in range(1, len(ys)):
+            yi = ys[i]
+            if abs(yi - anchor) > 2.0:
+                lines.append(_mk_line_idx(page, order[start:i], texts,
+                                          fonts, x0, y0, x1, y1))
+                start, anchor = i, yi
+        lines.append(_mk_line_idx(page, order[start:], texts, fonts,
+                                  x0, y0, x1, y1))
+    return _lines_to_result(lines, n_pages, n_cells, n_chrome)
 
 
 # ---------------------------------------------------------------------

@@ -136,9 +136,8 @@ def _parse_cell_batches(batches: Iterator) -> Iterator:
     import pyarrow as pa
 
     from docling_core_spark.extraction.layout import (
-        FONT_TABLE,
         TEXT_SEP,
-        extract_layout_tuples,
+        extract_layout_pages,
     )
     carry_doc = None
     carry: List[tuple] = []
@@ -152,7 +151,7 @@ def _parse_cell_batches(batches: Iterator) -> Iterator:
     def flush() -> None:
         if carry_doc is None:
             return
-        rows, _st = extract_layout_tuples(carry)
+        rows, _st = extract_layout_pages(carry)
         out_ids.append(carry_doc)
         out_ords.append([r["offset"] for r in rows])
         out_kinds.append(TEXT_SEP.join(r["kind"] for r in rows))
@@ -178,17 +177,18 @@ def _parse_cell_batches(batches: Iterator) -> Iterator:
         doc_ids = batch.column("doc_id").to_pylist()
         page_nos = batch.column("page_no").to_pylist()
         packed = batch.column("texts").to_pylist()
-        # geometry/font unpack is columnar: flatten each list
-        # column ONCE per batch (numeric buffers - cheap), then
-        # slice the flat python lists per page row; the only
-        # per-word string work is one split() per page
+        # geometry/font unpack stays COLUMNAR end-to-end: flatten each
+        # list column once per batch into a numpy view (zero-copy from
+        # the Arrow buffer), then hand per-page SLICES (views) to the
+        # extractor - no per-cell Python object is ever built; the
+        # only per-word string work is one split() per page
         fl = batch.column("fonts")
         lens = fl.value_lengths().to_pylist()
-        fonts_f = fl.flatten().to_pylist()
-        x0s = batch.column("xs0").flatten().to_pylist()
-        y0s = batch.column("ys0").flatten().to_pylist()
-        x1s = batch.column("xs1").flatten().to_pylist()
-        y1s = batch.column("ys1").flatten().to_pylist()
+        fonts_f = fl.flatten().to_numpy(zero_copy_only=False)
+        x0s = batch.column("xs0").flatten().to_numpy(zero_copy_only=False)
+        y0s = batch.column("ys0").flatten().to_numpy(zero_copy_only=False)
+        x1s = batch.column("xs1").flatten().to_numpy(zero_copy_only=False)
+        y1s = batch.column("ys1").flatten().to_numpy(zero_copy_only=False)
         pos = 0
         for i, d in enumerate(doc_ids):
             ln = lens[i] or 0
@@ -197,12 +197,10 @@ def _parse_cell_batches(batches: Iterator) -> Iterator:
                 carry_doc, carry = d, []
             e = pos + ln
             texts = packed[i].split(TEXT_SEP) if ln else []
-            # cell-tuple field order (layout.cell_tuple)
-            carry.extend(zip([page_nos[i]] * ln, texts,
-                             x0s[pos:e], y0s[pos:e], x1s[pos:e],
-                             y1s[pos:e],
-                             map(FONT_TABLE.__getitem__,
-                                 fonts_f[pos:e])))
+            # PageRec field order (layout.extract_layout_pages)
+            carry.append((page_nos[i], texts, fonts_f[pos:e],
+                          x0s[pos:e], y0s[pos:e], x1s[pos:e],
+                          y1s[pos:e]))
             pos = e
         if out_ids:
             yield to_batch()

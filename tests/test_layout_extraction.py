@@ -374,3 +374,73 @@ def test_spark_layout_extract_files_plan_matches(spark, tmp_path):
             want[(f"doc_{i:012d}", r["offset"])] = (
                 r["kind"], r["text"], r["media_ref"])
     assert got == want
+
+
+# ----------------------------------------------------------------------
+# page-columnar fast path equivalence (rows AND stats, per document)
+# ----------------------------------------------------------------------
+
+def _page_recs(cells):
+    """Cell dicts -> PageRec list (the layout_spark batch shape):
+    fonts as FONT_TABLE indexes, geometry as float arrays."""
+    from docling_core_spark.extraction.layout import FONT_INDEX
+
+    pages = {}
+    for c in cells:
+        pages.setdefault(c["page_no"], []).append(c)
+    return [(p,
+             [c["text"] for c in cs],
+             [FONT_INDEX[c["font"]] for c in cs],
+             [c["x0"] for c in cs],
+             [c["y0"] for c in cs],
+             [c["x1"] for c in cs],
+             [c["y1"] for c in cs])
+            for p, cs in pages.items()]
+
+
+def test_pages_path_equals_tuples_path():
+    from docling_core_spark.extraction.layout import (
+        cell_tuple,
+        extract_layout_pages,
+        extract_layout_tuples,
+    )
+
+    for i in range(80):
+        spans = gen_doc_spans(i, seed=42)
+        cells = render_layout_cells(f"doc_{i:012d}", spans)
+        want_rows, want_stats = extract_layout_tuples(
+            [cell_tuple(c) for c in cells])
+        got_rows, got_stats = extract_layout_pages(_page_recs(cells))
+        assert got_rows == want_rows, i
+        assert got_stats == want_stats, i
+
+
+def test_pages_path_equals_tuples_path_adversarial():
+    """Shuffled cell order within pages, split page records, empty
+    pages, all-chrome pages: the two paths must still agree."""
+    import random
+
+    from docling_core_spark.extraction.layout import (
+        cell_tuple,
+        extract_layout_pages,
+        extract_layout_tuples,
+    )
+
+    rng = random.Random(7)
+    for i in range(0, 40, 3):
+        spans = gen_doc_spans(i, seed=11)
+        cells = render_layout_cells(f"doc_{i:012d}", spans)
+        rng.shuffle(cells)  # arbitrary arrival order
+        want = extract_layout_tuples([cell_tuple(c) for c in cells])
+        # split every page's cells across two records + an empty page
+        recs = []
+        for rec in _page_recs(cells):
+            p, texts, fonts, x0, y0, x1, y1 = rec
+            k = len(texts) // 2
+            recs.append((p, texts[:k], fonts[:k], x0[:k], y0[:k],
+                         x1[:k], y1[:k]))
+            recs.append((p, texts[k:], fonts[k:], x0[k:], y0[k:],
+                         x1[k:], y1[k:]))
+        recs.append((999, [], [], [], [], [], []))
+        got = extract_layout_pages(recs)
+        assert got == want, i
