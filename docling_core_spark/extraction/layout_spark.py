@@ -287,11 +287,14 @@ def extract_layout_docs_files(spark: SparkSession,
     # cores in a noisy window) - but each extra task carries fixed
     # scheduler + Python-exchange cost, and on a SMALL corpus that
     # tax dominates (measured the reverse, 3.5s -> 4.3s, in a quiet
-    # window on 170KB files). The byte floor resolves the trade: at
-    # production scale (TB inputs, 100MB+ files) bins are always
-    # fine-grained; tiny corpora degrade to one balanced bin per
+    # window on 170KB files; also 23.1s -> 12.1s the OTHER way at 8
+    # cores under noise - straggler insurance matters most when each
+    # task runs longest). 2MB amortizes the ~10ms task cost ~50x at
+    # the measured ~1.5MB/s-per-core parse rate; production-scale
+    # inputs (TB, 100MB+ files) always get the full fine-grained
+    # dynamic balance, tiny corpora degrade to one balanced bin per
     # slot.
-    _MIN_BIN_BYTES = 32 << 20
+    _MIN_BIN_BYTES = 2 << 20
     par = max(1, spark.sparkContext.defaultParallelism)
     total_bytes = sum(sizes_by_file.values())
     n_slots = max(par, min(par * 4, total_bytes // _MIN_BIN_BYTES))
