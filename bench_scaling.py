@@ -63,12 +63,96 @@ spark.stop()
 """
 
 
+# Executor-shard runner: chunk only an LPT byte-balanced shard of the
+# corpus files in its own local[N] JVM - one invocation == one
+# executor of an n_shards-executor cluster. Chunking is stateless per
+# document (one fused stage, zero shuffle), so n_shards concurrent
+# invocations ARE the n_shards-executor run; the driver is replicated
+# per shard, which only penalizes the proxy.
+SHARD_RUNNER = r"""
+import heapq, json, os, shutil, sys, tempfile, time
+path, cpus, shard_id, n_shards, go = (sys.argv[1], int(sys.argv[2]),
+                                      int(sys.argv[3]), int(sys.argv[4]),
+                                      sys.argv[5])
+sys.path.insert(0, "/root/repo")
+from docling_core_spark.session import get_spark
+from docling_core_spark.engine import chunk_documents
+spark = get_spark(app_name=f"cshard-{shard_id}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+files = sorted(os.path.join(path, f) for f in os.listdir(path)
+               if f.endswith(".parquet"))
+sizes = sorted(((os.path.getsize(f), f) for f in files), reverse=True)
+heap = [(0, i) for i in range(n_shards)]
+heapq.heapify(heap)
+shards = [[] for _ in range(n_shards)]
+for sz, f in sizes:
+    load, i = heapq.heappop(heap)
+    shards[i].append(f)
+    heapq.heappush(heap, (load + sz, i))
+tmp = tempfile.mkdtemp(prefix=f"cshard{shard_id}_")
+for f in shards[shard_id]:
+    os.symlink(f, os.path.join(tmp, os.path.basename(f)))
+docs = spark.read.parquet(tmp)
+n_docs_shard = docs.count()
+chunk_documents(docs, mode="hybrid", max_tokens=64).count()  # warm
+print("WARMED", flush=True)
+while not os.path.exists(go):
+    time.sleep(0.02)
+best = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    n = chunk_documents(docs, mode="hybrid", max_tokens=64).count()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"shard": shard_id, "cpus": cpus,
+                  "secs": round(best, 3), "n_chunks": n,
+                  "docs": n_docs_shard,
+                  "docs_per_sec": round(n_docs_shard / best, 1)}))
+shutil.rmtree(tmp)
+spark.stop()
+"""
+
+
 def run_one(n_docs: int, cpus: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", RUNNER, str(n_docs), str(cpus)],
         capture_output=True, text=True, check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
+
+
+def run_shards(n_docs: int, n_shards: int, cpus: int) -> list:
+    """n_shards concurrent executor-JVMs with a warm barrier."""
+    import os
+    import tempfile
+
+    from docling_core_spark.corpus import CORPUS_VERSION
+
+    path = f"/tmp/docling_scaling_{n_docs}_v{CORPUS_VERSION}.parquet"
+    go = tempfile.mktemp(prefix="cscal_go_")
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", SHARD_RUNNER, path, str(cpus),
+         str(i), str(n_shards), go],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+        for i in range(n_shards)]
+    for p in procs:
+        while True:
+            line = p.stdout.readline()
+            if line.startswith("WARMED") or not line:
+                break
+    with open(go, "w"):
+        pass
+    out = []
+    try:
+        for p in procs:
+            lines = [ln for ln in p.stdout.read().splitlines()
+                     if ln.startswith("{")]
+            p.wait()
+            out.append(json.loads(lines[-1]))
+    finally:
+        os.unlink(go)
+    return out
 
 
 def main() -> None:
@@ -89,6 +173,18 @@ def main() -> None:
         summary[f"{n}->{n4}"] = round(eff, 3)
         print(f"scaling {n} -> {n4} cores: {tn:.0f} -> {t4:.0f} docs/s, "
               f"efficiency {eff:.2f}")
+    # the pairing the north rule names: N vs 4N EXECUTORS at fixed
+    # executor size (one JVM each)
+    sys.path.insert(0, "/root/repo")
+    hi4 = run_shards(n_docs, 4, 8)
+    for s in hi4:
+        print(json.dumps(s))
+    thr4 = sum(s["docs_per_sec"] for s in hi4)
+    xeff = thr4 / (4 * results[8]["docs_per_sec"])
+    summary["1x8->4x8"] = round(xeff, 3)
+    print(f"scaling 1 -> 4 executors (local[8] each): "
+          f"{results[8]['docs_per_sec']:.0f} -> {thr4:.0f} docs/s, "
+          f"efficiency {xeff:.2f}")
     print(json.dumps({"metric": "scaling_efficiency_4x", "pairs": summary,
                       "n_docs": n_docs}))
 
