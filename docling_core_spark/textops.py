@@ -66,6 +66,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _data_fingerprint(sf_dir: str, name: str) -> tuple:
+    """Cheap identity of a source table: (mtime_ns, size) of its
+    parquet file (or of every part file when it is a directory)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = []
+            for fn in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, fn))
+                parts.append((fn, st.st_mtime_ns, st.st_size))
+            return tuple(parts)
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ()
+
+
 # ----------------------------------------------------------------------
 # dialect templates
 # ----------------------------------------------------------------------
@@ -1046,7 +1063,11 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (_t(spark, sf_dir, "embeddings")
            .select("vec_id", "embedding",
                    F.expr(_QINT.format(c="embedding")).alias("qa")))
-    key = (sf_dir, N_CELLS, N_KMEANS_ITERS)
+    # cache key carries a data fingerprint (mtime+size of the source
+    # file(s)) so a regenerated corpus at the same path retrains
+    # instead of silently serving stale centroids (ADVICE r2)
+    key = (sf_dir, _data_fingerprint(sf_dir, "embeddings"),
+           N_CELLS, N_KMEANS_ITERS)
     cent_rows = _IVF_CENT_CACHE.get(key)
     if cent_rows is None:
         cent_rows = _IVF_CENT_CACHE[key] = ivf_kmeans_fit(emb)
@@ -1099,6 +1120,12 @@ c{tag} AS (
   GROUP BY cell)"""
 
 
+# the round chain is built programmatically so the oracle can never
+# desync from the Spark side's N_KMEANS_ITERS loop (ADVICE r2)
+_SQL_KMEANS_ROUNDS = ",".join(
+    _sql_kmeans_round(f"c{i}", str(i + 1)) for i in range(N_KMEANS_ITERS))
+_SQL_KMEANS_FINAL = f"c{N_KMEANS_ITERS}"
+
 SQL_ANN_IVF_KMEANS_TOPK = f"""
 WITH e AS (
   SELECT vec_id, embedding,
@@ -1106,13 +1133,12 @@ WITH e AS (
              x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qa
   FROM embeddings),
 c0 AS (SELECT vec_id AS cid, qa AS qb FROM e WHERE vec_id < {N_CELLS}),
-{_sql_kmeans_round('c0', '1')},
-{_sql_kmeans_round('c1', '2')},
+{_SQL_KMEANS_ROUNDS},
 df AS (
   SELECT e.vec_id, e.embedding, c.cid,
          list_sum(list_transform(range(0, 64),
              i -> (qa[i+1] - qb[i+1]) * (qa[i+1] - qb[i+1]))) AS d2
-  FROM e, c2 c),
+  FROM e, {_SQL_KMEANS_FINAL} c),
 af AS (
   SELECT vec_id, embedding, cid AS cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -1135,60 +1161,102 @@ LIMIT 10
 # duplicate clusters: connected components over the near-dup pair graph
 # ----------------------------------------------------------------------
 
-def connected_components(pairs: DataFrame, max_iter: int = 15
-                         ) -> DataFrame:
-    """(doc_a, doc_b) edges -> (doc_id, cluster_id) via iterative
-    min-label propagation.
+def _cc_large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond', SoCC'14): every neighbor v > u re-links to
+    m(u) = min(neighborhood of u, incl. u). One groupBy + one join."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m")))
+    # emitted edges satisfy new_u = v > u >= m = new_v: always
+    # (larger, smaller) orientation, never a self-loop
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
 
-    Scale shape: each iteration is one join + one partial-aggregated
-    groupBy on doc_id keys (the standard big-data CC loop); iterations
-    are bounded by cluster DIAMETER, and near-dup clusters are
-    shallow (a dup of a dup of a dup is rare), so convergence is
-    typically 2-4 rounds. Labels persist per round to cut lineage; the
-    loop stops at the first fixpoint."""
+
+def _cc_small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges large->small; u and all its
+    smaller neighbors re-link to the minimum of that set."""
+    d = e.select(F.greatest("u", "v").alias("u"),
+                 F.least("u", "v").alias("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (d.join(mins, "u")
+           .select(F.col("v").alias("u"), F.col("m").alias("v"))
+           .unionByName(mins.select("u", F.col("m").alias("v"))))
+    return (out.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"),
+                    F.least("u", "v").alias("v"))
+            .distinct())
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 30
+                         ) -> DataFrame:
+    """(doc_a, doc_b) edges -> (doc_id, cluster_id) via alternating
+    large-star / small-star contraction (Kiveris et al., SoCC'14).
+
+    Scale shape: converges in O(log n) rounds regardless of component
+    DIAMETER — the property plain min-label propagation lacks (a
+    chain-shaped near-dup cluster, common in crawl data, needs
+    diameter-many rounds there). Each round is two groupBy+join
+    passes over an edge list that only shrinks toward the star
+    fixpoint: every component collapses to a star centered at its
+    minimum node, which becomes the cluster label. max_iter=30 covers
+    graphs far beyond 2^30 nodes; the guard raises rather than
+    returning labels that would disagree with the exact-closure
+    oracle."""
     from pyspark import StorageLevel
 
-    sym = (pairs.select(F.col("doc_a").alias("src"),
-                        F.col("doc_b").alias("dst"))
-           .unionByName(pairs.select(F.col("doc_b").alias("src"),
-                                     F.col("doc_a").alias("dst")))
-           # the edge list feeds every iteration; persist so the
-           # (possibly expensive) pair-generation plan runs once
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    labels = (sym.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id"))
-              .persist(StorageLevel.MEMORY_AND_DISK))
-    labels.count()
-    changed = 1
+    nodes = (pairs.select(F.col("doc_a").alias("doc_id"))
+             .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+             .distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    edges = (pairs.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .distinct()
+             # the edge list feeds every round; persist so the
+             # (possibly expensive) pair-generation plan runs once
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    n_edges = edges.count()
+    converged = n_edges == 0
     for _ in range(max_iter):
-        neigh = (sym.join(labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("label").alias("nl")), "dst")
-                 .groupBy("src").agg(F.min("nl").alias("nmin")))
-        new_labels = (labels.join(
-            neigh.withColumnRenamed("src", "doc_id"), "doc_id", "left")
-            .select("doc_id",
-                    F.least(F.col("label"),
-                            F.coalesce(F.col("nmin"), F.col("label")))
-                    .alias("label"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.label") != F.col("o.label"))
-                   .count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        if converged:
             break
-    if changed != 0:
-        # labels move one hop per round, so a chain longer than
-        # max_iter would exit unconverged; silently returning split
-        # components would disagree with the exact-closure oracle
+        ls = _cc_large_star(edges).persist(StorageLevel.MEMORY_AND_DISK)
+        new_edges = (_cc_small_star(ls)
+                     # localCheckpoint truncates the per-round lineage
+                     # chain (plans would otherwise nest one level per
+                     # round even though data is persisted)
+                     .localCheckpoint(eager=True))
+        n_new = new_edges.count()
+        # both sets are distinct: equal counts + empty one-way
+        # difference <=> fixpoint reached
+        converged = (n_new == n_edges
+                     and new_edges.subtract(edges).count() == 0)
+        ls.unpersist()
+        edges.unpersist()
+        edges = new_edges
+        n_edges = n_new
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            f"iterations ({changed} labels still moving); raise "
-            "max_iter for long-chain duplicate clusters")
-    return labels.withColumnRenamed("label", "cluster_id")
+            "alternating rounds; the input graph is astronomically "
+            "deep or adversarial - raise max_iter")
+    # fixpoint edges form stars (member u -> component-min v)
+    labels = (nodes.join(
+        edges.select(F.col("u").alias("doc_id"),
+                     F.col("v").alias("lbl")),
+        "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.min("lbl").alias("lbl"))
+        .select("doc_id",
+                F.coalesce("lbl", F.col("doc_id")).alias("cluster_id")))
+    return labels
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -207,6 +207,24 @@ def test_connected_components_matches_union_find(spark):
     assert ("c", "a") in got and ("e", "d") in got
 
 
+def test_connected_components_long_chain_bounded_rounds(spark):
+    """A chain-shaped cluster (diameter >> rounds) converges in
+    O(log n) alternating large-star/small-star rounds: a 1024-node
+    chain has diameter 1023, so the pre-r3 one-hop label propagation
+    would need >1000 rounds, while the star-contraction loop must
+    finish inside max_iter=12 (~log2 n) WITHOUT raising."""
+    from docling_core_spark.textops import connected_components
+
+    n = 1024
+    ids = [f"d{i:05d}" for i in range(n)]
+    pairs = [(ids[i], ids[i + 1]) for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"]).coalesce(4)
+    got = connected_components(df, max_iter=12)
+    rows = got.collect()
+    assert len(rows) == n
+    assert {r.cluster_id for r in rows} == {ids[0]}
+
+
 # ----------------------------------------------------------------------
 # trained IVF: the distributed exact-integer Lloyd rounds must equal a
 # sequential numpy reference of the same spec
