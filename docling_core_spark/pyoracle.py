@@ -672,3 +672,238 @@ def oracle_sql_for(name: str, sf_dir: str, n_docs: int) -> str:
                 + final_sql)
     col_list = ", ".join(c for c, _ in cols)
     return f"SELECT {col_list} FROM read_parquet('{path}')"
+
+
+# ----------------------------------------------------------------------
+# real-tokenizer oracle (token_counts_real): INDEPENDENT second
+# implementations of the C5 algorithms - a trie-based longest-match
+# WordPiece and a heap/linked-list lowest-rank-first BPE merger -
+# computed single-process over the documents parquet and materialized,
+# so the driver check is engine-vs-independent-reimplementation, not
+# code-vs-itself. The BPE PRE-SPLIT regex is shared with the engine
+# (it is part of the published cl100k spec the fixtures pin), the
+# merging and WordPiece matching are not.
+# ----------------------------------------------------------------------
+
+def _o_is_punct(ch: str) -> bool:
+    import unicodedata as ud
+
+    cp = ord(ch)
+    if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+            or 123 <= cp <= 126):
+        return True
+    return ud.category(ch).startswith("P")
+
+
+def _o_char_class(ch: str) -> str:
+    import unicodedata as ud
+
+    cp = ord(ch)
+    if cp == 0 or cp == 0xFFFD:
+        return "drop"
+    if ch in "\t\n\r":
+        return "space"
+    if ud.category(ch).startswith("C"):
+        return "drop"
+    if ch.isspace():
+        return "space"
+    if (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F):
+        return "cjk"
+    return "word"
+
+
+def oracle_basic_tokens(text: str, lowercase: bool = True) -> list:
+    """BERT basic tokenization, reimplemented as a single
+    classify-and-group pass (vs the engine's clean/join/split chain)."""
+    import itertools
+    import unicodedata as ud
+
+    raw: list = []
+    cur: list = []
+    for ch in text:
+        cls = _o_char_class(ch)
+        if cls == "drop":
+            continue
+        if cls == "space":
+            if cur:
+                raw.append("".join(cur))
+                cur = []
+        elif cls == "cjk":
+            if cur:
+                raw.append("".join(cur))
+                cur = []
+            raw.append(ch)
+        else:
+            cur.append(ch)
+    if cur:
+        raw.append("".join(cur))
+    out: list = []
+    for tok in raw:
+        if lowercase:
+            tok = "".join(c for c in ud.normalize("NFD", tok.lower())
+                          if ud.category(c) != "Mn")
+        for is_p, grp in itertools.groupby(tok, key=_o_is_punct):
+            if is_p:
+                out.extend(grp)
+            else:
+                out.append("".join(grp))
+    return out
+
+
+def build_wp_trie(vocab_lines: list) -> tuple:
+    """(root_trie, continuation_trie); terminal marked under "$"."""
+    root: dict = {}
+    cont: dict = {}
+    for w in vocab_lines:
+        if w.startswith("##"):
+            node, chars = cont, w[2:]
+        else:
+            node, chars = root, w
+        if not chars:
+            continue
+        for ch in chars:
+            node = node.setdefault(ch, {})
+        node["$"] = True
+    return root, cont
+
+
+def oracle_wordpiece_count(text: str, tries: tuple,
+                           max_chars: int = 100) -> int:
+    root, cont = tries
+    count = 0
+    for word in oracle_basic_tokens(text):
+        if len(word) > max_chars:
+            count += 1  # [UNK]
+            continue
+        n = len(word)
+        i = 0
+        pieces = 0
+        while i < n:
+            node = cont if i > 0 else root
+            longest = -1
+            for k in range(i, n):
+                node = node.get(word[k])
+                if node is None:
+                    break
+                if "$" in node:
+                    longest = k + 1
+            if longest < 0:
+                pieces = 1  # whole word -> [UNK]
+                break
+            pieces += 1
+            i = longest
+        count += pieces
+    return count
+
+
+def oracle_bpe_piece_count(piece: bytes, ranks: dict) -> int:
+    """Lowest-rank-first (leftmost on ties) pair merging via a heap
+    over a doubly-linked parts list (vs the engine's rescan loop)."""
+    import heapq
+
+    if piece in ranks or len(piece) <= 1:
+        return 1
+    n = len(piece)
+    parts = [piece[i:i + 1] for i in range(n)]
+    alive = [True] * n
+    nxt: list = list(range(1, n)) + [None]
+    prv: list = [None] + list(range(n - 1))
+    heap: list = []
+
+    def push(i: int) -> None:
+        j = nxt[i]
+        if j is None:
+            return
+        r = ranks.get(parts[i] + parts[j])
+        if r is not None:
+            heapq.heappush(heap, (r, i, parts[i], parts[j]))
+
+    for i in range(n - 1):
+        push(i)
+    count = n
+    while heap:
+        _, i, a, b = heapq.heappop(heap)
+        if not alive[i] or parts[i] != a:
+            continue
+        j = nxt[i]
+        if j is None or not alive[j] or parts[j] != b:
+            continue
+        parts[i] = a + b
+        alive[j] = False
+        nxt[i] = nxt[j]
+        if nxt[j] is not None:
+            prv[nxt[j]] = i
+        count -= 1
+        push(i)
+        if prv[i] is not None:
+            push(prv[i])
+    return count
+
+
+def oracle_bpe_count(text: str, ranks: dict) -> int:
+    from docling_core_spark.chunking.wordpiece import _bpe_split_re
+
+    return sum(oracle_bpe_piece_count(m.group().encode("utf-8"), ranks)
+               for m in _bpe_split_re().finditer(text))
+
+
+def _load_assets() -> tuple:
+    import base64
+
+    assets = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "assets")
+    with open(os.path.join(assets, "wordpiece_vocab.txt"),
+              encoding="utf-8") as fh:
+        vocab = [line.rstrip("\n") for line in fh]
+    ranks: dict = {}
+    with open(os.path.join(assets, "bpe_ranks.tiktoken"), "rb") as fh:
+        for line in fh:
+            if line.strip():
+                tok, rank = line.split()
+                ranks[base64.b64decode(tok)] = int(rank)
+    return vocab, ranks
+
+
+def ensure_token_counts_real(sf_dir: str) -> str:
+    """Materialize the independent-implementation expected rows for
+    token_counts_real, keyed by the documents parquet fingerprint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_oracle_tokreal_{base}_{st.st_mtime_ns}_{st.st_size}"
+        f"_v{ORACLE_VERSION}")
+    path = os.path.join(d, "token_counts_real.parquet")
+    marker = path + "._SUCCESS"
+    if os.path.exists(marker):
+        return path
+    vocab, ranks = _load_assets()
+    tries = build_wp_trie(vocab)
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    wp = [oracle_wordpiece_count(x, tries) for x in texts]
+    bp = [oracle_bpe_count(x, ranks) for x in texts]
+    out = pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(wp, pa.int64()),
+         pa.array(bp, pa.int64())],
+        names=["doc_id", "wp_tokens", "bpe_tokens"])
+    os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    open(marker, "w").close()
+    return path
+
+
+def sql_token_counts_real(sf_dir: str) -> str:
+    path = ensure_token_counts_real(sf_dir)
+    return (f"SELECT doc_id, wp_tokens, bpe_tokens "
+            f"FROM read_parquet('{path}') ORDER BY doc_id")

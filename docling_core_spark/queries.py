@@ -810,6 +810,59 @@ ORDER BY doc_id
 """
 
 
+# loaded once per python worker PROCESS (module-level), never per
+# batch - the per-executor tokenizer-init rule of SURVEY.md 4.2(4)
+_REAL_COUNTERS: dict = {}
+
+
+def _real_counters() -> tuple:
+    if "wp" not in _REAL_COUNTERS:
+        from docling_core_spark.chunking.wordpiece import (
+            BytePairCounter,
+            WordPieceCounter,
+        )
+        assets = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "assets")
+        _REAL_COUNTERS["wp"] = WordPieceCounter.from_vocab_file(
+            os.path.join(assets, "wordpiece_vocab.txt"))
+        _REAL_COUNTERS["bpe"] = BytePairCounter.from_tiktoken_file(
+            os.path.join(assets, "bpe_ranks.tiktoken"))
+    return _REAL_COUNTERS["wp"], _REAL_COUNTERS["bpe"]
+
+
+def q_token_counts_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 with the REAL tokenizer algorithms end-to-end: greedy
+    longest-match WordPiece (chunking/wordpiece.py:105, the algorithm
+    of reference tokenizer/huggingface.py:51-53) and byte-level BPE
+    merging (the tiktoken algorithm of tokenizer/openai.py:24-26),
+    loaded from the vendored deterministic vocab/ranks assets
+    (docling_core_spark/assets/, see tools/gen_tokenizer_fixtures.py).
+
+    Scale shape: one fused mapInArrow over the parquet scan, zero
+    shuffle; assets load once per worker process. At cluster scale
+    ship the assets dir via --archives next to the --py-files zip.
+    Oracle: an INDEPENDENT trie-based WordPiece + heap-based BPE
+    reimplementation (pyoracle.ensure_token_counts_real)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        import pyarrow as pa
+        wp, bpe = _real_counters()
+        for b in batches:
+            texts = b.column("text").to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"),
+                 pa.array([wp.count_tokens(t) for t in texts],
+                          pa.int64()),
+                 pa.array([bpe.count_tokens(t) for t in texts],
+                          pa.int64())],
+                ["doc_id", "wp_tokens", "bpe_tokens"])
+
+    return (docs.mapInArrow(
+        gen, "doc_id long, wp_tokens long, bpe_tokens long")
+        .orderBy("doc_id"))
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the vec_id=0 embedding - the
     exact baseline for ANN. The 1-row query side is broadcast; the big
@@ -1029,6 +1082,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "lang_stats": q_lang_stats,
         "token_counts": q_token_counts,
+        "token_counts_real": q_token_counts_real,
         "knn_cosine": q_knn_cosine,
         # span-stats rows (simple relational plans over documents)
         "heading_outline": q_heading_outline,
@@ -1075,6 +1129,8 @@ def oracles() -> Dict[str, str]:
 
     for name in ENGINE_ORACLE_QUERIES:
         out[name] = oracle_sql_for(name, sf, corpus_docs_for(sf))
+    from docling_core_spark.pyoracle import sql_token_counts_real
+    out["token_counts_real"] = sql_token_counts_real(sf)
     out["caption_resolution"] = _sql_caption_resolution(sf)
     out["span_kind_stats"] = _sql_span_kind_stats(sf)
     out["bbox_overlap_stats"] = _sql_bbox_overlap_stats(sf)
