@@ -131,3 +131,76 @@ def extract_spans_range(docs: DataFrame, start: int, stop: int
             "'offset', CAST(s.offset - {0} AS INT)))".format(start, stop))
         .alias("spans"),
     ).filter(F.size(kept) > 0)
+
+
+def redact_spans(docs: DataFrame, kinds,
+                 drop_orphan_captions: bool = False) -> DataFrame:
+    """delete_items (M5) as a span-level transform: remove every span
+    whose base kind is in ``kinds`` and the whole bracketed range when
+    a group kind is redacted (children die with the parent, reference
+    _delete_items document.py:2230-2304). The recursive ref-rewrite
+    collapses to nothing in the span codec: offsets are re-assigned
+    densely, which IS the reference's per-pool index-delta lookup
+    re-expressed.
+
+    ``drop_orphan_captions=False`` (default) matches the reference
+    exactly: delete_items leaves a deleted floating item's caption in
+    the tree (captions are body-parented) and the serializer renders
+    it standalone - parity-locked in tests/test_redact.py. True is
+    the stricter redaction a dedup/PII pass wants: captions die with
+    the media they describe.
+
+    Rich-cell children die with their table: ``+child``-suffixed spans
+    and ``list_group:of_prev`` groups attach to the immediately
+    preceding codec item (model/spans.py), so the fold carries a
+    prev-item-deleted flag and cascades - exactly the reference's
+    child recursion plus its rich-cell orphan cleanup.
+
+    Purely columnar: one aggregate() fold per row, zero shuffle, no
+    Python. The orphaned-media list is computed in the fold's INIT
+    expression (evaluated once per row - inlining it into the lambda
+    would re-evaluate per element)."""
+    karr = "array(" + ", ".join(f"'{k}'" for k in sorted(kinds)) + ")"
+    # base kind: leading [a-z_]+ run (strips :L / :MREF / +fmt / +child)
+    base = "regexp_extract(s.kind, '^[a-z_]+', 0)"
+    if drop_orphan_captions:
+        rm = (f"transform(filter(spans, s -> array_contains({karr}, "
+              "regexp_extract(s.kind, '^[a-z_]+', 0)) "
+              "AND s.media_ref <> ''), s -> s.media_ref)")
+        cap_clause = (" OR (s.kind LIKE 'caption:%' AND "
+                      "array_contains(acc.rm, substring(s.kind, 9)))")
+    else:
+        rm = "slice(transform(spans, s -> s.media_ref), 1, 0)"
+        cap_clause = ""
+    deleted = (f"(array_contains({karr}, {base}){cap_clause} "
+               "OR (acc.pd AND (s.kind LIKE '%+child' "
+               "OR s.kind = 'list_group:of_prev')))")
+    opener = f"{base} IN ('list_group', 'inline_group')"
+
+    def st(d: str, pd: str, kept: str) -> str:
+        return (f"named_struct('d', {d}, 'pd', {pd}, "
+                f"'kept', {kept}, 'rm', acc.rm)")
+
+    fold = (
+        "aggregate(spans, "
+        "named_struct('d', 0, 'pd', false, "
+        f"'kept', slice(spans, 1, 0), 'rm', {rm}), "
+        "(acc, s) -> CASE "
+        # inside a deleted bracket range: count depth, drop everything;
+        # when the range closes, the preceding item IS deleted
+        f"WHEN acc.d > 0 AND s.kind = 'end_group' "
+        f"THEN {st('acc.d - 1', 'acc.d = 1', 'acc.kept')} "
+        f"WHEN acc.d > 0 AND {opener} "
+        f"THEN {st('acc.d + 1', 'acc.pd', 'acc.kept')} "
+        f"WHEN acc.d > 0 THEN {st('acc.d', 'acc.pd', 'acc.kept')} "
+        # top level: delete (entering a range for group kinds)
+        f"WHEN {deleted} AND {opener} "
+        f"THEN {st('1', 'acc.pd', 'acc.kept')} "
+        f"WHEN {deleted} THEN {st('0', 'true', 'acc.kept')} "
+        # kept span: it becomes the new preceding item
+        f"ELSE {st('acc.d', 'false', 'array_append(acc.kept, s)')} "
+        "END, "
+        "acc -> transform(acc.kept, (x, i) -> named_struct("
+        "'kind', x.kind, 'text', x.text, 'media_ref', x.media_ref, "
+        "'offset', CAST(i AS INT))))")
+    return docs.withColumn("spans", F.expr(fold))

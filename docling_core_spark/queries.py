@@ -213,6 +213,59 @@ ORDER BY o.doc_id, caption_offset
 """
 
 
+# the driver-facing redaction set: leaf kinds only, so the DuckDB
+# oracle stays a flat filter; group-kind redaction (bracket-range
+# delete) is parity-locked against the live reference's delete_items
+# in tests/test_redact.py instead. 'chart' rides along because chart
+# spans ARE PictureItems (label=picture) in the reference model.
+REDACT_KINDS = ("code", "formula", "picture", "chart")
+
+
+def q_redact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted redaction without re-chunking: the reference's
+    delete_items (document.py:2046-2401, recursive ref-rewrite) as one
+    columnar fold over the span array (docops.redact_spans) - removes
+    code/formula/picture spans plus the captions they orphan (the
+    strict-redaction variant; drop_orphan_captions=False is the
+    reference-parity default), then re-offsets densely. Zero shuffle,
+    zero Python."""
+    from docling_core_spark.docops import redact_spans
+
+    docs = corpus_df(spark, sf_dir)
+    red = redact_spans(docs, REDACT_KINDS, drop_orphan_captions=True)
+    return (red.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.offset").alias("ord"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"))
+            .orderBy("doc_id", "ord"))
+
+
+def _sql_redact_spans(sf_dir: str) -> str:
+    path = ensure_corpus_local(sf_dir)
+    kinds = ", ".join(f"'{k}'" for k in sorted(REDACT_KINDS))
+    return f"""
+WITH s AS (SELECT doc_id, unnest(spans) AS sp
+           FROM read_parquet('{path}/*.parquet')),
+rm AS (SELECT doc_id, sp.media_ref AS mr FROM s
+       WHERE regexp_extract(sp.kind, '^[a-z_]+') IN ({kinds})
+         AND sp.media_ref <> ''),
+kept AS (
+  SELECT doc_id, sp FROM s
+  WHERE regexp_extract(sp.kind, '^[a-z_]+') NOT IN ({kinds})
+    AND NOT (sp.kind LIKE 'caption:%' AND EXISTS (
+        SELECT 1 FROM rm
+        WHERE rm.doc_id = s.doc_id AND rm.mr = substr(sp.kind, 9))))
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY sp.offset) - 1 AS INT) AS ord,
+       sp.kind AS kind, sp.text AS text, sp.media_ref AS media_ref
+FROM kept
+ORDER BY doc_id, ord
+"""
+
+
 def q_bbox_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry at scale: synthetic per-span bboxes (model/doc.py
     node_bbox), IoU of consecutive items within each doc - pure JVM
@@ -1066,6 +1119,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_legacy": _q_export_legacy,
         "legacy_roundtrip": _q_legacy_roundtrip,
         "caption_resolution": q_caption_resolution,
+        "redact_spans": q_redact_spans,
     }
     # training-data ops (dedup/ANN/quality; the 8 dedup/ANN rows were
     # starved of driver checks in r2 by sitting at positions 50-57)
@@ -1132,6 +1186,7 @@ def oracles() -> Dict[str, str]:
     from docling_core_spark.pyoracle import sql_token_counts_real
     out["token_counts_real"] = sql_token_counts_real(sf)
     out["caption_resolution"] = _sql_caption_resolution(sf)
+    out["redact_spans"] = _sql_redact_spans(sf)
     out["span_kind_stats"] = _sql_span_kind_stats(sf)
     out["bbox_overlap_stats"] = _sql_bbox_overlap_stats(sf)
     out["heading_outline"] = _sql_heading_outline(sf)
