@@ -96,19 +96,18 @@ for f in shards[shard_id]:
 docs = spark.read.parquet(tmp)
 n_docs_shard = docs.count()
 chunk_documents(docs, mode="hybrid", max_tokens=64).count()  # warm
+# per-ROUND barrier (see bench_scaling_layout.py): shards time each
+# pass together so the parent can use max(shard wall) per round
 print("WARMED", flush=True)
-while not os.path.exists(go):
-    time.sleep(0.02)
-best = None
-for _ in range(3):
+for r in range(3):
+    while not os.path.exists(f"{go}.{r}"):
+        time.sleep(0.02)
     t0 = time.perf_counter()
     n = chunk_documents(docs, mode="hybrid", max_tokens=64).count()
     dt = time.perf_counter() - t0
-    best = dt if best is None or dt < best else best
-print(json.dumps({"shard": shard_id, "cpus": cpus,
-                  "secs": round(best, 3), "n_chunks": n,
-                  "docs": n_docs_shard,
-                  "docs_per_sec": round(n_docs_shard / best, 1)}))
+    print(json.dumps({"shard": shard_id, "round": r, "cpus": cpus,
+                      "secs": round(dt, 3), "n_chunks": n,
+                      "docs": n_docs_shard}), flush=True)
 shutil.rmtree(tmp)
 spark.stop()
 """
@@ -122,37 +121,16 @@ def run_one(n_docs: int, cpus: int) -> dict:
     return json.loads(line)
 
 
-def run_shards(n_docs: int, n_shards: int, cpus: int) -> list:
-    """n_shards concurrent executor-JVMs with a warm barrier."""
-    import os
-    import tempfile
-
+def run_shards(n_docs: int, n_shards: int, cpus: int) -> dict:
+    """n_shards concurrent executor-JVMs, barriered PER ROUND (the
+    aggregate is total_docs / max shard wall of the best synchronized
+    round - see bench_scaling_layout.run_shards)."""
     from docling_core_spark.corpus import CORPUS_VERSION
 
+    import bench_scaling_layout as bsl
+
     path = f"/tmp/docling_scaling_{n_docs}_v{CORPUS_VERSION}.parquet"
-    go = tempfile.mktemp(prefix="cscal_go_")
-    procs = [subprocess.Popen(
-        [sys.executable, "-c", SHARD_RUNNER, path, str(cpus),
-         str(i), str(n_shards), go],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-        for i in range(n_shards)]
-    for p in procs:
-        while True:
-            line = p.stdout.readline()
-            if line.startswith("WARMED") or not line:
-                break
-    with open(go, "w"):
-        pass
-    out = []
-    try:
-        for p in procs:
-            lines = [ln for ln in p.stdout.read().splitlines()
-                     if ln.startswith("{")]
-            p.wait()
-            out.append(json.loads(lines[-1]))
-    finally:
-        os.unlink(go)
-    return out
+    return bsl.run_shards(path, n_shards, cpus, runner=SHARD_RUNNER)
 
 
 def main() -> None:
@@ -177,9 +155,14 @@ def main() -> None:
     # executor size (one JVM each)
     sys.path.insert(0, "/root/repo")
     hi4 = run_shards(n_docs, 4, 8)
-    for s in hi4:
-        print(json.dumps(s))
-    thr4 = sum(s["docs_per_sec"] for s in hi4)
+    print(json.dumps({k: hi4[k] for k in
+                      ("n_shards", "cpus", "docs_per_sec",
+                       "best_round")}
+                     | {"rounds": [
+                         {k: r[k] for k in ("round", "wall_secs",
+                                            "docs_per_sec")}
+                         for r in hi4["rounds"]]}))
+    thr4 = hi4["docs_per_sec"]
     xeff = thr4 / (4 * results[8]["docs_per_sec"])
     summary["1x8->4x8"] = round(xeff, 3)
     print(f"scaling 1 -> 4 executors (local[8] each): "
