@@ -1,0 +1,258 @@
+"""LaTeX-math -> MathML converter (E3's latex2mathml-success path).
+
+The reference converts formula text with ``latex2mathml.converter.
+convert_to_element`` (transforms/serializer/html.py:256-334) and falls
+back to ``<pre>`` when the converter raises. That package is not in
+this container, so this module implements the conversion FROM SCRATCH
+for the LaTeX-math grammar subset below, reproducing latex2mathml's
+published output conventions:
+
+* every run wrapped in a top-level ``<mrow>``;
+* letters -> ``<mi>``, digit/decimal runs -> ``<mn>``, operators ->
+  ``<mo>`` whose text is the 5-hex-digit numeric character reference
+  (``=`` -> ``&#x0003D;``, U+2211 -> ``&#x02211;``);
+* ``^``/``_`` -> msup/msub/msubsup (normalized base, sub, sup order),
+  with munder/mover/munderover for movable-limit big operators
+  (``\\sum``, ``\\prod``);
+* ``\\frac{A}{B}`` -> ``<mfrac>`` with each argument mrow-wrapped;
+* brace groups -> ``<mrow>``.
+
+Fidelity is pinned BYTE-FOR-BYTE against the reference's committed
+goldens, which were generated with the real latex2mathml
+(test/data/docling_document/export/formula_mathml.html and the
+``E=mc^2`` inline/block exports inside test/data/doc/
+constructed_doc*.html) - see tests/test_mathml.py. Grammar outside the
+subset raises :class:`UnsupportedLatex`, which callers translate into
+the reference's own exception fallback (``<pre>``): a stock install
+would convert more grammar than we pin, and that residual divergence
+is the documented limit of this implementation, not hidden behind a
+silent wrong answer.
+
+tests/refstubs.py wires ``latex2mathml.converter.convert_to_element``
+to :func:`convert_to_element`, so the LIVE reference serializer runs
+through this converter in the parity suites - engine and reference
+share one conversion path and the tests check the surrounding
+byte-exact plumbing (annotation element, tostring+unescape, div
+wrapping) call-for-call.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+from xml.etree.ElementTree import Element, SubElement, tostring
+from xml.sax.saxutils import unescape
+
+
+class UnsupportedLatex(ValueError):
+    """Grammar outside the pinned subset (caller falls back to <pre>,
+    the reference's behavior when latex2mathml raises)."""
+
+
+def _ref(cp: int) -> str:
+    return f"&#x{cp:05X};"
+
+
+# operator characters -> codepoint (latex2mathml maps '-' to MINUS
+# SIGN U+2212; the rest keep their own codepoint)
+_OPERATOR_CHARS = {
+    "=": 0x3D, "+": 0x2B, "-": 0x2212, "*": 0x2A, "/": 0x2F,
+    ",": 0x2C, ";": 0x3B, ":": 0x3A, "!": 0x21, "<": 0x3C, ">": 0x3E,
+}
+
+_GREEK = {
+    "alpha": 0x3B1, "beta": 0x3B2, "gamma": 0x3B3, "delta": 0x3B4,
+    "epsilon": 0x3F5, "zeta": 0x3B6, "eta": 0x3B7, "theta": 0x3B8,
+    "iota": 0x3B9, "kappa": 0x3BA, "lambda": 0x3BB, "mu": 0x3BC,
+    "nu": 0x3BD, "xi": 0x3BE, "pi": 0x3C0, "rho": 0x3C1,
+    "sigma": 0x3C3, "tau": 0x3C4, "upsilon": 0x3C5, "phi": 0x3D5,
+    "chi": 0x3C7, "psi": 0x3C8, "omega": 0x3C9,
+    "Gamma": 0x393, "Delta": 0x394, "Theta": 0x398, "Lambda": 0x39B,
+    "Xi": 0x39E, "Pi": 0x3A0, "Sigma": 0x3A3, "Phi": 0x3A6,
+    "Psi": 0x3A8, "Omega": 0x3A9,
+}
+
+# command -> (codepoint, movable_limits)
+_MO_COMMANDS = {
+    "sum": (0x2211, True), "prod": (0x220F, True),
+    "int": (0x222B, False), "infty": (0x221E, False),
+    "cdot": (0x22C5, False), "times": (0xD7, False),
+    "pm": (0xB1, False), "leq": (0x2264, False),
+    "geq": (0x2265, False), "neq": (0x2260, False),
+    "rightarrow": (0x2192, False), "to": (0x2192, False),
+    "partial": (0x2202, False),
+}
+
+
+def _tokenize(latex: str) -> List[Tuple[str, str]]:
+    out: List[Tuple[str, str]] = []
+    i, n = 0, len(latex)
+    while i < n:
+        ch = latex[i]
+        if ch.isspace():
+            i += 1
+        elif ch == "\\":
+            j = i + 1
+            while j < n and latex[j].isalpha():
+                j += 1
+            if j == i + 1:
+                raise UnsupportedLatex(f"escape {latex[i:i+2]!r}")
+            out.append(("cmd", latex[i + 1:j]))
+            i = j
+        elif ch.isalpha():
+            out.append(("mi", ch))
+            i += 1
+        elif ch.isdigit():
+            j = i
+            while j < n and (latex[j].isdigit() or latex[j] == "."):
+                j += 1
+            out.append(("mn", latex[i:j]))
+            i = j
+        elif ch in _OPERATOR_CHARS:
+            out.append(("mo", ch))
+            i += 1
+        elif ch in "{}^_":
+            out.append((ch, ch))
+            i += 1
+        else:
+            raise UnsupportedLatex(f"char {ch!r}")
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: List[Tuple[str, str]]) -> None:
+        self.toks = tokens
+        self.i = 0
+
+    def _peek(self) -> Optional[Tuple[str, str]]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> Tuple[str, str]:
+        t = self._peek()
+        if t is None:
+            raise UnsupportedLatex("unexpected end")
+        self.i += 1
+        return t
+
+    def parse_nodes(self, until_brace: bool = False) -> List[Element]:
+        nodes: List[Element] = []
+        while True:
+            t = self._peek()
+            if t is None:
+                if until_brace:
+                    raise UnsupportedLatex("unclosed group")
+                return nodes
+            if t[0] == "}":
+                if not until_brace:
+                    raise UnsupportedLatex("stray }")
+                self.i += 1
+                return nodes
+            nodes.append(self.parse_scripted())
+
+    def parse_scripted(self) -> Element:
+        base, movable = self.parse_atom()
+        sub: Optional[Element] = None
+        sup: Optional[Element] = None
+        while True:
+            t = self._peek()
+            if t is None or t[0] not in ("^", "_"):
+                break
+            self.i += 1
+            arg, _ = self.parse_atom()
+            if t[0] == "^":
+                if sup is not None:
+                    raise UnsupportedLatex("double superscript")
+                sup = arg
+            else:
+                if sub is not None:
+                    raise UnsupportedLatex("double subscript")
+                sub = arg
+        if sub is None and sup is None:
+            return base
+        if movable:
+            tag = ("munderover" if sub is not None and sup is not None
+                   else "munder" if sub is not None else "mover")
+        else:
+            tag = ("msubsup" if sub is not None and sup is not None
+                   else "msub" if sub is not None else "msup")
+        el = Element(tag)
+        el.append(base)
+        if sub is not None:
+            el.append(sub)
+        if sup is not None:
+            el.append(sup)
+        return el
+
+    def parse_atom(self) -> Tuple[Element, bool]:
+        """-> (element, movable_limits)."""
+        kind, val = self._next()
+        if kind == "mi":
+            el = Element("mi")
+            el.text = val
+            return el, False
+        if kind == "mn":
+            el = Element("mn")
+            el.text = val
+            return el, False
+        if kind == "mo":
+            el = Element("mo")
+            el.text = _ref(_OPERATOR_CHARS[val])
+            return el, False
+        if kind == "{":
+            row = Element("mrow")
+            for c in self.parse_nodes(until_brace=True):
+                row.append(c)
+            return row, False
+        if kind == "cmd":
+            if val == "frac":
+                el = Element("mfrac")
+                for _ in range(2):
+                    el.append(self._braced_arg())
+                return el, False
+            if val in _GREEK:
+                el = Element("mi")
+                el.text = _ref(_GREEK[val])
+                return el, False
+            if val in _MO_COMMANDS:
+                cp, movable = _MO_COMMANDS[val]
+                el = Element("mo")
+                el.text = _ref(cp)
+                return el, movable
+            raise UnsupportedLatex(f"command \\{val}")
+        raise UnsupportedLatex(f"token {kind!r}")
+
+    def _braced_arg(self) -> Element:
+        t = self._next()
+        if t[0] != "{":
+            raise UnsupportedLatex("expected {")
+        row = Element("mrow")
+        for c in self.parse_nodes(until_brace=True):
+            row.append(c)
+        return row
+
+
+def convert_to_element(latex: str, display: str = "inline") -> Element:
+    """latex2mathml.converter.convert_to_element equivalent for the
+    pinned subset; raises UnsupportedLatex outside it."""
+    nodes = _Parser(_tokenize(latex)).parse_nodes()
+    if not nodes:
+        raise UnsupportedLatex("empty formula")
+    math = Element("math", {
+        "xmlns": "http://www.w3.org/1998/Math/MathML",
+        "display": display})
+    row = SubElement(math, "mrow")
+    for nd in nodes:
+        row.append(nd)
+    return math
+
+
+def convert_formula(latex: str, display: str) -> Optional[str]:
+    """Full reference pipeline (html.py:280-291): convert, append the
+    TeX <annotation>, tostring + unescape. None -> caller falls back
+    to <pre> exactly like the reference's except-branch."""
+    try:
+        el = convert_to_element(latex, display=display)
+    except UnsupportedLatex:
+        return None
+    ann = SubElement(el, "annotation", {"encoding": "TeX"})
+    ann.text = latex
+    return unescape(tostring(el, encoding="unicode"))

@@ -30,7 +30,7 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 # bump when any expected-row computation here changes shape/semantics
-ORACLE_VERSION = 4
+ORACLE_VERSION = 5  # r3: real MathML in the html export formula path
 
 # headings are free text; \x1f (ASCII unit separator) never appears in
 # the corpus and both sides apply the identical join, so equality of

@@ -441,11 +441,19 @@ class HtmlSerializer(MarkdownSerializer):
         return _ser(text=text, source=res_parts)
 
     def _process_formula(self, node: Node, is_inline_scope: bool) -> str:
-        """html.py:256-322 with the latex2mathml path resolving to its
-        exception fallback (<pre>), the deterministic at-scale path."""
+        """html.py:256-322: real MathML via the from-scratch converter
+        (docling_core_spark/mathml.py, byte-pinned to the reference's
+        latex2mathml goldens); grammar outside the pinned subset takes
+        the reference's own exception fallback (<pre>)."""
+        from docling_core_spark.mathml import convert_formula
+
         math_formula = _prepare(node.text, do_escape_html=False,
                                 do_replace_newline=False)
         if math_formula:
+            display = "inline" if is_inline_scope else "block"
+            mathml = convert_formula(math_formula, display)
+            if mathml is not None:
+                return mathml if is_inline_scope else f"<div>{mathml}</div>"
             return f"<pre>{math_formula}</pre>"
         if is_inline_scope:
             return '<span class="formula-not-decoded">Formula not decoded</span>'

@@ -1014,28 +1014,95 @@ def _ivf_update(assigned: DataFrame) -> DataFrame:
             .select(F.col("cell").alias("cid"), "qb"))
 
 
+# ---- k-means|| seeding (Bahmani et al., VLDB'12), deterministic ----
+# Production k-means|| samples each point with prob l*d2(x,C)/phi(C);
+# the deterministic variant replaces the coin with a shared integer
+# hash so Spark and the DuckDB oracle pick IDENTICAL seeds:
+#     select x  iff  (h(x, round) mod M) * phi < l * M * d2(x, C)
+# (exact BIGINT comparison - h<=M=2^16 keeps h*phi inside int64 for
+# phi up to ~1.4e14, far above the tested corpora; production swaps
+# the guard for float probabilities). After KPP_ROUNDS rounds the
+# candidate pool is topped up with the first-k vec_ids (deterministic
+# floor so >=k candidates always exist), every point votes for its
+# nearest candidate, and the k heaviest candidates (weight desc,
+# vec_id asc) seed Lloyd - fixing the r2 weakness that first-N
+# seeding on sorted data makes a skewed quantizer.
+KPP_L = 2 * N_CELLS       # oversampling factor per round
+KPP_ROUNDS = 2
+KPP_M = 65536
+# shared LCG-style hash: all ops exact in BIGINT on both engines
+_H = ("((vec_id % 2147483647) * 1103515245 + {r} * 12345 + 12345) "
+      "% 2147483647 % {m}")
+
+
+def kpp_seed_ids(emb: DataFrame) -> list:
+    """Deterministic k-means|| candidate selection + weighting;
+    returns the k seed vec_ids. Each round is one broadcast join +
+    partial-aggregated min/sum over the data; only candidate IDs and
+    the scalar phi (model-sized statistics) reach the driver."""
+    spark = emb.sparkSession
+    init = (emb.select(
+        "vec_id", F.expr(_H.format(r=0, m=2147483647)).alias("h"))
+        .orderBy("h", "vec_id").limit(1).collect()[0]["vec_id"])
+    cand = {int(init)}
+    for r in range(1, KPP_ROUNDS + 1):
+        cdf = F.broadcast(spark.createDataFrame(
+            [(int(c),) for c in sorted(cand)], "cid long"))
+        seeds = (emb.join(cdf, emb["vec_id"] == cdf["cid"])
+                 .select(F.col("qa").alias("qb")))
+        mind = (emb.crossJoin(F.broadcast(seeds))
+                .withColumn("d2", F.expr(_L2Q))
+                .groupBy("vec_id").agg(F.min("d2").alias("d2")))
+        phi = mind.agg(F.sum("d2").alias("p")).collect()[0]["p"]
+        if not phi:
+            break
+        hits = (mind.withColumn(
+            "h", F.expr(_H.format(r=r, m=KPP_M)))
+            .filter(F.col("h") * F.lit(int(phi))
+                    < F.lit(KPP_L * KPP_M) * F.col("d2"))
+            .select("vec_id").collect())
+        cand |= {int(row["vec_id"]) for row in hits}
+    cand |= set(range(N_CELLS))  # deterministic floor (vec_ids dense)
+    cdf = F.broadcast(spark.createDataFrame(
+        [(int(c),) for c in sorted(cand)], "cid long"))
+    seeds = (emb.join(cdf, emb["vec_id"] == cdf["cid"])
+             .select("cid", F.col("qa").alias("qb")))
+    d = (emb.crossJoin(F.broadcast(seeds))
+         .withColumn("d2", F.expr(_L2Q)))
+    weights = (d.groupBy("vec_id")
+               .agg(F.expr("min_by(cid, struct(d2, cid))").alias("cid"))
+               .groupBy("cid").agg(F.count(F.lit(1)).alias("w")))
+    top = (weights.orderBy(F.desc("w"), "cid").limit(N_CELLS)
+           .collect())
+    return sorted(int(r["cid"]) for r in top)
+
+
 def ivf_kmeans_fit(emb: DataFrame, n_iters: int = N_KMEANS_ITERS
                    ) -> list:
     """Train the coarse quantizer: returns [(cid, [centroid ints])].
 
-    Each Lloyd round is one broadcast-join assignment + one
-    partial-aggregated update; the k x dims centroid table (the
-    MODEL, a few KB regardless of corpus size) is collected to the
-    driver between rounds and re-broadcast as literals - the standard
-    distributed k-means loop (what MLlib's KMeans does too), NOT a
-    driver-side data loop: data rows never leave the cluster."""
+    Seeding is deterministic k-means|| (kpp_seed_ids); each Lloyd
+    round is one broadcast-join assignment + one partial-aggregated
+    update; the k x dims centroid table (the MODEL, a few KB
+    regardless of corpus size) is collected to the driver between
+    rounds and re-broadcast as literals - the standard distributed
+    k-means loop (what MLlib's KMeans does too), NOT a driver-side
+    data loop: data rows never leave the cluster."""
     from pyspark import StorageLevel
 
-    # the fit scans its input once per round (plus the seed read);
+    # the fit scans its input once per round (plus the seed rounds);
     # cache for the duration of training only - the caller's serving
     # plan reads the source fresh
     emb = emb.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        cent = (emb.filter(F.col("vec_id") < N_CELLS)
+        seed_ids = kpp_seed_ids(emb)
+        spark = emb.sparkSession
+        sdf = F.broadcast(spark.createDataFrame(
+            [(s,) for s in seed_ids], "sid long"))
+        cent = (emb.join(sdf, emb["vec_id"] == sdf["sid"])
                 .select(F.col("vec_id").alias("cid"),
                         F.col("qa").alias("qb")))
-        rows = [(r["cid"], list(r["qb"])) for r in cent.collect()]
-        spark = emb.sparkSession
+        rows = sorted((r["cid"], list(r["qb"])) for r in cent.collect())
         for _ in range(n_iters):
             cdf = spark.createDataFrame(rows, "cid long, qb array<long>")
             d = (emb.crossJoin(F.broadcast(cdf))
@@ -1120,8 +1187,52 @@ c{tag} AS (
   GROUP BY cell)"""
 
 
-# the round chain is built programmatically so the oracle can never
-# desync from the Spark side's N_KMEANS_ITERS loop (ADVICE r2)
+# the round chains (k-means|| seeding + Lloyd refinement) are built
+# programmatically so the oracle can never desync from the Spark
+# side's KPP_ROUNDS / N_KMEANS_ITERS loops (ADVICE r2)
+_SQL_L2 = ("list_sum(list_transform(range(0, 64), "
+           "i -> (v.qa[i+1] - c.qa[i+1]) * (v.qa[i+1] - c.qa[i+1])))")
+
+
+def _sql_kpp_round(prev: str, r: int) -> str:
+    """One deterministic k-means|| sampling round as CTE text."""
+    h = _H.format(r=r, m=KPP_M).replace("vec_id", "d.vec_id")
+    return f"""
+kd{r} AS (
+  SELECT v.vec_id, MIN({_SQL_L2}) AS d2
+  FROM e v, e c JOIN {prev} s ON c.vec_id = s.vec_id
+  GROUP BY v.vec_id),
+kphi{r} AS (SELECT SUM(d2) AS phi FROM kd{r}),
+kc{r} AS (
+  SELECT vec_id FROM {prev}
+  UNION
+  SELECT d.vec_id FROM kd{r} d, kphi{r}
+  WHERE ({h}) * phi < {KPP_L * KPP_M} * d.d2)"""
+
+
+_SQL_KPP_ROUNDS = ",".join(
+    _sql_kpp_round(f"kc{r - 1}", r) for r in range(1, KPP_ROUNDS + 1))
+
+_SQL_KPP_SEEDING = f"""
+kc0 AS (
+  SELECT vec_id FROM e
+  ORDER BY {_H.format(r=0, m=2147483647)}, vec_id LIMIT 1),
+{_SQL_KPP_ROUNDS},
+kcf AS (SELECT vec_id FROM kc{KPP_ROUNDS}
+        UNION SELECT vec_id FROM e WHERE vec_id < {N_CELLS}),
+kwd AS (
+  SELECT v.vec_id, c.vec_id AS cid, {_SQL_L2} AS d2
+  FROM e v, e c JOIN kcf s ON c.vec_id = s.vec_id),
+kassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn FROM kwd)
+  WHERE rn = 1),
+kw AS (SELECT cid, COUNT(*) AS w FROM kassign GROUP BY cid),
+kseeds AS (SELECT cid FROM kw ORDER BY w DESC, cid LIMIT {N_CELLS}),
+c0 AS (SELECT e.vec_id AS cid, e.qa AS qb
+       FROM e JOIN kseeds k ON e.vec_id = k.cid)"""
+
 _SQL_KMEANS_ROUNDS = ",".join(
     _sql_kmeans_round(f"c{i}", str(i + 1)) for i in range(N_KMEANS_ITERS))
 _SQL_KMEANS_FINAL = f"c{N_KMEANS_ITERS}"
@@ -1132,7 +1243,7 @@ WITH e AS (
          list_transform(embedding,
              x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qa
   FROM embeddings),
-c0 AS (SELECT vec_id AS cid, qa AS qb FROM e WHERE vec_id < {N_CELLS}),
+{_SQL_KPP_SEEDING},
 {_SQL_KMEANS_ROUNDS},
 df AS (
   SELECT e.vec_id, e.embedding, c.cid,

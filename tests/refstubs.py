@@ -97,11 +97,19 @@ def install() -> None:
 
     _stub("semchunk", chunkerify=chunkerify)
 
-    # --- latex2mathml: always raise -> the reference html serializer
-    # takes its deterministic <pre> fallback (html.py:298-310), which is
-    # the exact behavior this engine reproduces at scale
+    # --- latex2mathml: delegate to the engine's from-scratch converter
+    # (docling_core_spark/mathml.py), which is byte-pinned to the
+    # reference's committed latex2mathml goldens. The LIVE reference
+    # serializer then produces real MathML through the same conversion
+    # the engine uses, so the parity suites check the byte-exact
+    # surrounding plumbing (annotation element, tostring+unescape, div
+    # wrapping, fallback selection) call-for-call. Grammar outside the
+    # pinned subset raises, sending the reference into its own <pre>
+    # fallback (html.py:298-310) exactly where the engine falls back.
     def _convert_to_element(formula, display="block", **kw):
-        raise RuntimeError("mathml disabled (deterministic fallback)")
+        from docling_core_spark.mathml import convert_to_element
+
+        return convert_to_element(formula, display=display)
 
     conv = _stub("latex2mathml.converter",
                  convert_to_element=_convert_to_element)

@@ -230,14 +230,48 @@ def test_connected_components_long_chain_bounded_rounds(spark):
 # sequential numpy reference of the same spec
 # ----------------------------------------------------------------------
 
+def _np_kpp_seeds(qa, n_cells):
+    """Sequential reference of the deterministic k-means|| seeding
+    (textops.kpp_seed_ids spec): shared LCG hash, exact-integer
+    threshold sampling, first-k floor, weight-ranked reduction."""
+    import numpy as np
+
+    from docling_core_spark.textops import KPP_L, KPP_M, KPP_ROUNDS
+
+    def h(v, r, m):
+        return ((v % 2147483647) * 1103515245 + r * 12345 + 12345) \
+            % 2147483647 % m
+
+    n = len(qa)
+    init = min(range(n), key=lambda v: (h(v, 0, 2147483647), v))
+    cand = {init}
+    for r in range(1, KPP_ROUNDS + 1):
+        cm = qa[sorted(cand)]
+        d2 = ((qa[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2) \
+            .min(axis=1)
+        phi = int(d2.sum())
+        if not phi:
+            break
+        cand |= {v for v in range(n)
+                 if h(v, r, KPP_M) * phi < KPP_L * KPP_M * int(d2[v])}
+    cand |= set(range(n_cells))
+    cids = sorted(cand)
+    cm = qa[cids]
+    d2 = ((qa[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+    win = np.asarray(cids)[d2.argmin(axis=1)]  # ties -> lowest cid
+    w = {c: int((win == c).sum()) for c in cids if (win == c).any()}
+    top = sorted(w, key=lambda c: (-w[c], c))[:n_cells]
+    return sorted(top)
+
+
 def _np_ivf_kmeans(vecs, n_cells, n_iters):
-    """Sequential reference: integer-quantized Lloyd with round-half-up
-    integer centroids (floor((2s + c) / (2c)) per dimension)."""
+    """Sequential reference: deterministic k-means|| seeding + integer
+    Lloyd with round-half-up centroids (floor((2s + c) / (2c)))."""
     import numpy as np
 
     qa = np.rint(np.asarray(vecs, dtype=np.float64) * 1000).astype(
         np.int64)
-    cent = {cid: qa[cid].copy() for cid in range(min(n_cells, len(qa)))}
+    cent = {cid: qa[cid].copy() for cid in _np_kpp_seeds(qa, n_cells)}
 
     def assign(cent):
         cids = sorted(cent)
@@ -300,3 +334,21 @@ def test_ivf_kmeans_fit_matches_numpy_reference(spark):
     got_assign = {r["vec_id"]: r["cell"]
                   for r in _ivf_assign(d).collect()}
     assert got_assign == {i: int(c) for i, c in enumerate(want_assign)}
+
+
+def test_trained_ivf_recall_vs_exact_knn(spark):
+    """The k-means||-seeded trained IVF must recall a solid share of
+    the exact brute-force top-10 (it probes N_PROBES of N_CELLS cells,
+    so perfect recall is not expected - but a broken quantizer would
+    drop to near-zero overlap)."""
+    import os
+
+    from docling_core_spark.queries import q_knn_cosine
+    from docling_core_spark.textops import q_ann_ivf_kmeans_topk
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    exact = {r["vec_id"] for r in q_knn_cosine(spark, sf).collect()[:10]}
+    approx = {r["vec_id"]
+              for r in q_ann_ivf_kmeans_topk(spark, sf).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"recall@10 = {recall}"
