@@ -907,3 +907,65 @@ def sql_token_counts_real(sf_dir: str) -> str:
     path = ensure_token_counts_real(sf_dir)
     return (f"SELECT doc_id, wp_tokens, bpe_tokens "
             f"FROM read_parquet('{path}') ORDER BY doc_id")
+
+
+def ensure_rec_validation(sf_dir: str) -> str:
+    """Materialize the expected rec_validation rows: single-process
+    synthesize -> corrupt -> validate over the documents parquet
+    (same pure functions the Spark stage runs; the validators
+    themselves are parity-locked to the live reference models in
+    tests/test_rectypes.py). Keyed by the documents fingerprint."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.rectypes import (
+        VALIDATORS,
+        corrupt_rec,
+        synth_rec_payload,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_oracle_recval_{base}_{st.st_mtime_ns}_{st.st_size}"
+        f"_v{ORACLE_VERSION}")
+    path = os.path.join(d, "rec_validation.parquet")
+    marker = path + "._SUCCESS"
+    if os.path.exists(marker):
+        return path
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        kind, js = synth_rec_payload(int(doc_id), text or "")
+        js = corrupt_rec(int(doc_id), kind, js)
+        try:
+            obj = _json.loads(js)
+            es = VALIDATORS[kind](obj)
+        except ValueError as exc:
+            es = [f"json: {exc}"]
+        rows.append((int(doc_id), kind, not es, len(es),
+                     "; ".join(es)))
+    out = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.string()),
+         pa.array([r[2] for r in rows], pa.bool_()),
+         pa.array([r[3] for r in rows], pa.int32()),
+         pa.array([r[4] for r in rows], pa.string())],
+        names=["doc_id", "kind", "is_valid", "n_errors", "errors"])
+    os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    open(marker, "w").close()
+    return path
+
+
+def sql_rec_validation(sf_dir: str) -> str:
+    path = ensure_rec_validation(sf_dir)
+    return (f"SELECT doc_id, kind, is_valid, n_errors, errors "
+            f"FROM read_parquet('{path}') ORDER BY doc_id")

@@ -916,6 +916,42 @@ def q_token_counts_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_rec_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record/Statement/QA collection types (SURVEY §1.3): S12-style
+    quarantine validation of synthesized + deterministically corrupted
+    payloads with the from-scratch validators (rectypes.py, parity-
+    locked to the live reference pydantic models in
+    tests/test_rectypes.py). One fused Arrow stage end-to-end:
+    synthesize -> corrupt -> validate, zero shuffle."""
+    import pyarrow as pa
+
+    from docling_core_spark.rectypes import (
+        corrupt_rec,
+        synth_rec_payload,
+        validate_records_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            kinds, payloads = [], []
+            for i, t in zip(ids, texts):
+                kind, js = synth_rec_payload(int(i), t or "")
+                kinds.append(kind)
+                payloads.append(corrupt_rec(int(i), kind, js))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pa.array(kinds, pa.string()),
+                 pa.array(payloads, pa.string())],
+                ["doc_id", "kind", "payload"])
+
+    payloads = docs.mapInArrow(
+        gen, "doc_id long, kind string, payload string")
+    return validate_records_df(payloads).orderBy("doc_id")
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the vec_id=0 embedding - the
     exact baseline for ANN. The 1-row query side is broadcast; the big
@@ -1120,6 +1156,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "legacy_roundtrip": _q_legacy_roundtrip,
         "caption_resolution": q_caption_resolution,
         "redact_spans": q_redact_spans,
+        "rec_validation": q_rec_validation,
     }
     # training-data ops (dedup/ANN/quality; the 8 dedup/ANN rows were
     # starved of driver checks in r2 by sitting at positions 50-57)
@@ -1183,8 +1220,12 @@ def oracles() -> Dict[str, str]:
 
     for name in ENGINE_ORACLE_QUERIES:
         out[name] = oracle_sql_for(name, sf, corpus_docs_for(sf))
-    from docling_core_spark.pyoracle import sql_token_counts_real
+    from docling_core_spark.pyoracle import (
+        sql_rec_validation,
+        sql_token_counts_real,
+    )
     out["token_counts_real"] = sql_token_counts_real(sf)
+    out["rec_validation"] = sql_rec_validation(sf)
     out["caption_resolution"] = _sql_caption_resolution(sf)
     out["redact_spans"] = _sql_redact_spans(sf)
     out["span_kind_stats"] = _sql_span_kind_stats(sf)
