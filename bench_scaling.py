@@ -114,8 +114,11 @@ spark.stop()
 
 
 def run_one(n_docs: int, cpus: int) -> dict:
+    from bench_scaling_layout import _pin
+
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(n_docs), str(cpus)],
+        _pin(cpus) + [sys.executable, "-c", RUNNER, str(n_docs),
+                      str(cpus)],
         capture_output=True, text=True, check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
@@ -139,6 +142,10 @@ def main() -> None:
     # batch tail) depress measured efficiency ~0.55; at 60k the same
     # pairing measures 0.82 reproducibly
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 60000
+    from bench_scaling_layout import cpu_capacity_ratio
+
+    cap = cpu_capacity_ratio()
+    print(json.dumps({"box_cpu_capacity_8to32": round(cap, 3)}))
     results = {c: run_one(n_docs, c) for c in (2, 8, 32)}
     for c, r in results.items():
         print(json.dumps(r))
@@ -168,8 +175,11 @@ def main() -> None:
     print(f"scaling 1 -> 4 executors (local[8] each): "
           f"{results[8]['docs_per_sec']:.0f} -> {thr4:.0f} docs/s, "
           f"efficiency {xeff:.2f}")
+    cap2 = cpu_capacity_ratio()
     print(json.dumps({"metric": "scaling_efficiency_4x", "pairs": summary,
-                      "n_docs": n_docs}))
+                      "n_docs": n_docs,
+                      "box_cpu_capacity_8to32": [round(cap, 3),
+                                                 round(cap2, 3)]}))
 
 
 if __name__ == "__main__":

@@ -21,8 +21,18 @@ INTERLEAVED (8, 32, 8, 32, ...) in one window; efficiency is computed
 per adjacent pair and the best pair is the headline (worst also
 printed).
 
+Corpus sizing: each EXECUTOR's timed pass must dominate the ~1.1s
+fixed per-job cost (measured: a trivial 32-task mapInArrow job costs
+1.0-1.3s in job scheduling + per-task Python exchange, data-size-
+independent). At 40k docs a 4-shard pass is ~3s/shard and the fixed
+tax alone caps measurable efficiency at ~0.5; at 160k docs each
+shard's pass is ~6-8s and the tax is <15%. A real cluster amortizes
+the same way - per-job driver overhead does not replicate per
+executor there, so the proxy (which replicates it 4x) remains
+conservative.
+
 Usage: python bench_scaling_layout.py [n_docs] [n_pairs]
-       (defaults 40000, 2)
+       (defaults 160000, 5)
 """
 
 from __future__ import annotations
@@ -180,9 +190,66 @@ if __name__ == "__main__":
 """
 
 
+# Pure-CPU capacity probe: spin-loop processes, no memory traffic, no
+# Spark. On this KVM sandbox the 8->32-vCPU capacity ratio measures
+# 2.2-2.7x (not 4x) - the host overcommits physical cores - so 0.8
+# efficiency at 8->32 is UNATTAINABLE for any workload in such
+# windows. Every pair records this ratio; the honest gate read is
+# spark_efficiency relative to what the box allowed at that moment.
+_SPIN = r"""
+import multiprocessing as mp, time, sys
+
+def spin(q):
+    t_end = time.perf_counter() + 1.5
+    n = 0
+    x = 1.0
+    while time.perf_counter() < t_end:
+        for _ in range(10000):
+            x = x * 1.0000001 + 0.5
+        n += 10000
+    q.put(n)
+
+if __name__ == "__main__":
+    procs = int(sys.argv[1])
+    q = mp.Queue()
+    ps = [mp.Process(target=spin, args=(q,)) for _ in range(procs)]
+    for p in ps: p.start()
+    total = sum(q.get() for _ in ps)
+    for p in ps: p.join()
+    print(total)
+"""
+
+
+def cpu_capacity_ratio() -> float:
+    """iters(32 procs) / (4 * iters(8 procs)): the box's attainable
+    8->32 scaling this instant (1.0 = true 4x capacity)."""
+    def iters(procs: int) -> int:
+        out = subprocess.run(
+            [sys.executable, "-c", _SPIN, str(procs)],
+            capture_output=True, text=True, check=True)
+        return int(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = iters(8), iters(32)
+    return hi / (4 * lo) if lo else 0.0
+
+
+def _pin(n_cpus: int, first: int = 0) -> list:
+    """CPU-pin prefix: a local[N] JVM left unpinned bleeds past its N
+    task slots (scan threads, GC, Python workers overlap onto idle
+    cores), inflating the small-N baseline and under-reporting the
+    N->4N pairing. Pinning every process to a disjoint cpuset is the
+    per-executor-cgroup semantics a real cluster enforces."""
+    import shutil
+
+    if shutil.which("taskset") is None:
+        return []
+    return ["taskset", "-c", f"{first}-{first + n_cpus - 1}"]
+
+
 def run(n_docs: int, cpus: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(n_docs), str(cpus)],
+        _pin(cpus) + [sys.executable, "-c", RUNNER, str(n_docs),
+                      str(cpus)],
         capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -190,7 +257,8 @@ def run(n_docs: int, cpus: int) -> dict:
 
 def run_control(cells_path: str, procs: int) -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", CONTROL, cells_path, str(procs)],
+        _pin(procs) + [sys.executable, "-c", CONTROL, cells_path,
+                       str(procs)],
         capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -222,9 +290,11 @@ def run_shards(cells_path: str, n_shards: int, cpus: int,
     errs = [tempfile.NamedTemporaryFile(
         mode="w+", prefix=f"lscal_err{i}_", delete=False)
         for i in range(n_shards)]
+    # each shard-executor pinned to its own disjoint cpuset (see _pin)
     procs = [subprocess.Popen(
-        [sys.executable, "-c", runner or SHARD_RUNNER, cells_path,
-         str(cpus), str(i), str(n_shards), go],
+        _pin(cpus, first=i * cpus)
+        + [sys.executable, "-c", runner or SHARD_RUNNER, cells_path,
+           str(cpus), str(i), str(n_shards), go],
         stdout=subprocess.PIPE, stderr=errs[i], text=True)
         for i in range(n_shards)]
 
@@ -281,10 +351,13 @@ def run_shards(cells_path: str, n_shards: int, cpus: int,
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    x_effs, effs, ctl_effs = [], [], []
+    x_effs, effs, ctl_effs, caps = [], [], [], []
     for p in range(n_pairs):
+        cap = cpu_capacity_ratio()
+        caps.append(cap)
+        print(f"pair {p} box CPU capacity 8->32: {cap:.2f} of ideal 4x")
         lo = run(n_docs, 8)          # also materializes the corpus
         cp = _cells_path(n_docs)
 
@@ -309,8 +382,11 @@ def main() -> None:
                           ("n_shards", "cpus", "docs_per_sec",
                            "best_round")}
                          | {"rounds": [
-                             {k: r[k] for k in ("round", "wall_secs",
-                                                "docs_per_sec")}
+                             {"round": r["round"],
+                              "wall_secs": r["wall_secs"],
+                              "docs_per_sec": r["docs_per_sec"],
+                              "shard_secs": [s["secs"]
+                                             for s in r["shards"]]}
                              for r in hi4["rounds"]]}))
         print(f"pair {p}: 1 -> 4 executors (local[8] each): "
               f"{lo['docs_per_sec']} -> {round(thr4, 2)} docs/s, "
@@ -343,12 +419,20 @@ def main() -> None:
           f"box control median {statistics.median(ctl_effs):.2f} "
           f"best {max(ctl_effs):.2f} worst {min(ctl_effs):.2f} "
           f"over {n_pairs} interleaved pairs")
+    norm = [min(1.0, e / c) if c else 0.0
+            for e, c in zip(effs, caps)]
+    print(f"single-JVM efficiency normalized to box CPU capacity: "
+          f"median {statistics.median(norm):.2f} "
+          f"(capacity median {statistics.median(caps):.2f})")
     print(json.dumps({
         "metric": "layout_scaling_efficiency_1to4_executors",
         "median": round(statistics.median(x_effs), 3),
         "pairs": [round(x, 3) for x in x_effs],
         "single_jvm_8to32": [round(x, 3) for x in effs],
         "box_control_8to32procs": [round(x, 3) for x in ctl_effs],
+        "box_cpu_capacity_8to32": [round(c, 3) for c in caps],
+        "single_jvm_normalized_to_capacity":
+            [round(x, 3) for x in norm],
         "n_docs": n_docs}))
 
 
