@@ -1303,7 +1303,8 @@ def _cc_small_star(e: DataFrame) -> DataFrame:
             .distinct())
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 30
+def connected_components(pairs: DataFrame, max_iter: int = 30,
+                         small_graph_threshold: int = 200_000
                          ) -> DataFrame:
     """(doc_a, doc_b) edges -> (doc_id, cluster_id) via alternating
     large-star / small-star contraction (Kiveris et al., SoCC'14).
@@ -1317,9 +1318,21 @@ def connected_components(pairs: DataFrame, max_iter: int = 30
     minimum node, which becomes the cluster label. max_iter=30 covers
     graphs far beyond 2^30 nodes; the guard raises rather than
     returning labels that would disagree with the exact-closure
-    oracle."""
+    oracle.
+
+    Deduped edge lists at or below ``small_graph_threshold`` take a
+    driver-side union-find instead: the near-dup PAIR graph is
+    usually statistic-sized even when the corpus is not (it holds
+    only docs with a near-duplicate), and a sub-second exact
+    union-find beats ~6 Spark jobs per contraction round. The
+    distributed path is what runs when the graph genuinely is big;
+    pass 0 to force it (the long-chain test does)."""
     from pyspark import StorageLevel
 
+    # persist the INPUT pair plan: nodes and edges both derive from it
+    # and the pair generation (an LSH/Jaccard pipeline) is the
+    # expensive part - without this it would execute twice
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (pairs.select(F.col("doc_a").alias("doc_id"))
              .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
              .distinct()
@@ -1330,10 +1343,39 @@ def connected_components(pairs: DataFrame, max_iter: int = 30
              .select(F.greatest("u", "v").alias("u"),
                      F.least("u", "v").alias("v"))
              .distinct()
-             # the edge list feeds every round; persist so the
-             # (possibly expensive) pair-generation plan runs once
+             # the edge list feeds every contraction round
              .persist(StorageLevel.MEMORY_AND_DISK))
     n_edges = edges.count()
+    if n_edges <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r["u"]), find(r["v"])
+            if ra != rb:
+                # union by MIN so the root IS the cluster label
+                parent[max(ra, rb)] = min(ra, rb)
+        labels_local = [(n["doc_id"], find(n["doc_id"]))
+                        for n in nodes.collect()]
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = nodes.schema["doc_id"].dataType  # preserve key type
+        schema = StructType([StructField("doc_id", id_type),
+                             StructField("cluster_id", id_type)])
+        edges.unpersist()
+        nodes.unpersist()
+        pairs.unpersist()
+        return pairs.sparkSession.createDataFrame(labels_local, schema)
+    nodes.count()      # materialize off the cached pairs ...
+    pairs.unpersist()  # ... then the input plan can go
     converged = n_edges == 0
     for _ in range(max_iter):
         if converged:

@@ -219,10 +219,30 @@ def test_connected_components_long_chain_bounded_rounds(spark):
     ids = [f"d{i:05d}" for i in range(n)]
     pairs = [(ids[i], ids[i + 1]) for i in range(n - 1)]
     df = spark.createDataFrame(pairs, ["doc_a", "doc_b"]).coalesce(4)
-    got = connected_components(df, max_iter=12)
+    # threshold 0 forces the DISTRIBUTED star-contraction path (the
+    # default would route this statistic-sized graph to union-find)
+    got = connected_components(df, max_iter=12, small_graph_threshold=0)
     rows = got.collect()
     assert len(rows) == n
     assert {r.cluster_id for r in rows} == {ids[0]}
+
+
+def test_connected_components_paths_agree(spark):
+    """Union-find fast path == distributed star contraction on the
+    same graph (mixed components incl. a chain and singleton-ish
+    pairs)."""
+    from docling_core_spark.textops import connected_components
+
+    pairs = ([(f"c{i:03d}", f"c{i + 1:03d}") for i in range(40)]
+             + [("x1", "x2"), ("x2", "x3"), ("y1", "y2"),
+                ("z9", "z9")])
+    df = spark.createDataFrame(pairs, ["doc_a", "doc_b"])
+    fast = {(r.doc_id, r.cluster_id)
+            for r in connected_components(df).collect()}
+    dist = {(r.doc_id, r.cluster_id)
+            for r in connected_components(
+                df, small_graph_threshold=0).collect()}
+    assert fast == dist
 
 
 # ----------------------------------------------------------------------
