@@ -190,3 +190,27 @@ def test_layout_page_stats_single_stage_no_shuffle(spark):
     assert "Exchange" not in p
     tree = p.split("(1)")[0]
     assert tree.count("MapInArrow") == 1
+
+
+def test_redact_spans_is_pure_jvm(spark):
+    """M5 redaction is a codegen'd aggregate() fold: NO Python stage,
+    no Exchange except the final presentation sort."""
+    p = _plan(spark, "redact_spans")
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "MapInArrow" not in p
+    # only the orderBy's rangepartitioning exchange
+    assert p.count("Exchange") <= 2
+
+
+def test_token_counts_real_single_arrow_stage(spark):
+    p = _plan(spark, "token_counts_real")
+    tree = p.split("(1)")[0]
+    assert tree.count("MapInArrow") == 1
+    # no shuffle between scan and counter; presentation sort only
+    assert "ReadSchema" in p
+
+
+def test_rec_validation_chained_arrow_stages(spark):
+    p = _plan(spark, "rec_validation")
+    tree = p.split("(1)")[0]
+    assert tree.count("MapInArrow") == 2  # synth+corrupt | validate

@@ -42,6 +42,15 @@ CAPTURE = {
                        "MapInArrow, no parquet Scan (pyarrow reads), "
                        "JVM-side split/arrays_zip/inline unpack"),
     "layout_page_stats": "fused print+parse: single MapInArrow, zero shuffle",
+    "redact_spans": ("delete_items as a pure-JVM aggregate() fold over "
+                     "the span array: no Python, no Exchange before "
+                     "the final presentation sort"),
+    "token_counts_real": ("real WordPiece+BPE: ONE MapInArrow over "
+                          "the parquet scan, zero shuffle before the "
+                          "presentation sort"),
+    "rec_validation": ("synthesize->corrupt->validate: chained "
+                       "MapInArrow stages, zero shuffle before the "
+                       "presentation sort"),
 }
 
 
