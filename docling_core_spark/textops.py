@@ -534,6 +534,35 @@ def shingle_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def shingle_index_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """Write-side table statistics for the shingle index (what an
+    Iceberg table's column stats would carry): computed ONCE when the
+    index is materialized and served from a sidecar afterwards, so
+    cost-based plan selection reads a file instead of running a
+    stats job per query (ADVICE r2)."""
+    import json
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    stats_path = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_shingles_{base}_{_source_identity(sf_dir)}"
+        f"_v{SHINGLE_INDEX_VERSION}.stats.json")
+    if os.path.exists(stats_path):
+        with open(stats_path) as fh:
+            return json.load(fh)
+    idx = shingle_index_df(spark, sf_dir)
+    row = (idx.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+           .agg(F.max("df").alias("max_df"),
+                F.count(F.lit(1)).alias("n_shingles")).collect()[0])
+    stats = {"max_df": int(row["max_df"] or 0),
+             "n_shingles": int(row["n_shingles"])}
+    tmp = stats_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh)
+    os.replace(tmp, stats_path)
+    return stats
+
+
 # a shingle with document frequency above this makes the plain posting
 # join risk df^2 blowup; below it the posting join is strictly cheaper
 # than prefix ranking (3 fewer shuffles)
@@ -574,8 +603,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     go quadratic. Both plans are exact, so the choice cannot change
     the result (tests force both paths)."""
     idx = shingle_index_df(spark, sf_dir)
-    max_df = (idx.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-              .agg(F.max("df")).collect()[0][0]) or 0
+    max_df = shingle_index_stats(spark, sf_dir)["max_df"]
     if max_df > HOT_SHINGLE_DF_LIMIT:
         return jaccard_pairs_prefix(idx, JACCARD_MIN)
     return jaccard_pairs_postings(idx, JACCARD_MIN)
