@@ -204,3 +204,183 @@ def redact_spans(docs: DataFrame, kinds,
         "'kind', x.kind, 'text', x.text, 'media_ref', x.media_ref, "
         "'offset', CAST(i AS INT))))")
     return docs.withColumn("spans", F.expr(fold))
+
+
+# ----------------------------------------------------------------------
+# M4 / M6 / M8: positional mutation as span splices
+# ----------------------------------------------------------------------
+
+# driver-query contract (queries.q_splice_* and pyoracle._rows_splice_*
+# import these so both sides splice identically)
+SPLICE_SENTINEL_SPANS = (
+    ("section_header:2", "Spliced appendix", "", 0),
+    ("text", "spliced sentinel body", "", 0),
+)
+SPLICE_REPLACE_KINDS = ("table", "code")
+SPLICE_GRAFT_KINDS = ("text", "paragraph", "title")
+
+def _base_kind_py(kind: str) -> str:
+    import re
+
+    m = re.match(r"[a-z_]+", kind or "")
+    return m.group() if m else (kind or "")
+
+
+def _subtree_end(kinds, i: int) -> int:
+    """Exclusive end of the pre-order subtree anchored at span i: a
+    group opener extends to its matching end_group; a leaf extends
+    through its attached rich-cell children (``+child`` spans /
+    ``list_group:of_prev`` brackets, model/spans.py)."""
+    n = len(kinds)
+    j = i + 1
+    if (_base_kind_py(kinds[i]) in ("list_group", "inline_group")
+            and kinds[i] != "end_group"):
+        depth = 1
+        while j < n and depth:
+            b = _base_kind_py(kinds[j])
+            if b in ("list_group", "inline_group"):
+                depth += 1
+            elif kinds[j] == "end_group":
+                depth -= 1
+            j += 1
+    # attached children belong to the subtree either way
+    while j < n:
+        if kinds[j].endswith("+child"):
+            j += 1
+        elif kinds[j] == "list_group:of_prev":
+            depth = 1
+            j += 1
+            while j < n and depth:
+                b = _base_kind_py(kinds[j])
+                if b in ("list_group", "inline_group"):
+                    depth += 1
+                elif kinds[j] == "end_group":
+                    depth -= 1
+                j += 1
+        else:
+            break
+    return j
+
+
+def _anchor_index(spans, anchor):
+    """Resolve an anchor to a span index. ``anchor`` is either an
+    explicit span offset (int) or a priority tuple of base kinds - the
+    first standalone item span (no ``+child`` cell content, no
+    ``:of_prev`` bracket, not origin/end_group) whose base kind matches
+    wins. Returns None when nothing matches (doc passes through)."""
+    if isinstance(anchor, int):
+        idx = next((i for i, s in enumerate(spans)
+                    if s[3] == anchor), None)
+        if idx is None:
+            raise ValueError(f"anchor offset {anchor} not found")
+        return idx
+    for want in anchor:
+        for i, s in enumerate(spans):
+            k = s[0]
+            if (k.endswith("+child") or k == "end_group"
+                    or ":of_prev" in k or k.startswith("origin")):
+                continue
+            if _base_kind_py(k) == want:
+                return i
+    return None
+
+
+def graft_body(spans) -> list:
+    """Body spans of a document being grafted into another (M8,
+    document.py:3876-3894): only body children transfer - the
+    doc-level ``origin:`` span stays with its own document."""
+    return [s for s in spans if not s[0].startswith("origin")]
+
+
+def py_splice_spans(spans, anchor, new_spans, replace: bool = False):
+    """Pure per-doc splice over (kind, text, media_ref, offset) tuples
+    sorted by offset. ``anchor``: span offset or base-kind priority
+    tuple (see _anchor_index).
+
+    * replace=False -> M4 insert_item_after_sibling semantics
+      (document.py:3104-3758): the new spans land AFTER the anchor's
+      whole pre-order subtree, exactly where a sibling insert appears
+      in iterate_items order.
+    * replace=True -> M6 replace_item (document.py:2054-2057 =
+      insert-after + delete-old): the anchor subtree is substituted;
+      captions of a replaced floating item stay (they are
+      body-parented), matching the reference's delete cascade.
+
+    Offsets are re-assigned densely (the per-pool index rewrite)."""
+    spans = sorted(spans, key=lambda s: s[3])
+    kinds = [s[0] for s in spans]
+    idx = _anchor_index(spans, anchor)
+    if idx is None:
+        return [(k, t, m, i) for i, (k, t, m, _) in enumerate(spans)]
+    end = _subtree_end(kinds, idx)
+    head = spans[:idx] if replace else spans[:end]
+    out = head + [tuple(s[:3]) + (0,) for s in new_spans] + spans[end:]
+    return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
+
+
+def _splice_arrow(docs: DataFrame, fn) -> DataFrame:
+    """(doc_id, spans[, spans_b]) -> (doc_id, spans) through one
+    mapInArrow stage running ``fn(row_dict) -> span tuples``."""
+    import pyarrow as pa
+
+    span_type = pa.list_(pa.struct(
+        [("kind", pa.string()), ("text", pa.string()),
+         ("media_ref", pa.string()), ("offset", pa.int32())]))
+
+    def run(batches):
+        for b in batches:
+            cols = {name: b.column(name).to_pylist()
+                    for name in b.schema.names}
+            ids, arrs = [], []
+            for r in range(b.num_rows):
+                row = {name: cols[name][r] for name in cols}
+                ids.append(row["doc_id"])
+                arrs.append([
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in fn(row)])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()),
+                 pa.array(arrs, span_type)],
+                ["doc_id", "spans"])
+
+    return docs.mapInArrow(
+        run, "doc_id string, spans array<struct<kind:string,"
+             "text:string,media_ref:string,offset:int>>")
+
+
+def _tuples_of(spans) -> list:
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in spans]
+
+
+def insert_spans_after(docs: DataFrame, anchor,
+                       new_spans, replace: bool = False) -> DataFrame:
+    """M4/M6 as a Spark op: same ``new_spans`` literal spliced into
+    every document after (or replacing) the subtree at the anchor
+    (offset or base-kind priority tuple). One fused Arrow stage,
+    zero shuffle."""
+    def fn(row):
+        return py_splice_spans(_tuples_of(row["spans"]), anchor,
+                               new_spans, replace=replace)
+
+    return _splice_arrow(docs.select("doc_id", "spans"), fn)
+
+
+def graft_documents(docs_a: DataFrame, docs_b: DataFrame,
+                    anchor) -> DataFrame:
+    """M8 insert_document (document.py:3876-3894): splice document B's
+    body content into document A after the anchor subtree, joined on
+    doc_id. B's doc-level ``origin:`` span is dropped (the reference
+    keeps the target's origin; only body children transfer). One
+    equi-join shuffle + one Arrow stage; page renumbering for the
+    append case rides concatenate (M9)."""
+    b = docs_b.select(F.col("doc_id"),
+                      F.col("spans").alias("spans_b"))
+    joined = docs_a.select("doc_id", "spans").join(b, "doc_id")
+
+    def fn(row):
+        return py_splice_spans(
+            _tuples_of(row["spans"]), anchor,
+            graft_body(_tuples_of(row["spans_b"])))
+
+    return _splice_arrow(joined, fn)

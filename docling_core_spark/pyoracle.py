@@ -30,7 +30,7 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 # bump when any expected-row computation here changes shape/semantics
-ORACLE_VERSION = 5  # r3: real MathML in the html export formula path
+ORACLE_VERSION = 6  # r3: MathML formula path; splice_replace/graft rows
 
 # headings are free text; \x1f (ASCII unit separator) never appears in
 # the corpus and both sides apply the identical join, so equality of
@@ -348,6 +348,48 @@ def _rows_legacy_roundtrip(n: int) -> list:
     return out
 
 
+def _span_rows(doc_id: str, tuples) -> list:
+    return [{"doc_id": doc_id, "ord": o, "kind": k, "text": t,
+             "media_ref": m} for k, t, m, o in tuples]
+
+
+def _rows_splice_replace(n: int) -> list:
+    """M6 driver oracle: the SAME pure splice the Spark UDF calls
+    (docops.py_splice_spans, parity-locked in tests/test_splice.py),
+    run single-process over the generator corpus."""
+    from docling_core_spark.docops import (
+        SPLICE_REPLACE_KINDS,
+        SPLICE_SENTINEL_SPANS,
+        py_splice_spans,
+    )
+
+    out = []
+    for r in _corpus_rows(n):
+        res = py_splice_spans(_tuples(r["spans"]), SPLICE_REPLACE_KINDS,
+                              SPLICE_SENTINEL_SPANS, replace=True)
+        out.extend(_span_rows(r["doc_id"], res))
+    return out
+
+
+def _rows_splice_graft(n: int) -> list:
+    """M4+M8 driver oracle: ring-neighbour graft, single-process."""
+    from docling_core_spark.docops import (
+        SPLICE_GRAFT_KINDS,
+        graft_body,
+        py_splice_spans,
+    )
+
+    rows = _corpus_rows(n)
+    out = []
+    for i, r in enumerate(rows):
+        partner = rows[(i + 1) % n]
+        res = py_splice_spans(
+            _tuples(r["spans"]), SPLICE_GRAFT_KINDS,
+            graft_body(_tuples(partner["spans"])))
+        out.extend(_span_rows(r["doc_id"], res))
+    return out
+
+
 def _rows_docjson_validation(n: int) -> list:
     """Single-process replica of export -> deterministic corruption ->
     validate (validation.py)."""
@@ -611,6 +653,14 @@ _SPECS: Dict[str, tuple] = {
         None),
     "legacy_roundtrip": (
         _rows_legacy_roundtrip,
+        [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
+         ("text", "string"), ("media_ref", "string")], None),
+    "splice_replace": (
+        _rows_splice_replace,
+        [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
+         ("text", "string"), ("media_ref", "string")], None),
+    "splice_graft": (
+        _rows_splice_graft,
         [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
          ("text", "string"), ("media_ref", "string")], None),
     "docjson_validation": (

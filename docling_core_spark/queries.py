@@ -266,6 +266,65 @@ ORDER BY doc_id, ord
 """
 
 
+def _exploded_span_rows(docs: DataFrame) -> DataFrame:
+    return (docs.select("doc_id", F.explode("spans").alias("s"))
+            .select("doc_id",
+                    F.col("s.offset").alias("ord"),
+                    F.col("s.kind").alias("kind"),
+                    F.col("s.text").alias("text"),
+                    F.col("s.media_ref").alias("media_ref"))
+            .orderBy("doc_id", "ord"))
+
+
+def q_splice_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 replace_item (reference document.py:2034-2057) as a span
+    splice: in every document, substitute the first table subtree
+    (code block where no table exists) with a sentinel section - the
+    subtree walk covers rich-cell children and attached list brackets.
+    One fused Arrow stage, zero shuffle; docs with neither kind pass
+    through unchanged. Oracle: the same pure splice run single-process
+    (pyoracle._rows_splice_replace), i.e. a distributed-vs-sequential
+    equivalence check; splice semantics themselves are parity-locked
+    to the live reference in tests/test_splice.py."""
+    from docling_core_spark.docops import (
+        SPLICE_REPLACE_KINDS,
+        SPLICE_SENTINEL_SPANS,
+        insert_spans_after,
+    )
+
+    docs = corpus_df(spark, sf_dir)
+    out = insert_spans_after(docs, SPLICE_REPLACE_KINDS,
+                             SPLICE_SENTINEL_SPANS, replace=True)
+    return _exploded_span_rows(out)
+
+
+def q_splice_graft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4+M8 insert_document (reference document.py:3876-3894): each
+    document receives its ring neighbour's body, spliced after the
+    first text subtree. The pairing is one equi-join shuffle (the doc
+    being grafted must meet its target row somewhere); the splice is
+    one Arrow stage. NOTE the engine intentionally diverges from a
+    reference bug here: _append_item_copies (document.py:4006-4040)
+    leaves caption/footnote/rich-cell RefItems dangling across
+    documents, so a stock-reference graft of caption-bearing docs
+    mis-captions or fails validate_tree; the engine's content-addressed
+    media_ref linkage keeps attachments correct (tests/test_splice.py
+    pins parity on the attachment-free shape and documents the rest)."""
+    from docling_core_spark.docops import (
+        SPLICE_GRAFT_KINDS,
+        graft_documents,
+    )
+
+    docs = corpus_df(spark, sf_dir)
+    n = corpus_docs_for(sf_dir)
+    idx = F.substring("doc_id", 5, 12).cast("int")
+    b = docs.select(
+        F.format_string("doc_%012d", (idx + n - 1) % n).alias("doc_id"),
+        "spans")
+    return _exploded_span_rows(
+        graft_documents(docs, b, SPLICE_GRAFT_KINDS))
+
+
 def q_bbox_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry at scale: synthetic per-span bboxes (model/doc.py
     node_bbox), IoU of consecutive items within each doc - pure JVM
@@ -1157,6 +1216,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_resolution": q_caption_resolution,
         "redact_spans": q_redact_spans,
         "rec_validation": q_rec_validation,
+        "splice_replace": q_splice_replace,
+        "splice_graft": q_splice_graft,
     }
     # training-data ops (dedup/ANN/quality; the 8 dedup/ANN rows were
     # starved of driver checks in r2 by sitting at positions 50-57)
