@@ -210,6 +210,28 @@ def test_token_counts_real_single_arrow_stage(spark):
     assert "ReadSchema" in p
 
 
+def test_splice_replace_single_arrow_stage(spark):
+    """M6 splice is one Arrow crossing; only the presentation sort
+    shuffles."""
+    p = _plan(spark, "splice_replace")
+    tree = p.split("(1)")[0]
+    assert tree.count("MapInArrow") == 1
+    assert tree.count("Exchange") <= 1  # rangepartitioning (orderBy)
+
+
+def test_splice_graft_one_join_one_arrow_stage(spark):
+    """M4+M8 graft: the doc pairing is one doc_id equi-join (broadcast
+    at test SF; a co-partitioned sort-merge at scale), then ONE
+    MapInArrow splice - no other data shuffle before the presentation
+    sort."""
+    p = _plan(spark, "splice_graft")
+    tree = p.split("(1)")[0]
+    assert tree.count("MapInArrow") == 1
+    assert "Join" in tree
+    # join machinery + presentation sort only
+    assert tree.count("Exchange") <= 3
+
+
 def test_rec_validation_chained_arrow_stages(spark):
     p = _plan(spark, "rec_validation")
     tree = p.split("(1)")[0]

@@ -51,6 +51,11 @@ CAPTURE = {
     "rec_validation": ("synthesize->corrupt->validate: chained "
                        "MapInArrow stages, zero shuffle before the "
                        "presentation sort"),
+    "splice_replace": ("M6 replace_item splice: ONE MapInArrow, zero "
+                       "shuffle before the presentation sort"),
+    "splice_graft": ("M4+M8 cross-doc graft: one doc_id equi-join "
+                     "(broadcast at bench SF; sort-merge at scale), "
+                     "ONE MapInArrow splice stage"),
 }
 
 
