@@ -1232,11 +1232,13 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "user_activity": q_user_activity,
         "exact_dup_groups": q_exact_dup_groups,
-        "lang_stats": q_lang_stats,
         "token_counts": q_token_counts,
         "token_counts_real": q_token_counts_real,
         "knn_cosine": q_knn_cosine,
-        # span-stats rows (simple relational plans over documents)
+        # span-stats rows (simple relational plans over documents;
+        # lang_stats rides here - it aggregates lang_id, which holds
+        # a window slot already)
+        "lang_stats": q_lang_stats,
         "heading_outline": q_heading_outline,
         "page_counts": q_page_counts,
         "span_kind_stats": q_span_kind_stats,

@@ -1483,6 +1483,88 @@ ORDER BY l.doc_id
 """
 
 
+def q_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of a crawl-dedup pipeline: quality-aware
+    canonical selection over the WHOLE corpus. Near-dup clusters come
+    from the exact n-gram pairs + connected components; within each
+    cluster the survivor is the highest-quality doc (n_words, ties to
+    the smallest doc_id); docs with no near-duplicate survive
+    trivially.
+
+    Scale shape: the cluster-label table holds only docs that HAVE a
+    near-duplicate - statistic-sized next to a 100 TB corpus - so both
+    the label join and the per-cluster argmax broadcast against the
+    full scan; the corpus itself is touched once, no wide shuffle.
+    (The argmax is max(n_words) then min(doc_id) among the maxima -
+    expressible as one groupBy over the tiny labeled slice.)"""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)  # (doc_id, cluster_id), tiny
+    docs_tbl = _t(spark, sf_dir, "documents")
+    quality = (docs_tbl
+               .withColumn("ws", F.expr(words_spark()))
+               .select("doc_id",
+                       F.size("ws").cast("long").alias("n_words")))
+    # survivor branch: semi-join to clustered docs FIRST, so the
+    # regex word split runs over the statistic-sized slice only
+    labeled = (docs_tbl.join(F.broadcast(labels), "doc_id")
+               .withColumn("ws", F.expr(words_spark()))
+               .select("doc_id", "cluster_id",
+                       F.size("ws").cast("long").alias("n_words")))
+    best = (labeled.groupBy("cluster_id")
+            .agg(F.max("n_words").alias("best_q")))
+    survivors = (labeled.join(F.broadcast(best), "cluster_id")
+                 .where(F.col("n_words") == F.col("best_q"))
+                 .groupBy("cluster_id")
+                 .agg(F.min("doc_id").alias("survivor")))
+    return (quality
+            .join(F.broadcast(labels), "doc_id", "left")
+            .withColumn("cluster_id",
+                        F.coalesce("cluster_id", "doc_id"))
+            .join(F.broadcast(survivors), "cluster_id", "left")
+            .withColumn("survivor", F.coalesce("survivor", "doc_id"))
+            .select("doc_id", "cluster_id", "n_words", "survivor",
+                    (F.col("doc_id") == F.col("survivor")).alias("keep"))
+            .orderBy("doc_id"))
+
+
+def sql_dedup_retention() -> str:
+    """DuckDB oracle: exact-closure clusters (as sql_dup_clusters) +
+    the same quality argmax, independently in SQL."""
+    inner = SQL_NGRAM_JACCARD_PAIRS.replace("ORDER BY doc_a, doc_b", "")
+    return f"""
+WITH RECURSIVE jp AS ({inner}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION
+  SELECT doc_b, doc_a FROM jp),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+lab AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a),
+q AS (SELECT doc_id, CAST(len({words_duck()}) AS BIGINT) AS n_words
+      FROM documents),
+full_lab AS (
+  SELECT q.doc_id, COALESCE(lab.cluster_id, q.doc_id) AS cluster_id,
+         q.n_words
+  FROM q LEFT JOIN lab ON q.doc_id = lab.doc_id),
+best AS (
+  SELECT cluster_id, MAX(n_words) AS best_q
+  FROM full_lab GROUP BY cluster_id),
+surv AS (
+  SELECT f.cluster_id, MIN(f.doc_id) AS survivor
+  FROM full_lab f JOIN best b
+    ON f.cluster_id = b.cluster_id AND f.n_words = b.best_q
+  GROUP BY f.cluster_id)
+SELECT f.doc_id, f.cluster_id, f.n_words, s.survivor,
+       f.doc_id = s.survivor AS keep
+FROM full_lab f JOIN surv s USING (cluster_id)
+ORDER BY f.doc_id
+"""
+
+
 # ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
@@ -1496,6 +1578,7 @@ REGISTRY = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     "dup_clusters": q_dup_clusters,
+    "dedup_retention": q_dedup_retention,
 }
 
 ORACLES = {
@@ -1510,4 +1593,5 @@ ORACLES = {
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "ann_ivf_kmeans_topk": SQL_ANN_IVF_KMEANS_TOPK,
     "dup_clusters": sql_dup_clusters(),
+    "dedup_retention": sql_dedup_retention(),
 }

@@ -232,6 +232,16 @@ def test_splice_graft_one_join_one_arrow_stage(spark):
     assert tree.count("Exchange") <= 3
 
 
+def test_dedup_retention_broadcasts_labels(spark):
+    """Canonical selection: the cluster-label and survivor joins all
+    broadcast (the label table only holds docs WITH a near-dup); the
+    corpus-wide left joins must not shuffle the corpus."""
+    p = _plan(spark, "dedup_retention")
+    tree = p.split("(1)")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
 def test_rec_validation_chained_arrow_stages(spark):
     p = _plan(spark, "rec_validation")
     tree = p.split("(1)")[0]

@@ -372,3 +372,34 @@ def test_trained_ivf_recall_vs_exact_knn(spark):
               for r in q_ann_ivf_kmeans_topk(spark, sf).collect()}
     recall = len(exact & approx) / 10
     assert recall >= 0.5, f"recall@10 = {recall}"
+
+
+def test_dedup_retention_properties(spark):
+    """Canonical selection invariants: exactly one survivor per
+    cluster, the survivor has the cluster-max n_words (smallest doc_id
+    among ties), singletons keep themselves, and the kept set covers
+    every cluster exactly once."""
+    import os
+    from collections import defaultdict
+
+    from docling_core_spark.textops import q_dedup_retention
+
+    sf = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = q_dedup_retention(spark, sf).collect()
+    assert rows  # whole corpus present
+    by_cluster = defaultdict(list)
+    for r in rows:
+        by_cluster[r["cluster_id"]].append(r)
+    n_multi = 0
+    for cid, members in by_cluster.items():
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1, cid
+        best = max(r["n_words"] for r in members)
+        want = min(r["doc_id"] for r in members
+                   if r["n_words"] == best)
+        assert kept[0]["doc_id"] == want, cid
+        assert kept[0]["survivor"] == want
+        if len(members) > 1:
+            n_multi += 1
+    assert n_multi >= 1  # the corpus plants real near-dup clusters
+    assert len(rows) == len({r["doc_id"] for r in rows})

@@ -56,6 +56,10 @@ CAPTURE = {
     "splice_graft": ("M4+M8 cross-doc graft: one doc_id equi-join "
                      "(broadcast at bench SF; sort-merge at scale), "
                      "ONE MapInArrow splice stage"),
+    "dedup_retention": ("canonical selection: every label/survivor "
+                        "join BROADCASTs (cluster table is "
+                        "statistic-sized); wide shuffles only on "
+                        "tiny aggregates + presentation sort"),
 }
 
 
