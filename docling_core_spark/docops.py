@@ -318,6 +318,44 @@ def py_splice_spans(spans, anchor, new_spans, replace: bool = False):
     return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
 
 
+def py_delete_spans_range(spans, start, end,
+                          start_inclusive: bool = True,
+                          end_inclusive: bool = True):
+    """M7's deletion half: delete_items_range (document.py:3764-3812)
+    as a span drop. ``start``/``end`` anchor sibling subtrees; the cut
+    runs from the start subtree's first span to the end subtree's
+    exclusive end, honouring the inclusivity flags the same way the
+    reference slices its children list. Offsets re-assigned densely."""
+    spans = sorted(spans, key=lambda s: s[3])
+    kinds = [s[0] for s in spans]
+    i0 = _anchor_index(spans, start)
+    i1 = _anchor_index(spans, end)
+    if i0 is None or i1 is None:
+        raise ValueError("range anchor not found")
+    if i0 > i1:
+        raise ValueError("start anchor must not come after end anchor")
+    cut0 = i0 if start_inclusive else _subtree_end(kinds, i0)
+    cut1 = _subtree_end(kinds, i1) if end_inclusive else i1
+    if cut1 < cut0:
+        cut1 = cut0  # empty range after exclusivity trims
+    out = spans[:cut0] + spans[cut1:]
+    return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
+
+
+def delete_spans_range(docs: DataFrame, start, end,
+                       start_inclusive: bool = True,
+                       end_inclusive: bool = True) -> DataFrame:
+    """Spark wrapper for py_delete_spans_range: one fused Arrow stage,
+    zero shuffle."""
+    def fn(row):
+        return py_delete_spans_range(
+            _tuples_of(row["spans"]), start, end,
+            start_inclusive=start_inclusive,
+            end_inclusive=end_inclusive)
+
+    return _splice_arrow(docs.select("doc_id", "spans"), fn)
+
+
 def _splice_arrow(docs: DataFrame, fn) -> DataFrame:
     """(doc_id, spans[, spans_b]) -> (doc_id, spans) through one
     mapInArrow stage running ``fn(row_dict) -> span tuples``."""

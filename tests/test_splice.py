@@ -259,3 +259,60 @@ def test_spark_wrappers_roundtrip(spark):
     gt = [(s["kind"], s["text"], s["media_ref"], s["offset"])
           for s in g["spans"]]
     assert ("text", "grafted", "", 1) == gt[1]
+
+
+def test_delete_range_matches_reference(spark):
+    """M7 deletion half: delete_items_range parity across body-level
+    sibling ranges and all four inclusivity combinations."""
+    from docling_core_spark.docops import py_delete_spans_range
+
+    checked = 0
+    for seed_doc in range(N):
+        spans = gen_doc_spans(seed_doc, seed=42)
+        doc, r2o = build_doc("d", spans)
+        # body-level anchors only (the reference requires a shared
+        # parent), in document order
+        body_offs = []
+        for ref, off in sorted(r2o.items(), key=lambda kv: kv[1]):
+            item = _resolve(doc, ref)
+            par = item.parent.cref if item.parent else "#/body"
+            if par == "#/body":
+                body_offs.append(off)
+        if len(body_offs) < 4:
+            continue
+        a, b = body_offs[1], body_offs[3]
+        by_offset = {v: k for k, v in r2o.items()}
+        for si, ei in ((True, True), (False, True),
+                       (True, False), (False, False)):
+            doc_m, _ = build_doc("d", spans)
+            doc_m.delete_items_range(
+                start=_resolve(doc_m, by_offset[a]),
+                end=_resolve(doc_m, by_offset[b]),
+                start_inclusive=si, end_inclusive=ei)
+            exp = reference_markdown(doc_m)
+            tuples = py_delete_spans_range(
+                [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                 for s in spans], a, b,
+                start_inclusive=si, end_inclusive=ei)
+            assert _engine_md(spans, tuples) == exp, (seed_doc, si, ei)
+            checked += 1
+    assert checked >= 2 * N
+
+
+def test_delete_range_spark_wrapper(spark):
+    from docling_core_spark.docops import (
+        delete_spans_range,
+        py_delete_spans_range,
+    )
+
+    spans = gen_doc_spans(7, seed=42)
+    tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+              for s in spans]
+    rows = [("d", tuples)]
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    a, b = tuples[2][3], tuples[5][3]
+    got = delete_spans_range(df, a, b).collect()[0]
+    got_t = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+             for s in got["spans"]]
+    assert got_t == py_delete_spans_range(tuples, a, b)
+    assert [t[3] for t in got_t] == list(range(len(got_t)))
