@@ -2,6 +2,8 @@ from docling_core_spark.streaming.pipeline import (  # noqa: F401
     run_metrics_once,
     stream_chunk_documents,
     stream_chunk_metrics,
+    stream_dedup_documents,
+    stream_dedup_once,
     stream_extract_cells_once,
     stream_extract_once,
     stream_extract_pages,

@@ -231,3 +231,102 @@ def stream_extract_cells_once(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+# ----------------------------------------------------------------------
+# streaming exact dedup: the training-data tier's stateful operator
+# (first occurrence of each content fingerprint wins, across
+# micro-batches and across restarts)
+# ----------------------------------------------------------------------
+
+DEDUP_OUT_SCHEMA = "fp string, doc_id string"
+DEDUP_STATE_SCHEMA = "seen boolean, first_doc_id string"
+
+
+def _dedup_state_fn(key, pdfs, state):
+    """applyInPandasWithState body: one key = one content fingerprint.
+
+    Emits exactly one (fp, doc_id) survivor row the FIRST time the
+    fingerprint is ever seen (min doc_id inside that batch breaks
+    intra-batch ties deterministically); later batches and re-delivered
+    duplicates emit nothing. State is just the seen flag + survivor id,
+    persisted in the streaming checkpoint, so a restarted query never
+    re-admits a duplicate it already passed."""
+    import pandas as pd
+
+    doc_ids = []
+    for pdf in pdfs:
+        doc_ids.extend(pdf["doc_id"].tolist())
+    seen = state.exists and state.get[0]
+    if seen or not doc_ids:
+        return  # duplicate (or empty group): emit nothing
+    winner = min(doc_ids)
+    state.update((True, winner))
+    yield pd.DataFrame({"fp": [key[0]], "doc_id": [winner]})
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming exact dedup over the documents stream.
+
+    The key is a JVM-side content fingerprint (md5 over the
+    offset-ordered span texts - the same content identity
+    textops.q_doc_fingerprints exposes in batch); only (fp, doc_id)
+    enters the stateful operator, so the shuffle and the state store
+    carry fingerprints, never span payloads. Survivors are joined back
+    to payloads downstream (or used as an admission list).
+
+    Scale shape: state is one boolean+string per DISTINCT fingerprint,
+    partitioned by fp hash across executors - the streaming analogue
+    of the batch hash-groupBy exact dedup. Production knobs: RocksDB
+    state store for 10^9+ keys, state TTL (GroupStateTimeout) if the
+    admission window may expire; neither changes the operator."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = (spark.readStream.schema(DOCUMENTS_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    docs = reader.load(input_dir)
+    keyed = docs.select(
+        F.md5(F.expr(
+            "array_join(transform(array_sort(spans, (a, b) -> "
+            "a.offset - b.offset), s -> s.text), '\\u001f')"
+        )).alias("fp"),
+        "doc_id")
+    return (keyed.groupBy("fp")
+            .applyInPandasWithState(
+                _dedup_state_fn,
+                outputStructType=DEDUP_OUT_SCHEMA,
+                stateStructType=DEDUP_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_dedup_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> None:
+    """Drain available files through the stateful dedup into a parquet
+    sink. Re-running with the same checkpoint resumes: already-seen
+    fingerprints stay deduplicated across runs (state lives in the
+    checkpoint), and the parquet sink's file log keeps output
+    exactly-once."""
+    survivors = stream_dedup_documents(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+    q = (survivors.writeStream
+         .format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

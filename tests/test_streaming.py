@@ -165,3 +165,60 @@ def test_stream_layout_extraction_matches_projection(spark, tmp_path):
         for i in range(14)
         for p in project_for_layout(gen_doc_spans(i, seed=42)))
     assert rows == want
+
+
+def test_stream_dedup_first_occurrence_wins(spark, tmp_path):
+    """Stateful streaming exact dedup: duplicates planted across
+    micro-batches AND across separate runs are admitted exactly once;
+    the survivor is the smallest doc_id of the first batch that
+    carried the fingerprint."""
+    import pyspark.sql.functions as F
+
+    from docling_core_spark.engine import DOCUMENTS_SCHEMA
+    from docling_core_spark.streaming import stream_dedup_once
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def doc(doc_id, text):
+        return (doc_id, [("text", text, "", 0)])
+
+    # file 1: unique A, B + an intra-batch duplicate pair of C
+    spark.createDataFrame(
+        [doc("d01", "alpha"), doc("d02", "beta"),
+         doc("d03", "gamma"), doc("d09", "gamma")],
+        DOCUMENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    # file 2: duplicate of A (cross-batch) + unique D
+    spark.createDataFrame(
+        [doc("d05", "alpha"), doc("d06", "delta")],
+        DOCUMENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    # one file per trigger -> the two files land in separate
+    # micro-batches within one availableNow drain
+    stream_dedup_once(spark, in_dir, out_dir, ckpt,
+                      max_files_per_trigger=1)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"d01", "d02", "d03", "d06"}  # d03 < d09, d01 first
+
+    # a later run re-delivers alpha and adds a new doc: only the new
+    # fingerprint passes (state survived in the checkpoint)
+    spark.createDataFrame(
+        [doc("d07", "alpha"), doc("d08", "epsilon")],
+        DOCUMENTS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_dedup_once(spark, in_dir, out_dir, ckpt,
+                      max_files_per_trigger=1)
+    got2 = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in got2.collect()} == {
+        "d01", "d02", "d03", "d06", "d08"}
+    # one row per fingerprint, ever
+    assert got2.count() == got2.select("fp").distinct().count()
+
+    # matches the batch-side fingerprint identity (same md5 key)
+    batch_fp = (spark.read.parquet(in_dir)
+                .select(F.md5(F.expr(
+                    "array_join(transform(array_sort(spans, (a, b) -> "
+                    "a.offset - b.offset), s -> s.text), '\\u001f')"
+                )).alias("fp")).distinct().count())
+    assert batch_fp == got2.count()
