@@ -247,7 +247,11 @@ def _subtree_end(kinds, i: int) -> int:
     while j < n:
         if kinds[j].endswith("+child"):
             j += 1
-        elif kinds[j] == "list_group:of_prev":
+        elif (":of_prev" in kinds[j]
+              and _base_kind_py(kinds[j]) in ("list_group",
+                                              "inline_group")):
+            # an of_prev bracket (list OR inline) hangs off the
+            # previous leaf - its whole group rides the subtree
             depth = 1
             j += 1
             while j < n and depth:
@@ -273,6 +277,18 @@ def _anchor_index(spans, anchor):
                     if s[3] == anchor), None)
         if idx is None:
             raise ValueError(f"anchor offset {anchor} not found")
+        k = spans[idx][0]
+        if (k.endswith("+child") or k == "end_group"
+                or (":of_prev" in k and _base_kind_py(k) in
+                    ("list_group", "inline_group"))):
+            # attached children (rich cells, of_prev brackets) are not
+            # standalone siblings: the reference treats an insert
+            # after one as ADDING A CHILD to the owning leaf (a leaf
+            # with mixed block children - inexpressible as a span
+            # sibling). Anchor on the owning leaf instead.
+            raise ValueError(
+                f"anchor {anchor} is an attached child span ({k}); "
+                "anchor on its owning leaf instead")
         return idx
     for want in anchor:
         for i, s in enumerate(spans):
