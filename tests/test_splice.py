@@ -351,3 +351,35 @@ def test_insert_after_every_anchor_exhaustive(spark):
             checked += 1
     assert checked >= 100
     assert skipped <= checked // 10  # the refusal is the rare case
+
+
+def test_replace_every_anchor_exhaustive(spark):
+    """Same exhaustive sweep for M6 replace_item."""
+    from docling_core.types.doc.document import TextItem
+
+    checked = skipped = 0
+    for seed_doc in range(4):
+        spans = gen_doc_spans(seed_doc, seed=42)
+        doc, r2o = build_doc("d", spans)
+        for ref, a in sorted(r2o.items(), key=lambda kv: kv[1]):
+            doc_m, _ = build_doc("d", spans)
+            old = _resolve(doc_m, ref)
+            try:
+                tuples = py_splice_spans(
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in spans], a, [("text", NEW_TEXT, "", 0)],
+                    replace=True)
+            except ValueError:
+                skipped += 1
+                continue
+            new = TextItem(self_ref="#", label="text", text=NEW_TEXT,
+                           orig=NEW_TEXT)
+            try:
+                doc_m.replace_item(new_item=new, old_item=old)
+            except Exception:
+                continue
+            exp = reference_markdown(doc_m)
+            assert _engine_md(spans, tuples) == exp, (seed_doc, ref, a)
+            checked += 1
+    assert checked >= 100
+    assert skipped <= checked // 10
