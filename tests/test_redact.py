@@ -128,3 +128,25 @@ def test_redact_missing_kind_is_noop(spark):
     got = _engine_redacted_md(spark, spans, ("checkbox_selected",))
     exp = reference_markdown(build_doc("d", spans)[0])
     assert got == exp
+
+
+def test_redact_leaf_with_of_prev_bracket_cascades(spark):
+    """A redacted leaf that OWNS an of_prev child bracket (a list or
+    inline group attached to it) takes the bracket down with it - the
+    reference's delete_items child cascade. The generator corpus never
+    attaches of_prev brackets to redactable kinds, so this shape is
+    pinned synthetically."""
+    spans = [
+        {"kind": "title", "text": "T", "media_ref": "", "offset": 0},
+        {"kind": "code:Python", "text": "x = 1", "media_ref": "",
+         "offset": 1},
+        {"kind": "list_group:of_prev", "text": "", "media_ref": "",
+         "offset": 2},
+        {"kind": "list_item", "text": "attached to code",
+         "media_ref": "", "offset": 3},
+        {"kind": "end_group", "text": "", "media_ref": "", "offset": 4},
+        {"kind": "text", "text": "tail", "media_ref": "", "offset": 5},
+    ]
+    got = _engine_redacted_md(spark, spans, ("code",))
+    exp = _reference_redacted_md(spans, ("code",))
+    assert got == exp == "# T\n\ntail"
