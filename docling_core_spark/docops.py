@@ -172,9 +172,14 @@ def redact_spans(docs: DataFrame, kinds,
     else:
         rm = "slice(transform(spans, s -> s.media_ref), 1, 0)"
         cap_clause = ""
+    # attached-to-previous-item spans: rich-cell '+child' marks and
+    # of_prev brackets in BOTH base kinds, with or without the
+    # ':furniture' flag (model/spans.py:386 emits
+    # f"{base}:of_prev{flag}") - the same predicate _subtree_end uses
     deleted = (f"(array_contains({karr}, {base}){cap_clause} "
                "OR (acc.pd AND (s.kind LIKE '%+child' "
-               "OR s.kind = 'list_group:of_prev')))")
+               "OR s.kind LIKE 'list_group:of_prev%' "
+               "OR s.kind LIKE 'inline_group:of_prev%')))")
     opener = f"{base} IN ('list_group', 'inline_group')"
 
     def st(d: str, pd: str, kept: str) -> str:
@@ -186,17 +191,28 @@ def redact_spans(docs: DataFrame, kinds,
         "named_struct('d', 0, 'pd', false, "
         f"'kept', slice(spans, 1, 0), 'rm', {rm}), "
         "(acc, s) -> CASE "
-        # inside a deleted bracket range: count depth, drop everything;
-        # when the range closes, the preceding item IS deleted
+        # inside a deleted bracket range: count depth, drop everything
+        # EXCEPT page breaks (the reference's delete_items never
+        # deletes pages - document.py:2230-2304 touches items only,
+        # so content after the range keeps its page on rebuild); when
+        # the range closes, the preceding item IS deleted
         f"WHEN acc.d > 0 AND s.kind = 'end_group' "
         f"THEN {st('acc.d - 1', 'acc.d = 1', 'acc.kept')} "
         f"WHEN acc.d > 0 AND {opener} "
         f"THEN {st('acc.d + 1', 'acc.pd', 'acc.kept')} "
+        f"WHEN acc.d > 0 AND s.kind LIKE 'page_break:%' "
+        f"THEN {st('acc.d', 'acc.pd', 'array_append(acc.kept, s)')} "
         f"WHEN acc.d > 0 THEN {st('acc.d', 'acc.pd', 'acc.kept')} "
         # top level: delete (entering a range for group kinds)
         f"WHEN {deleted} AND {opener} "
         f"THEN {st('1', 'acc.pd', 'acc.kept')} "
         f"WHEN {deleted} THEN {st('0', 'true', 'acc.kept')} "
+        # kept page break: page structure, not an item - it does NOT
+        # become the preceding item, so the deleted-parent flag
+        # carries across it (the emitter marks '+child' on the first
+        # non-page-break span, model/spans.py:390-396)
+        f"WHEN s.kind LIKE 'page_break:%' "
+        f"THEN {st('acc.d', 'acc.pd', 'array_append(acc.kept, s)')} "
         # kept span: it becomes the new preceding item
         f"ELSE {st('acc.d', 'false', 'array_append(acc.kept, s)')} "
         "END, "
@@ -230,7 +246,14 @@ def _subtree_end(kinds, i: int) -> int:
     """Exclusive end of the pre-order subtree anchored at span i: a
     group opener extends to its matching end_group; a leaf extends
     through its attached rich-cell children (``+child`` spans /
-    ``list_group:of_prev`` brackets, model/spans.py)."""
+    ``list_group:of_prev`` brackets, model/spans.py).
+
+    Page breaks are page structure, not items: the emitter marks
+    '+child' on the first NON-page-break span (model/spans.py:390-396),
+    so a page_break may legally sit between a leaf and its attached
+    child - the scan skips over it. A trailing page_break that turns
+    out to precede the NEXT sibling (or document end) is NOT part of
+    the subtree (it is that sibling's page transition)."""
     n = len(kinds)
     j = i + 1
     if (_base_kind_py(kinds[i]) in ("list_group", "inline_group")
@@ -244,14 +267,21 @@ def _subtree_end(kinds, i: int) -> int:
                 depth -= 1
             j += 1
     # attached children belong to the subtree either way
+    tent = None  # first page_break of a possibly-trailing run
     while j < n:
-        if kinds[j].endswith("+child"):
+        if kinds[j].startswith("page_break:"):
+            if tent is None:
+                tent = j
+            j += 1
+        elif kinds[j].endswith("+child"):
+            tent = None
             j += 1
         elif (":of_prev" in kinds[j]
               and _base_kind_py(kinds[j]) in ("list_group",
                                               "inline_group")):
             # an of_prev bracket (list OR inline) hangs off the
             # previous leaf - its whole group rides the subtree
+            tent = None
             depth = 1
             j += 1
             while j < n and depth:
@@ -263,7 +293,7 @@ def _subtree_end(kinds, i: int) -> int:
                 j += 1
         else:
             break
-    return j
+    return tent if tent is not None else j
 
 
 def _anchor_index(spans, anchor):
@@ -322,14 +352,21 @@ def py_splice_spans(spans, anchor, new_spans, replace: bool = False):
       captions of a replaced floating item stay (they are
       body-parented), matching the reference's delete cascade.
 
-    Offsets are re-assigned densely (the per-pool index rewrite)."""
+    Offsets are re-assigned densely (the per-pool index rewrite).
+    Page breaks inside a replaced subtree survive the cut (the
+    reference's delete cascade never deletes pages, so following
+    content keeps its page on rebuild)."""
     spans = sorted(spans, key=lambda s: s[3])
     kinds = [s[0] for s in spans]
     idx = _anchor_index(spans, anchor)
     if idx is None:
         return [(k, t, m, i) for i, (k, t, m, _) in enumerate(spans)]
     end = _subtree_end(kinds, idx)
-    head = spans[:idx] if replace else spans[:end]
+    if replace:
+        head = spans[:idx] + [s for s in spans[idx:end]
+                              if s[0].startswith("page_break:")]
+    else:
+        head = spans[:end]
     out = head + [tuple(s[:3]) + (0,) for s in new_spans] + spans[end:]
     return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
 
@@ -354,7 +391,9 @@ def py_delete_spans_range(spans, start, end,
     cut1 = _subtree_end(kinds, i1) if end_inclusive else i1
     if cut1 < cut0:
         cut1 = cut0  # empty range after exclusivity trims
-    out = spans[:cut0] + spans[cut1:]
+    # page structure survives item deletion (reference keeps pages)
+    pbs = [s for s in spans[cut0:cut1] if s[0].startswith("page_break:")]
+    out = spans[:cut0] + pbs + spans[cut1:]
     return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
 
 

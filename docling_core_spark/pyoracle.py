@@ -30,7 +30,7 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 # bump when any expected-row computation here changes shape/semantics
-ORACLE_VERSION = 7  # r3: splice subtree walk covers inline_group:of_prev
+ORACLE_VERSION = 8  # r4: subtree walk skips page breaks; cuts keep them
 
 # headings are free text; \x1f (ASCII unit separator) never appears in
 # the corpus and both sides apply the identical join, so equality of

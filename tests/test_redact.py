@@ -150,3 +150,98 @@ def test_redact_leaf_with_of_prev_bracket_cascades(spark):
     got = _engine_redacted_md(spark, spans, ("code",))
     exp = _reference_redacted_md(spans, ("code",))
     assert got == exp == "# T\n\ntail"
+
+
+def _engine_redacted_spans(spark, spans, kinds, **kw):
+    df = spark.createDataFrame(
+        [("d", [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in spans])], DOCUMENTS_SCHEMA)
+    out = redact_spans(df, kinds, **kw).collect()[0]
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in out["spans"]]
+
+
+@pytest.mark.parametrize("bracket", [
+    "inline_group:of_prev", "list_group:of_prev",
+    "list_group:of_prev:furniture", "inline_group:of_prev:furniture"])
+def test_redact_leaf_with_any_of_prev_variant_cascades(spark, bracket):
+    """The emitter produces f"{base}:of_prev{flag}" with base in
+    {list_group, inline_group} and an optional ':furniture' flag
+    (model/spans.py:386) - the delete cascade must cover ALL variants,
+    not just the bare list_group shape (r3 latent gap)."""
+    inner = ("list_item" if bracket.startswith("list_group")
+             else "text")
+    spans = [
+        {"kind": "title", "text": "T", "media_ref": "", "offset": 0},
+        {"kind": "code:Python", "text": "x = 1", "media_ref": "",
+         "offset": 1},
+        {"kind": bracket, "text": "", "media_ref": "", "offset": 2},
+        {"kind": inner, "text": "attached to code",
+         "media_ref": "", "offset": 3},
+        {"kind": "end_group", "text": "", "media_ref": "", "offset": 4},
+        {"kind": "text", "text": "tail", "media_ref": "", "offset": 5},
+    ]
+    got = _engine_redacted_md(spark, spans, ("code",))
+    exp = _reference_redacted_md(spans, ("code",))
+    assert got == exp
+    # and the bracket is really gone from the span stream
+    kept = _engine_redacted_spans(spark, spans, ("code",))
+    assert [k for k, *_ in kept] == ["title", "text"]
+
+
+def test_redact_cascade_carries_across_page_break(spark):
+    """A page_break may legally sit between a leaf and its '+child'
+    span (the emitter marks '+child' on the first NON-page-break span,
+    model/spans.py:390-396). Deleting the leaf must still cascade to
+    the child, while the page break itself survives (the reference's
+    delete_items never deletes pages - content after the range keeps
+    its page)."""
+    spans = [
+        {"kind": "text", "text": "before", "media_ref": "", "offset": 0},
+        {"kind": "table", "text": "A|B&&1|<rich_0>", "media_ref": "",
+         "offset": 1},
+        {"kind": "page_break:2", "text": "", "media_ref": "",
+         "offset": 2},
+        {"kind": "text+child", "text": "rich cell body",
+         "media_ref": "", "offset": 3},
+        {"kind": "text", "text": "after", "media_ref": "", "offset": 4},
+    ]
+    got = _engine_redacted_md(spark, spans, ("table",))
+    exp = _reference_redacted_md(spans, ("table",))
+    assert got == exp == "before\n\nafter"
+    kept = _engine_redacted_spans(spark, spans, ("table",))
+    assert [k for k, *_ in kept] == ["text", "page_break:2", "text"]
+    # reference keeps 'after' on page 2 - so must the rebuild
+    doc2, _ = build_doc("d", [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for k, t, m, o in kept])
+    pages = [it.prov[0].page_no
+             for it, _ in doc2.iterate_items(with_groups=False)
+             if getattr(it, "prov", None)]
+    assert pages == [1, 2]
+
+
+def test_redact_page_break_survives_deleted_bracket_range(spark):
+    """A page break INSIDE a deleted group range survives the range
+    delete (pages are not items)."""
+    spans = [
+        {"kind": "text", "text": "before", "media_ref": "", "offset": 0},
+        {"kind": "list_group", "text": "", "media_ref": "", "offset": 1},
+        {"kind": "list_item", "text": "a", "media_ref": "", "offset": 2},
+        {"kind": "page_break:2", "text": "", "media_ref": "",
+         "offset": 3},
+        {"kind": "list_item", "text": "b", "media_ref": "", "offset": 4},
+        {"kind": "end_group", "text": "", "media_ref": "", "offset": 5},
+        {"kind": "text", "text": "after", "media_ref": "", "offset": 6},
+    ]
+    from docling_core.types.doc.labels import GroupLabel
+
+    doc, _ = build_doc("d", spans)
+    targets = [it for it, _ in doc.iterate_items(with_groups=True)
+               if getattr(it, "label", None) == GroupLabel.LIST]
+    doc.delete_items(node_items=targets)
+    exp = reference_markdown(doc)
+    got = _engine_redacted_md(spark, spans, ("list_group",))
+    assert got == exp == "before\n\nafter"
+    kept = _engine_redacted_spans(spark, spans, ("list_group",))
+    assert [k for k, *_ in kept] == ["text", "page_break:2", "text"]

@@ -383,3 +383,128 @@ def test_replace_every_anchor_exhaustive(spark):
             checked += 1
     assert checked >= 100
     assert skipped <= checked // 10
+
+
+_PB_SPANS = [
+    {"kind": "text", "text": "before", "media_ref": "", "offset": 0},
+    {"kind": "table", "text": "A|B&&1|<rich_0>", "media_ref": "",
+     "offset": 1},
+    {"kind": "page_break:2", "text": "", "media_ref": "", "offset": 2},
+    {"kind": "text+child", "text": "rich cell body", "media_ref": "",
+     "offset": 3},
+    {"kind": "text", "text": "after", "media_ref": "", "offset": 4},
+]
+
+
+def _pb_tuples():
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in _PB_SPANS]
+
+
+def test_subtree_crosses_page_break_to_attached_child(spark):
+    """The emitter marks '+child' on the first NON-page-break span
+    (model/spans.py:390-396), so [table, page_break:2, text+child] is
+    a legal subtree. Replace must take the child with the table while
+    the page break survives; parity vs the live replace_item."""
+    from docling_core.types.doc.document import TextItem
+
+    doc_m, r2o = build_doc("d", _PB_SPANS)
+    by_offset = {v: k for k, v in r2o.items()}
+    old = _resolve(doc_m, by_offset[1])
+    new = TextItem(self_ref="#", label="text", text=NEW_TEXT,
+                   orig=NEW_TEXT)
+    doc_m.replace_item(new_item=new, old_item=old)
+    exp = reference_markdown(doc_m)
+    tuples = py_splice_spans(_pb_tuples(), 1,
+                             [("text", NEW_TEXT, "", 0)], replace=True)
+    assert _engine_md(_PB_SPANS, tuples) == exp
+    assert [t[0] for t in tuples] == [
+        "text", "page_break:2", "text", "text"]
+    # 'after' stays on page 2 on rebuild, like the reference
+    doc2, _ = build_doc("d", [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for k, t, m, o in tuples])
+    pages = [it.prov[0].page_no
+             for it, _ in doc2.iterate_items(with_groups=False)
+             if getattr(it, "prov", None)]
+    assert pages[-1] == 2
+
+
+def test_insert_after_subtree_crossing_page_break(spark):
+    """Insert-after the same cross-page subtree: the new sibling lands
+    after the attached child, parity vs the live insert_text."""
+    doc_m, r2o = build_doc("d", _PB_SPANS)
+    by_offset = {v: k for k, v in r2o.items()}
+    sib = _resolve(doc_m, by_offset[1])
+    doc_m.insert_text(sibling=sib, label="text", text=NEW_TEXT,
+                      after=True)
+    exp = reference_markdown(doc_m)
+    tuples = py_splice_spans(_pb_tuples(), 1,
+                             [("text", NEW_TEXT, "", 0)])
+    assert _engine_md(_PB_SPANS, tuples) == exp
+    assert [t[0] for t in tuples] == [
+        "text", "table", "page_break:2", "text+child", "text", "text"]
+
+
+def test_trailing_page_break_not_part_of_subtree(spark):
+    """A page_break that precedes the NEXT sibling is that sibling's
+    page transition, not part of the anchor subtree: inserting after
+    the anchor must land BEFORE the page break (the new item has no
+    provenance and belongs to the anchor's page, like the reference's
+    insert_text output order)."""
+    spans = [
+        {"kind": "text", "text": "p1 text", "media_ref": "",
+         "offset": 0},
+        {"kind": "page_break:2", "text": "", "media_ref": "",
+         "offset": 1},
+        {"kind": "text", "text": "p2 text", "media_ref": "",
+         "offset": 2},
+    ]
+    tuples = py_splice_spans(
+        [(s["kind"], s["text"], s["media_ref"], s["offset"])
+         for s in spans], 0, [("text", NEW_TEXT, "", 0)])
+    assert [(t[0], t[1]) for t in tuples] == [
+        ("text", "p1 text"), ("text", NEW_TEXT),
+        ("page_break:2", ""), ("text", "p2 text")]
+    # and parity vs the live reference
+    doc_m, r2o = build_doc("d", spans)
+    by_offset = {v: k for k, v in r2o.items()}
+    sib = _resolve(doc_m, by_offset[0])
+    doc_m.insert_text(sibling=sib, label="text", text=NEW_TEXT,
+                      after=True)
+    assert _engine_md(spans, tuples) == reference_markdown(doc_m)
+
+
+def test_delete_range_keeps_page_breaks(spark):
+    """delete_items_range across a page boundary: pages are not items,
+    so the page break survives the cut (content after the range keeps
+    its page), parity vs the live reference."""
+    from docling_core_spark.docops import py_delete_spans_range
+
+    spans = [
+        {"kind": "text", "text": "keep head", "media_ref": "",
+         "offset": 0},
+        {"kind": "text", "text": "cut a", "media_ref": "", "offset": 1},
+        {"kind": "page_break:2", "text": "", "media_ref": "",
+         "offset": 2},
+        {"kind": "text", "text": "cut b", "media_ref": "", "offset": 3},
+        {"kind": "text", "text": "keep tail", "media_ref": "",
+         "offset": 4},
+    ]
+    doc_m, r2o = build_doc("d", spans)
+    by_offset = {v: k for k, v in r2o.items()}
+    doc_m.delete_items_range(start=_resolve(doc_m, by_offset[1]),
+                             end=_resolve(doc_m, by_offset[3]))
+    exp = reference_markdown(doc_m)
+    tuples = py_delete_spans_range(
+        [(s["kind"], s["text"], s["media_ref"], s["offset"])
+         for s in spans], 1, 3)
+    assert _engine_md(spans, tuples) == exp
+    assert [t[0] for t in tuples] == ["text", "page_break:2", "text"]
+    doc2, _ = build_doc("d", [
+        {"kind": k, "text": t, "media_ref": m, "offset": o}
+        for k, t, m, o in tuples])
+    pages = [it.prov[0].page_no
+             for it, _ in doc2.iterate_items(with_groups=False)
+             if getattr(it, "prov", None)]
+    assert pages == [1, 2]
