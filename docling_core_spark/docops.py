@@ -397,66 +397,182 @@ def py_delete_spans_range(spans, start, end,
     return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
 
 
-def delete_spans_range(docs: DataFrame, start, end,
-                       start_inclusive: bool = True,
-                       end_inclusive: bool = True) -> DataFrame:
-    """Spark wrapper for py_delete_spans_range: one fused Arrow stage,
-    zero shuffle."""
-    def fn(row):
-        return py_delete_spans_range(
-            _tuples_of(row["spans"]), start, end,
-            start_inclusive=start_inclusive,
-            end_inclusive=end_inclusive)
+# ----------------------------------------------------------------------
+# Columnar splice: the same subtree walk as py_splice_spans, but as
+# pure SQL folds - O(n) per document, zero Python, zero shuffle (r3
+# verdict item 1: _splice_arrow's per-doc dict loop eliminated).
+#
+# Three expressions per doc, all JVM-side:
+#   1. an anchor fold recording the first standalone index per
+#      candidate base kind (priority resolved in the finish lambda),
+#   2. a state-machine fold walking the anchor's pre-order subtree
+#      (group depth, attached +child / of_prev brackets, page-break
+#      skipping with a tentative end - mirrors _subtree_end),
+#   3. slice/concat/transform building the output (no per-element
+#      accumulation, so no quadratic array_append).
+# CollapseProject-safety: each fold is bound to its own column and
+# referenced multiple times downstream, which keeps Catalyst from
+# inlining one fold's expression INTO another fold's lambda (where it
+# would re-evaluate per element - see the textops.py hashing note).
+# tests/test_splice.py asserts linear behaviour on a 100k-span doc.
+# ----------------------------------------------------------------------
 
-    return _splice_arrow(docs.select("doc_id", "spans"), fn)
-
-
-def _splice_arrow(docs: DataFrame, fn) -> DataFrame:
-    """(doc_id, spans[, spans_b]) -> (doc_id, spans) through one
-    mapInArrow stage running ``fn(row_dict) -> span tuples``."""
-    import pyarrow as pa
-
-    span_type = pa.list_(pa.struct(
-        [("kind", pa.string()), ("text", pa.string()),
-         ("media_ref", pa.string()), ("offset", pa.int32())]))
-
-    def run(batches):
-        for b in batches:
-            cols = {name: b.column(name).to_pylist()
-                    for name in b.schema.names}
-            ids, arrs = [], []
-            for r in range(b.num_rows):
-                row = {name: cols[name][r] for name in cols}
-                ids.append(row["doc_id"])
-                arrs.append([
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for k, t, m, o in fn(row)])
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.string()),
-                 pa.array(arrs, span_type)],
-                ["doc_id", "spans"])
-
-    return docs.mapInArrow(
-        run, "doc_id string, spans array<struct<kind:string,"
-             "text:string,media_ref:string,offset:int>>")
+_SORTED = ("array_sort(spans, (l, r) -> CASE "
+           "WHEN l.offset < r.offset THEN -1 "
+           "WHEN l.offset > r.offset THEN 1 ELSE 0 END)")
+_S_BASE = "regexp_extract(s.kind, '^[a-z_]+', 0)"
+_S_OPENER = f"{_S_BASE} IN ('list_group', 'inline_group')"
+_S_OF_PREV = ("(s.kind LIKE 'list_group:of_prev%' "
+              "OR s.kind LIKE 'inline_group:of_prev%')")
+_S_ATTACHED = f"(s.kind LIKE '%+child' OR s.kind = 'end_group' OR {_S_OF_PREV})"
+_S_STANDALONE = ("NOT (s.kind LIKE '%+child' OR s.kind = 'end_group' "
+                 "OR s.kind LIKE '%:of_prev%' "
+                 "OR s.kind LIKE 'origin%')")
 
 
-def _tuples_of(spans) -> list:
-    return [(s["kind"], s["text"], s["media_ref"], s["offset"])
-            for s in spans]
+def _sql_str(v: str) -> str:
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_anchor_idx(anchor, col: str = "sp") -> str:
+    """Index of the anchor span in ``col`` (-1 when a kind-priority
+    anchor matches nothing), mirroring _anchor_index: offset anchors
+    must exist and not be attached-child spans (raise_error, like the
+    ValueError on the Python path); kind anchors take the FIRST
+    standalone span of the highest-priority matching base kind."""
+    if isinstance(anchor, int):
+        find = (f"aggregate({col}, named_struct('i', 0, 'a', -1), "
+                "(acc, s) -> named_struct('i', acc.i + 1, 'a', "
+                f"IF(acc.a < 0 AND s.offset = {int(anchor)}, "
+                "acc.i, acc.a)), acc -> acc.a)")
+        att = _S_ATTACHED.replace("s.kind", "x.kind")
+        return (f"CASE WHEN ({find}) < 0 THEN "
+                f"raise_error({_sql_str(f'anchor offset {anchor} not found')}) "
+                f"WHEN exists(slice({col}, ({find}) + 1, 1), "
+                f"x -> {att}) THEN "
+                f"raise_error({_sql_str(f'anchor {anchor} is an attached child span; anchor on its owning leaf instead')}) "
+                f"ELSE ({find}) END")
+    kinds = list(anchor)
+    fields = ", ".join(f"'a{j}', -1" for j in range(len(kinds)))
+    upd = ", ".join(
+        f"'a{j}', IF(acc.a{j} < 0 AND {_S_STANDALONE} "
+        f"AND {_S_BASE} = {_sql_str(k)}, acc.i, acc.a{j})"
+        for j, k in enumerate(kinds))
+    pick = " ".join(f"WHEN acc.a{j} >= 0 THEN acc.a{j}"
+                    for j in range(len(kinds)))
+    return (f"aggregate({col}, named_struct('i', 0, {fields}), "
+            f"(acc, s) -> named_struct('i', acc.i + 1, {upd}), "
+            f"acc -> CASE {pick} ELSE -1 END)")
+
+
+def _sql_subtree_end(aidx: str, col: str = "sp") -> str:
+    """Exclusive subtree end for the anchor at index ``aidx`` - the
+    SQL twin of _subtree_end. State: i = position, m = mode
+    (0 before anchor / 1 inside group depth walk / 2 attached-children
+    scan / 3 done), d = group depth, e = resolved end, t = tentative
+    end at a possibly-trailing page-break run."""
+    def st(m="acc.m", d="acc.d", e="acc.e", t="acc.t"):
+        return (f"named_struct('i', acc.i + 1, 'm', {m}, 'd', {d}, "
+                f"'e', {e}, 't', {t})")
+
+    return (
+        f"aggregate({col}, "
+        "named_struct('i', 0, 'm', 0, 'd', 0, 'e', -1, 't', -1), "
+        "(acc, s) -> CASE "
+        f"WHEN {aidx} < 0 OR acc.m = 3 OR acc.i < {aidx} THEN {st()} "
+        f"WHEN acc.i = {aidx} THEN IF({_S_OPENER}, "
+        f"{st(m='1', d='1')}, {st(m='2')}) "
+        "WHEN acc.m = 1 THEN CASE "
+        f"WHEN s.kind = 'end_group' THEN IF(acc.d = 1, "
+        f"{st(m='2', d='0', t='-1')}, {st(d='acc.d - 1')}) "
+        f"WHEN {_S_OPENER} THEN {st(d='acc.d + 1')} "
+        f"ELSE {st()} END "
+        # mode 2: attached-children scan past the anchor leaf/bracket
+        f"WHEN s.kind LIKE '%+child' THEN {st(t='-1')} "
+        f"WHEN {_S_OF_PREV} THEN {st(m='1', d='1', t='-1')} "
+        f"WHEN s.kind LIKE 'page_break:%' THEN "
+        f"{st(t='IF(acc.t < 0, acc.i, acc.t)')} "
+        f"ELSE {st(m='3', e='IF(acc.t >= 0, acc.t, acc.i)')} "
+        "END, "
+        f"acc -> IF({aidx} < 0, -1, CASE WHEN acc.e >= 0 THEN acc.e "
+        "WHEN acc.t >= 0 THEN acc.t ELSE acc.i END))")
+
+
+def _sql_new_spans(new_spans) -> str:
+    if not new_spans:
+        return "slice(sp, 1, 0)"
+    items = ", ".join(
+        f"named_struct('kind', {_sql_str(k)}, 'text', {_sql_str(t)}, "
+        f"'media_ref', {_sql_str(m)}, 'offset', 0)"
+        for k, t, m, *_ in new_spans)
+    return f"array({items})"
+
+
+_REOFFSET = ("transform({0}, (x, i) -> named_struct("
+             "'kind', x.kind, 'text', x.text, "
+             "'media_ref', x.media_ref, 'offset', CAST(i AS INT)))")
+
+
+def _splice_select(docs: DataFrame, anchor, new_arr: str,
+                   replace: bool) -> DataFrame:
+    d = (docs.withColumn("sp", F.expr(_SORTED))
+         .withColumn("aidx", F.expr(_sql_anchor_idx(anchor)))
+         .withColumn("aend", F.expr(_sql_subtree_end("aidx"))))
+    if replace:
+        # page structure survives the cut (reference keeps pages)
+        body = ("concat(slice(sp, 1, aidx), "
+                "filter(slice(sp, aidx + 1, aend - aidx), "
+                "x -> x.kind LIKE 'page_break:%'), "
+                f"{new_arr}, "
+                "slice(sp, aend + 1, size(sp) - aend))")
+    else:
+        body = (f"concat(slice(sp, 1, aend), {new_arr}, "
+                "slice(sp, aend + 1, size(sp) - aend))")
+    out = _REOFFSET.format(f"IF(aidx < 0, sp, {body})")
+    return d.select("doc_id", F.expr(out).alias("spans"))
 
 
 def insert_spans_after(docs: DataFrame, anchor,
                        new_spans, replace: bool = False) -> DataFrame:
     """M4/M6 as a Spark op: same ``new_spans`` literal spliced into
     every document after (or replacing) the subtree at the anchor
-    (offset or base-kind priority tuple). One fused Arrow stage,
-    zero shuffle."""
-    def fn(row):
-        return py_splice_spans(_tuples_of(row["spans"]), anchor,
-                               new_spans, replace=replace)
+    (offset or base-kind priority tuple). Pure SQL folds, zero
+    shuffle, zero Python; semantics identical to py_splice_spans
+    (tests/test_splice.py asserts equality over the corpus and both
+    exhaustive anchor sweeps)."""
+    return _splice_select(docs.select("doc_id", "spans"), anchor,
+                          _sql_new_spans(new_spans), replace)
 
-    return _splice_arrow(docs.select("doc_id", "spans"), fn)
+
+def delete_spans_range(docs: DataFrame, start, end,
+                       start_inclusive: bool = True,
+                       end_inclusive: bool = True) -> DataFrame:
+    """M7's deletion half (delete_items_range, document.py:3764-3812)
+    as pure SQL folds: resolve both anchors, walk both subtrees, cut
+    [cut0, cut1) keeping page breaks. Zero shuffle, zero Python."""
+    d = (docs.select("doc_id", "spans")
+         .withColumn("sp", F.expr(_SORTED))
+         .withColumn("i0", F.expr(_sql_anchor_idx(start)))
+         .withColumn("i1", F.expr(_sql_anchor_idx(end)))
+         .withColumn("e0", F.expr(_sql_subtree_end("i0")))
+         .withColumn("e1", F.expr(_sql_subtree_end("i1"))))
+    checked = (
+        "CASE WHEN i0 < 0 OR i1 < 0 THEN "
+        "raise_error('range anchor not found') "
+        "WHEN i0 > i1 THEN raise_error("
+        "'start anchor must not come after end anchor') "
+        "ELSE named_struct("
+        f"'c0', IF({str(bool(start_inclusive)).lower()}, i0, e0), "
+        f"'c1', IF({str(bool(end_inclusive)).lower()}, e1, i1)) END")
+    d = (d.withColumn("cut", F.expr(checked))
+         .withColumn("c0", F.col("cut.c0"))
+         .withColumn("c1", F.greatest("cut.c1", "cut.c0")))
+    out = _REOFFSET.format(
+        "concat(slice(sp, 1, c0), "
+        "filter(slice(sp, c0 + 1, c1 - c0), "
+        "x -> x.kind LIKE 'page_break:%'), "
+        "slice(sp, c1 + 1, size(sp) - c1))")
+    return d.select("doc_id", F.expr(out).alias("spans"))
 
 
 def graft_documents(docs_a: DataFrame, docs_b: DataFrame,
@@ -465,15 +581,13 @@ def graft_documents(docs_a: DataFrame, docs_b: DataFrame,
     body content into document A after the anchor subtree, joined on
     doc_id. B's doc-level ``origin:`` span is dropped (the reference
     keeps the target's origin; only body children transfer). One
-    equi-join shuffle + one Arrow stage; page renumbering for the
+    equi-join shuffle + pure SQL folds; page renumbering for the
     append case rides concatenate (M9)."""
     b = docs_b.select(F.col("doc_id"),
                       F.col("spans").alias("spans_b"))
     joined = docs_a.select("doc_id", "spans").join(b, "doc_id")
-
-    def fn(row):
-        return py_splice_spans(
-            _tuples_of(row["spans"]), anchor,
-            graft_body(_tuples_of(row["spans_b"])))
-
-    return _splice_arrow(joined, fn)
+    new_arr = ("filter(array_sort(spans_b, (l, r) -> CASE "
+               "WHEN l.offset < r.offset THEN -1 "
+               "WHEN l.offset > r.offset THEN 1 ELSE 0 END), "
+               "x -> x.kind NOT LIKE 'origin%')")
+    return _splice_select(joined, anchor, new_arr, replace=False)

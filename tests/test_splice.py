@@ -508,3 +508,99 @@ def test_delete_range_keeps_page_breaks(spark):
              for it, _ in doc2.iterate_items(with_groups=False)
              if getattr(it, "prov", None)]
     assert pages == [1, 2]
+
+
+def test_sql_splice_equals_py_over_corpus(spark):
+    """The SQL-fold splice (zero Python) must match py_splice_spans
+    over the generator corpus for every driver-query shape: kind
+    anchors, replace, graft, delete range."""
+    from docling_core_spark.docops import (
+        SPLICE_REPLACE_KINDS,
+        SPLICE_SENTINEL_SPANS,
+        SPLICE_GRAFT_KINDS,
+        delete_spans_range,
+        graft_body,
+        py_delete_spans_range,
+    )
+
+    rows = []
+    for i in range(24):
+        spans = gen_doc_spans(i, seed=42)
+        rows.append((f"d{i:03d}",
+                     [(s["kind"], s["text"], s["media_ref"],
+                       s["offset"]) for s in spans]))
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA).cache()
+    df.count()
+
+    for replace in (False, True):
+        got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                              s["offset"]) for s in r["spans"]]
+               for r in insert_spans_after(
+                   df, SPLICE_REPLACE_KINDS, SPLICE_SENTINEL_SPANS,
+                   replace=replace).collect()}
+        for did, tup in rows:
+            want = py_splice_spans(tup, SPLICE_REPLACE_KINDS,
+                                   SPLICE_SENTINEL_SPANS,
+                                   replace=replace)
+            assert got[did] == want, (did, replace)
+
+    graft_src = [("origin:99", "f", "application/pdf", 0),
+                 ("text", "grafted body", "", 1)]
+    b = spark.createDataFrame([(did, graft_src) for did, _ in rows],
+                              DOCUMENTS_SCHEMA)
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                          s["offset"]) for s in r["spans"]]
+           for r in graft_documents(df, b, SPLICE_GRAFT_KINDS)
+           .collect()}
+    for did, tup in rows:
+        want = py_splice_spans(tup, SPLICE_GRAFT_KINDS,
+                               graft_body(graft_src))
+        assert got[did] == want, did
+
+    # delete range with kind anchors: restrict to docs where both
+    # anchors resolve (the SQL op raises on missing anchors, same as
+    # py_delete_spans_range)
+    def _resolvable(tup):
+        try:
+            py_delete_spans_range(tup, ("text",), ("table", "code"),
+                                  start_inclusive=True,
+                                  end_inclusive=False)
+            return True
+        except ValueError:
+            return False
+
+    ok_rows = [(d, t) for d, t in rows if _resolvable(t)]
+    assert len(ok_rows) >= 8
+    dfr = spark.createDataFrame(ok_rows, DOCUMENTS_SCHEMA)
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                          s["offset"]) for s in r["spans"]]
+           for r in delete_spans_range(
+               dfr, ("text",), ("table", "code"),
+               start_inclusive=True, end_inclusive=False).collect()}
+    for did, tup in ok_rows:
+        want = py_delete_spans_range(tup, ("text",), ("table", "code"),
+                                     start_inclusive=True,
+                                     end_inclusive=False)
+        assert got[did] == want, did
+    df.unpersist()
+
+
+def test_splice_linear_on_long_doc(spark):
+    """Guard against Catalyst inlining a fold into another fold's
+    lambda (per-element re-evaluation = O(n^2)): a 100k-span doc must
+    splice in seconds, not minutes."""
+    import time
+
+    from docling_core_spark.docops import SPLICE_SENTINEL_SPANS
+
+    big = [("text", f"t{i}", "", i) for i in range(100_000)]
+    one = spark.createDataFrame([("big", big)],
+                                DOCUMENTS_SCHEMA).cache()
+    one.count()
+    t0 = time.time()
+    out = insert_spans_after(one, ("table", "text"),
+                             SPLICE_SENTINEL_SPANS).collect()
+    dt = time.time() - t0
+    assert len(out[0]["spans"]) == 100_002
+    assert dt < 60, f"splice on 100k-span doc took {dt:.1f}s"
+    one.unpersist()
