@@ -234,6 +234,13 @@ SPLICE_SENTINEL_SPANS = (
 )
 SPLICE_REPLACE_KINDS = ("table", "code")
 SPLICE_GRAFT_KINDS = ("text", "paragraph", "title")
+# driver-query anchors for the M7 deletion half (delete_range): cut
+# from the first body text through (exclusive) the first table/code
+# subtree; docs lacking either anchor, or where the table precedes
+# the text, pass through via skip_unresolvable (390/110 over the
+# 500-doc corpus - both paths exercised).
+DELETE_RANGE_START = ("text", "paragraph")
+DELETE_RANGE_END = ("table", "code")
 
 def _base_kind_py(kind: str) -> str:
     import re
@@ -546,24 +553,41 @@ def insert_spans_after(docs: DataFrame, anchor,
 
 def delete_spans_range(docs: DataFrame, start, end,
                        start_inclusive: bool = True,
-                       end_inclusive: bool = True) -> DataFrame:
+                       end_inclusive: bool = True,
+                       skip_unresolvable: bool = False) -> DataFrame:
     """M7's deletion half (delete_items_range, document.py:3764-3812)
     as pure SQL folds: resolve both anchors, walk both subtrees, cut
-    [cut0, cut1) keeping page breaks. Zero shuffle, zero Python."""
+    [cut0, cut1) keeping page breaks. Zero shuffle, zero Python.
+
+    ``skip_unresolvable=True`` drops documents where an anchor does
+    not resolve (or the anchors are out of order) instead of raising -
+    the corpus-pipeline mode (the reference API, like the default,
+    raises on bad anchors)."""
     d = (docs.select("doc_id", "spans")
          .withColumn("sp", F.expr(_SORTED))
          .withColumn("i0", F.expr(_sql_anchor_idx(start)))
-         .withColumn("i1", F.expr(_sql_anchor_idx(end)))
-         .withColumn("e0", F.expr(_sql_subtree_end("i0")))
+         .withColumn("i1", F.expr(_sql_anchor_idx(end))))
+    if skip_unresolvable:
+        d = d.filter("i0 >= 0 AND i1 >= 0 AND i0 <= i1")
+    d = (d.withColumn("e0", F.expr(_sql_subtree_end("i0")))
          .withColumn("e1", F.expr(_sql_subtree_end("i1"))))
-    checked = (
-        "CASE WHEN i0 < 0 OR i1 < 0 THEN "
-        "raise_error('range anchor not found') "
-        "WHEN i0 > i1 THEN raise_error("
-        "'start anchor must not come after end anchor') "
-        "ELSE named_struct("
-        f"'c0', IF({str(bool(start_inclusive)).lower()}, i0, e0), "
-        f"'c1', IF({str(bool(end_inclusive)).lower()}, e1, i1)) END")
+    cut = ("named_struct("
+           f"'c0', IF({str(bool(start_inclusive)).lower()}, i0, e0), "
+           f"'c1', IF({str(bool(end_inclusive)).lower()}, e1, i1))")
+    if skip_unresolvable:
+        # no raise_error branches in skip mode: Catalyst is free to
+        # reorder a collapsed Project around the skip Filter, and a
+        # raise_error evaluated on a row the Filter would drop aborts
+        # the job (observed at sf0.01). The branches are unreachable
+        # post-filter anyway.
+        checked = cut
+    else:
+        checked = (
+            "CASE WHEN i0 < 0 OR i1 < 0 THEN "
+            "raise_error('range anchor not found') "
+            "WHEN i0 > i1 THEN raise_error("
+            "'start anchor must not come after end anchor') "
+            f"ELSE {cut} END")
     d = (d.withColumn("cut", F.expr(checked))
          .withColumn("c0", F.col("cut.c0"))
          .withColumn("c1", F.greatest("cut.c1", "cut.c0")))

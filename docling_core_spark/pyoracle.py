@@ -371,6 +371,32 @@ def _rows_splice_replace(n: int) -> list:
     return out
 
 
+def _rows_delete_range(n: int) -> list:
+    """M7 deletion-half driver oracle (delete_items_range, reference
+    document.py:3764-3812): the same pure range delete the Spark SQL
+    folds implement (docops.py delete_spans_range), single-process.
+    Docs whose anchors do not resolve - or where the end anchor
+    precedes the start - pass through the skip filter on the Spark
+    side and are skipped here the same way."""
+    from docling_core_spark.docops import (
+        DELETE_RANGE_END,
+        DELETE_RANGE_START,
+        py_delete_spans_range,
+    )
+
+    out = []
+    for r in _corpus_rows(n):
+        try:
+            res = py_delete_spans_range(
+                _tuples(r["spans"]), DELETE_RANGE_START,
+                DELETE_RANGE_END, start_inclusive=True,
+                end_inclusive=False)
+        except ValueError:
+            continue
+        out.extend(_span_rows(r["doc_id"], res))
+    return out
+
+
 def _rows_splice_graft(n: int) -> list:
     """M4+M8 driver oracle: ring-neighbour graft, single-process."""
     from docling_core_spark.docops import (
@@ -661,6 +687,10 @@ _SPECS: Dict[str, tuple] = {
          ("text", "string"), ("media_ref", "string")], None),
     "splice_graft": (
         _rows_splice_graft,
+        [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
+         ("text", "string"), ("media_ref", "string")], None),
+    "delete_range": (
+        _rows_delete_range,
         [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
          ("text", "string"), ("media_ref", "string")], None),
     "docjson_validation": (

@@ -325,6 +325,31 @@ def q_splice_graft(spark: SparkSession, sf_dir: str) -> DataFrame:
         graft_documents(docs, b, SPLICE_GRAFT_KINDS))
 
 
+def q_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7's deletion half (reference delete_items_range,
+    document.py:3764-3812): in every document, delete the range from
+    the first body text subtree up to - exclusive - the first
+    table/code subtree, keeping page breaks. Pure SQL folds, zero
+    shuffle, zero Python (same machinery as splice_replace). Docs
+    where an anchor does not resolve, or where the table precedes the
+    text, pass through via ``skip_unresolvable`` (390 cut / 110
+    skipped over the 500-doc corpus, so both paths carry weight).
+    Oracle: the same delete single-process (pyoracle
+    _rows_delete_range); all four inclusivity flags are additionally
+    parity-locked to the live reference in tests/test_splice.py."""
+    from docling_core_spark.docops import (
+        DELETE_RANGE_END,
+        DELETE_RANGE_START,
+        delete_spans_range,
+    )
+
+    docs = corpus_df(spark, sf_dir)
+    out = delete_spans_range(docs, DELETE_RANGE_START, DELETE_RANGE_END,
+                             start_inclusive=True, end_inclusive=False,
+                             skip_unresolvable=True)
+    return _exploded_span_rows(out)
+
+
 def q_bbox_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometry at scale: synthetic per-span bboxes (model/doc.py
     node_bbox), IoU of consecutive items within each doc - pure JVM
@@ -1180,14 +1205,33 @@ def _q_layout_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+def _rotation_state() -> int:
+    """Driver-window rotation key (ADVICE r3 item 4): the driver's
+    CORRECTNESS pass checks only the FIRST 50 registry entries, so a
+    fixed order leaves the tail permanently unchecked end-to-end.
+    Key a deterministic rotation on the number of committed
+    CORRECTNESS_r*.json artifacts (one per completed round): even
+    states run the canonical order, odd states reverse the rotatable
+    pool. Every registered query then gets a row-level driver check
+    in at least one of any two consecutive rounds."""
+    import glob as _glob
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        return len(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    except OSError:  # pragma: no cover - fs race only
+        return 0
+
+
 def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER is part of the driver contract: the driver's
     CORRECTNESS pass checks the FIRST 50 entries in insertion order
-    (r2 evidence: positions 50-57 got no row). Keep every
-    scale-critical / rarely-pytest-covered query inside the window;
-    the viz/pdf rows at the tail are the most redundant with pytest
-    parity (each is byte-checked against the live reference classes
-    in tests/) and were green in r2."""
+    (r2 evidence: positions 50-57 got no row). The head (28 engine
+    queries, pytest-parity-backed but rarely row-checked elsewhere)
+    is always inside the window; the rotatable pool (dedup/ANN,
+    relational, stats, pdf/viz) flips order per round via
+    _rotation_state so the window sweeps the whole pool across
+    consecutive rounds."""
     from docling_core_spark import textops
     out = {
         # document engine (pytest parity gate; rows-only driver check)
@@ -1218,42 +1262,46 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rec_validation": q_rec_validation,
         "splice_replace": q_splice_replace,
         "splice_graft": q_splice_graft,
+        "delete_range": q_delete_range,
     }
-    # training-data ops (dedup/ANN/quality; the 8 dedup/ANN rows were
-    # starved of driver checks in r2 by sitting at positions 50-57)
-    out.update(textops.REGISTRY)
-    out.update({
+    # rotatable pool, canonical order: training-data ops (dedup/ANN/
+    # quality), relational ops, span-stats rows, pdf/viz rows. All
+    # pool entries are pytest-covered; the rotation decides which 22
+    # additionally get a driver row this round.
+    pool = list(textops.REGISTRY.items())
+    pool += [
         # relational ops (DuckDB oracle)
-        "pricing_summary": q_pricing_summary,
-        "nation_revenue": q_nation_revenue,
-        "shipping_priority": q_shipping_priority,
-        "regional_revenue": q_regional_revenue,
-        "user_sessions": q_user_sessions,
-        "events_by_type": q_events_by_type,
-        "user_activity": q_user_activity,
-        "exact_dup_groups": q_exact_dup_groups,
-        "token_counts": q_token_counts,
-        "token_counts_real": q_token_counts_real,
-        "knn_cosine": q_knn_cosine,
-        # span-stats rows (simple relational plans over documents;
-        # lang_stats rides here - it aggregates lang_id, which holds
-        # a window slot already)
-        "lang_stats": q_lang_stats,
-        "heading_outline": q_heading_outline,
-        "page_counts": q_page_counts,
-        "span_kind_stats": q_span_kind_stats,
-        "bbox_overlap_stats": q_bbox_overlap_stats,
-        "list_depth_stats": q_list_depth_stats,
-        "doc_span_skew": q_doc_span_skew,
-        # tail: redundant with pytest byte-parity vs the live reference
-        "pdf_cells_in_bbox": _q_pdf_cells_in_bbox,
-        "pdf_crop_text": _q_pdf_crop_text,
-        "pdf_textlines": _q_pdf_textlines,
-        "viz_layout": _q_viz_layout,
-        "viz_reading_order": _q_viz_reading_order,
-        "viz_tables": _q_viz_tables,
-        "viz_key_values": _q_viz_key_values,
-    })
+        ("pricing_summary", q_pricing_summary),
+        ("nation_revenue", q_nation_revenue),
+        ("shipping_priority", q_shipping_priority),
+        ("regional_revenue", q_regional_revenue),
+        ("user_sessions", q_user_sessions),
+        ("events_by_type", q_events_by_type),
+        ("user_activity", q_user_activity),
+        ("exact_dup_groups", q_exact_dup_groups),
+        ("token_counts", q_token_counts),
+        ("token_counts_real", q_token_counts_real),
+        ("knn_cosine", q_knn_cosine),
+        # span-stats rows (simple relational plans over documents)
+        ("lang_stats", q_lang_stats),
+        ("heading_outline", q_heading_outline),
+        ("page_counts", q_page_counts),
+        ("span_kind_stats", q_span_kind_stats),
+        ("bbox_overlap_stats", q_bbox_overlap_stats),
+        ("list_depth_stats", q_list_depth_stats),
+        ("doc_span_skew", q_doc_span_skew),
+        # pdf/viz rows (byte-checked vs the live reference in tests/)
+        ("pdf_cells_in_bbox", _q_pdf_cells_in_bbox),
+        ("pdf_crop_text", _q_pdf_crop_text),
+        ("pdf_textlines", _q_pdf_textlines),
+        ("viz_layout", _q_viz_layout),
+        ("viz_reading_order", _q_viz_reading_order),
+        ("viz_tables", _q_viz_tables),
+        ("viz_key_values", _q_viz_key_values),
+    ]
+    if _rotation_state() % 2:
+        pool.reverse()
+    out.update(pool)
     return out
 
 

@@ -69,6 +69,23 @@ def test_query_matches_oracle(spark, name):
     assert srows == drows
 
 
+def test_registry_rotation_covers_all_queries(monkeypatch):
+    """ADVICE r3 item 4: the driver checks only the first 50 registry
+    entries; the rotation must (a) keep the 28 engine-query head
+    pinned, (b) permute, never add/drop, and (c) have the even+odd
+    windows jointly cover every registered query."""
+    from docling_core_spark import queries as qmod
+
+    monkeypatch.setattr(qmod, "_rotation_state", lambda: 0)
+    even = list(qmod.registry())
+    monkeypatch.setattr(qmod, "_rotation_state", lambda: 1)
+    odd = list(qmod.registry())
+    assert sorted(even) == sorted(odd)
+    assert even[:28] == odd[:28]
+    assert set(even[:50]) | set(odd[:50]) == set(even)
+    assert even != odd
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.limit(5).collect()

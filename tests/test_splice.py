@@ -585,6 +585,46 @@ def test_sql_splice_equals_py_over_corpus(spark):
     df.unpersist()
 
 
+def test_delete_range_skip_unresolvable_over_corpus(spark):
+    """Corpus-pipeline mode (the delete_range driver query): docs
+    whose anchors do not resolve - or where end precedes start - are
+    DROPPED, everything else is cut identically to
+    py_delete_spans_range. The mixed DataFrame must not abort (the
+    r4 regression: a raise_error branch evaluated on rows the skip
+    Filter later drops)."""
+    from docling_core_spark.docops import (
+        DELETE_RANGE_END,
+        DELETE_RANGE_START,
+        delete_spans_range,
+        py_delete_spans_range,
+    )
+
+    rows = []
+    for i in range(48):
+        spans = gen_doc_spans(i, seed=7)
+        rows.append((f"d{i:03d}",
+                     [(s["kind"], s["text"], s["media_ref"],
+                       s["offset"]) for s in spans]))
+    want = {}
+    for did, tup in rows:
+        try:
+            want[did] = py_delete_spans_range(
+                tup, DELETE_RANGE_START, DELETE_RANGE_END,
+                start_inclusive=True, end_inclusive=False)
+        except ValueError:
+            pass
+    assert 0 < len(want) < len(rows)  # both paths exercised
+
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    got = {r["doc_id"]: [(s["kind"], s["text"], s["media_ref"],
+                          s["offset"]) for s in r["spans"]]
+           for r in delete_spans_range(
+               df, DELETE_RANGE_START, DELETE_RANGE_END,
+               start_inclusive=True, end_inclusive=False,
+               skip_unresolvable=True).collect()}
+    assert got == want
+
+
 def test_splice_linear_on_long_doc(spark):
     """Guard against Catalyst inlining a fold into another fold's
     lambda (per-element re-evaluation = O(n^2)): a 100k-span doc must
