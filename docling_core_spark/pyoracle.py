@@ -931,15 +931,25 @@ def oracle_bpe_count(text: str, ranks: dict) -> int:
 
 
 def _load_assets() -> tuple:
+    """Vocab lines + BPE ranks for the independent oracle. Honors the
+    same $DOCLING_SPARK_WP_VOCAB / $DOCLING_SPARK_BPE_RANKS overrides
+    as the engine (queries.py asset-path contract) so pointing both
+    sides at a published bert-base vocab.txt / o200k_base.tiktoken
+    keeps the oracle comparison meaningful."""
     import base64
 
     assets = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "assets")
-    with open(os.path.join(assets, "wordpiece_vocab.txt"),
-              encoding="utf-8") as fh:
+    wp_path = os.environ.get(
+        "DOCLING_SPARK_WP_VOCAB",
+        os.path.join(assets, "wordpiece_vocab.txt"))
+    bpe_path = os.environ.get(
+        "DOCLING_SPARK_BPE_RANKS",
+        os.path.join(assets, "bpe_ranks.tiktoken"))
+    with open(wp_path, encoding="utf-8") as fh:
         vocab = [line.rstrip("\n") for line in fh]
     ranks: dict = {}
-    with open(os.path.join(assets, "bpe_ranks.tiktoken"), "rb") as fh:
+    with open(bpe_path, "rb") as fh:
         for line in fh:
             if line.strip():
                 tok, rank = line.split()
@@ -956,10 +966,19 @@ def ensure_token_counts_real(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     base = os.path.basename(os.path.normpath(sf_dir))
+    # asset overrides change the expected counts - key the cache on
+    # them too (empty suffix for the vendored default)
+    akey = ""
+    ov = (os.environ.get("DOCLING_SPARK_WP_VOCAB", "")
+          + "|" + os.environ.get("DOCLING_SPARK_BPE_RANKS", ""))
+    if ov != "|":
+        import hashlib
+
+        akey = "_a" + hashlib.sha1(ov.encode()).hexdigest()[:10]
     d = os.path.join(
         os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
         f"docling_oracle_tokreal_{base}_{st.st_mtime_ns}_{st.st_size}"
-        f"_v{ORACLE_VERSION}")
+        f"_v{ORACLE_VERSION}{akey}")
     path = os.path.join(d, "token_counts_real.parquet")
     marker = path + "._SUCCESS"
     if os.path.exists(marker):

@@ -951,19 +951,60 @@ ORDER BY doc_id
 # batch - the per-executor tokenizer-init rule of SURVEY.md 4.2(4)
 _REAL_COUNTERS: dict = {}
 
+# asset-path contract (reference tokenizer/huggingface.py:30-53 /
+# openai.py:24-26 load PUBLISHED vocab.txt / .tiktoken files; the
+# vendored files under docling_core_spark/assets/ are deterministic
+# corpus-derived fixtures, see tools/gen_tokenizer_fixtures.py).
+# $DOCLING_SPARK_WP_VOCAB / $DOCLING_SPARK_BPE_RANKS are read on the
+# DRIVER at query-build time and shipped to workers inside the
+# mapInArrow closure (env set mid-session never reaches the python
+# worker daemon). Each value is a path; when the path is not visible
+# on an executor (cluster mode), its basename is resolved through
+# SparkFiles - so `spark-submit --files /x/vocab.txt` plus
+# DOCLING_SPARK_WP_VOCAB=vocab.txt hands every executor the published
+# asset. Unset -> the vendored fixture.
+_WP_VOCAB_ENV = "DOCLING_SPARK_WP_VOCAB"
+_BPE_RANKS_ENV = "DOCLING_SPARK_BPE_RANKS"
 
-def _real_counters() -> tuple:
-    if "wp" not in _REAL_COUNTERS:
+
+def _tokenizer_asset_spec() -> tuple:
+    """Driver-side capture of the asset overrides (None = vendored)."""
+    return (os.environ.get(_WP_VOCAB_ENV),
+            os.environ.get(_BPE_RANKS_ENV))
+
+
+def _resolve_tokenizer_asset(name: str, spec) -> str:
+    """Worker-side resolution: explicit spec path, then the spec
+    basename via SparkFiles (--files / sc.addFile ship), then the
+    vendored fixture. A spec that resolves nowhere fails loudly."""
+    if spec:
+        if os.path.exists(spec):
+            return spec
+        from pyspark import SparkFiles
+
+        cand = SparkFiles.get(os.path.basename(spec))
+        if os.path.exists(cand):
+            return cand
+        raise FileNotFoundError(
+            f"tokenizer asset override {spec!r} not found locally or "
+            "via SparkFiles; ship it with spark-submit --files")
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "assets", name)
+
+
+def _real_counters(spec: tuple = (None, None)) -> tuple:
+    wp_path = _resolve_tokenizer_asset("wordpiece_vocab.txt", spec[0])
+    bpe_path = _resolve_tokenizer_asset("bpe_ranks.tiktoken", spec[1])
+    key = (wp_path, bpe_path)
+    if _REAL_COUNTERS.get("key") != key:
         from docling_core_spark.chunking.wordpiece import (
             BytePairCounter,
             WordPieceCounter,
         )
-        assets = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "assets")
-        _REAL_COUNTERS["wp"] = WordPieceCounter.from_vocab_file(
-            os.path.join(assets, "wordpiece_vocab.txt"))
+        _REAL_COUNTERS["wp"] = WordPieceCounter.from_vocab_file(wp_path)
         _REAL_COUNTERS["bpe"] = BytePairCounter.from_tiktoken_file(
-            os.path.join(assets, "bpe_ranks.tiktoken"))
+            bpe_path)
+        _REAL_COUNTERS["key"] = key
     return _REAL_COUNTERS["wp"], _REAL_COUNTERS["bpe"]
 
 
@@ -981,10 +1022,11 @@ def q_token_counts_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: an INDEPENDENT trie-based WordPiece + heap-based BPE
     reimplementation (pyoracle.ensure_token_counts_real)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    spec = _tokenizer_asset_spec()  # driver-side env capture
 
     def gen(batches):
         import pyarrow as pa
-        wp, bpe = _real_counters()
+        wp, bpe = _real_counters(spec)
         for b in batches:
             texts = b.column("text").to_pylist()
             yield pa.RecordBatch.from_arrays(

@@ -101,3 +101,91 @@ def test_counts_are_not_degenerate(counters):
     assert wp.count_tokens("zzzzqqqq") == 8  # char-level fallback
     assert wp.count_tokens("ξξξ") == 1       # no vocab path -> [UNK]
     assert bpe.count_tokens("table scan") < len("table scan")
+
+
+# ----------------------------------------------------------------------
+# asset-path contract (r3 verdict item 3): token_counts_real must work
+# with ANY published-format assets loaded BY PATH, not just the
+# vendored corpus-derived fixtures - including shipping them to
+# executors via sc.addFile (the spark-submit --files mechanism).
+# ----------------------------------------------------------------------
+
+def _write_external_assets(tmp_path):
+    """A small but non-trivial vocab/ranks pair in the PUBLISHED
+    formats: bert vocab.txt (one token per line, id = line number)
+    and .tiktoken (base64 token + rank per line)."""
+    import base64
+
+    singles = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    vocab = (["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + singles + ["##" + c for c in singles]
+             + ["the", "of", "and", "table", "scan", "spark",
+                "customer", "window", "column", "order", "stream"]
+             + ["##s", "##ing", "##le", "##er", "##an"]
+             + [str(d) for d in range(10)] + [",", ".", ":", ";"])
+    vp = tmp_path / "ext_vocab.txt"
+    vp.write_text("\n".join(vocab) + "\n", encoding="utf-8")
+
+    ranks = {bytes([b]): b for b in range(256)}
+    nxt = 256
+    for merge in (b"th", b"he", b"the", b"an", b"and", b"ta", b"ab",
+                  b"le", b"tab", b"table", b" t", b" a", b"er",
+                  b"in", b"ing", b"sc", b"can", b"scan"):
+        ranks[merge] = nxt
+        nxt += 1
+    rp = tmp_path / "ext_ranks.tiktoken"
+    rp.write_bytes(b"".join(
+        base64.b64encode(t) + b" " + str(r).encode() + b"\n"
+        for t, r in ranks.items()))
+    return str(vp), str(rp), vocab, ranks
+
+
+def test_external_assets_by_path(tmp_path):
+    """Counters built from external published-format files must equal
+    the independent oracle run on the same files."""
+    vp, rp, vocab, ranks = _write_external_assets(tmp_path)
+    wp = WordPieceCounter.from_vocab_file(vp)
+    bpe = BytePairCounter.from_tiktoken_file(rp)
+    tries = build_wp_trie(vocab)
+    for text in TRICKY + ["the table scan and the stream"]:
+        assert wp.count_tokens(text) == oracle_wordpiece_count(
+            text, tries), repr(text)
+        assert bpe.count_tokens(text) == oracle_bpe_count(
+            text, ranks), repr(text)
+
+
+def test_token_counts_real_external_assets_end_to_end(
+        spark, tmp_path, monkeypatch):
+    """q_token_counts_real with overridden assets, exercising BOTH
+    worker-side resolution branches: the wp vocab by direct path, the
+    bpe ranks through SparkFiles (sc.addFile ship + a driver path that
+    does not exist on the 'executor'). Counts must equal the
+    independent oracle computed with the same external assets."""
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.queries import q_token_counts_real
+
+    vp, rp, vocab, ranks = _write_external_assets(tmp_path)
+    spark.sparkContext.addFile(rp)
+    monkeypatch.setenv("DOCLING_SPARK_WP_VOCAB", vp)
+    monkeypatch.setenv("DOCLING_SPARK_BPE_RANKS",
+                       "/nonexistent_on_executor/ext_ranks.tiktoken")
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: (r["wp_tokens"], r["bpe_tokens"])
+           for r in q_token_counts_real(spark, sf).collect()}
+
+    tries = build_wp_trie(vocab)
+    t = pq.read_table(os.path.join(sf, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    want = {int(i): (oracle_wordpiece_count(x, tries),
+                     oracle_bpe_count(x, ranks))
+            for i, x in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist())}
+    assert got == want
+    # and the overridden counts differ from the vendored-asset run
+    monkeypatch.delenv("DOCLING_SPARK_WP_VOCAB")
+    monkeypatch.delenv("DOCLING_SPARK_BPE_RANKS")
+    vend = {r["doc_id"]: (r["wp_tokens"], r["bpe_tokens"])
+            for r in q_token_counts_real(spark, sf).collect()}
+    assert vend != got
