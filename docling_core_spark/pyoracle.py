@@ -1068,3 +1068,64 @@ def sql_rec_validation(sf_dir: str) -> str:
     path = ensure_rec_validation(sf_dir)
     return (f"SELECT doc_id, kind, is_valid, n_errors, errors "
             f"FROM read_parquet('{path}') ORDER BY doc_id")
+
+
+def ensure_search_validation(sf_dir: str) -> str:
+    """Expected search_meta_validation rows: single-process
+    synthesize -> corrupt -> validate (searchtypes.py pure functions;
+    validators parity-locked to the live reference Meta/Generic/
+    Package models in tests/test_searchtypes.py)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.searchtypes import (
+        VALIDATORS,
+        corrupt_search,
+        synth_search_payload,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(
+        os.environ.get("SPARK_GRAFT_TMP", "/tmp"),
+        f"docling_oracle_searchval_{base}_{st.st_mtime_ns}_{st.st_size}"
+        f"_v{ORACLE_VERSION}")
+    path = os.path.join(d, "search_validation.parquet")
+    marker = path + "._SUCCESS"
+    if os.path.exists(marker):
+        return path
+    t = pq.read_table(src, columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+        kind, js = synth_search_payload(int(doc_id), text or "")
+        js = corrupt_search(int(doc_id), kind, js)
+        try:
+            obj = _json.loads(js)
+            es = VALIDATORS[kind](obj)
+        except ValueError as exc:
+            es = [f"json: {exc}"]
+        rows.append((int(doc_id), kind, not es, len(es),
+                     "; ".join(es)))
+    out = pa.Table.from_arrays(
+        [pa.array([r[0] for r in rows], pa.int64()),
+         pa.array([r[1] for r in rows], pa.string()),
+         pa.array([r[2] for r in rows], pa.bool_()),
+         pa.array([r[3] for r in rows], pa.int32()),
+         pa.array([r[4] for r in rows], pa.string())],
+        names=["doc_id", "kind", "is_valid", "n_errors", "errors"])
+    os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    open(marker, "w").close()
+    return path
+
+
+def sql_search_validation(sf_dir: str) -> str:
+    path = ensure_search_validation(sf_dir)
+    return (f"SELECT doc_id, kind, is_valid, n_errors, errors "
+            f"FROM read_parquet('{path}') ORDER BY doc_id")

@@ -1078,6 +1078,43 @@ def q_rec_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate_records_df(payloads).orderBy("doc_id")
 
 
+def q_search_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-index Meta / Generic / Package sidecar types (reference
+    search/meta.py, search/package.py, types/gen/generic.py) as an
+    S12-style quarantine validation: synthesize deterministic payloads
+    from documents rows, corrupt a deterministic subset, validate with
+    the from-scratch validators (searchtypes.py, parity-locked to the
+    live reference pydantic models in tests/test_searchtypes.py). One
+    fused Arrow stage end-to-end, zero shuffle."""
+    import pyarrow as pa
+
+    from docling_core_spark.searchtypes import (
+        corrupt_search,
+        synth_search_payload,
+        validate_search_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for b in batches:
+            ids = b.column("doc_id").to_pylist()
+            texts = b.column("text").to_pylist()
+            kinds, payloads = [], []
+            for i, t in zip(ids, texts):
+                kind, js = synth_search_payload(int(i), t or "")
+                kinds.append(kind)
+                payloads.append(corrupt_search(int(i), kind, js))
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pa.array(kinds, pa.string()),
+                 pa.array(payloads, pa.string())],
+                ["doc_id", "kind", "payload"])
+
+    payloads = docs.mapInArrow(
+        gen, "doc_id long, kind string, payload string")
+    return validate_search_df(payloads).orderBy("doc_id")
+
+
 def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against the vec_id=0 embedding - the
     exact baseline for ANN. The 1-row query side is broadcast; the big
@@ -1340,6 +1377,8 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("viz_reading_order", _q_viz_reading_order),
         ("viz_tables", _q_viz_tables),
         ("viz_key_values", _q_viz_key_values),
+        # canonical tail = reversed head: first in-window on odd rounds
+        ("search_meta_validation", q_search_validation),
     ]
     if _rotation_state() % 2:
         pool.reverse()
@@ -1379,6 +1418,9 @@ def oracles() -> Dict[str, str]:
     )
     out["token_counts_real"] = sql_token_counts_real(sf)
     out["rec_validation"] = sql_rec_validation(sf)
+    from docling_core_spark.pyoracle import sql_search_validation
+
+    out["search_meta_validation"] = sql_search_validation(sf)
     out["caption_resolution"] = _sql_caption_resolution(sf)
     out["redact_spans"] = _sql_redact_spans(sf)
     out["span_kind_stats"] = _sql_span_kind_stats(sf)
