@@ -15,7 +15,16 @@ published output conventions:
   with munder/mover/munderover for movable-limit big operators
   (``\\sum``, ``\\prod``);
 * ``\\frac{A}{B}`` -> ``<mfrac>`` with each argument mrow-wrapped;
-* brace groups -> ``<mrow>``.
+* brace groups -> ``<mrow>``;
+* plain fences ``( ) [ ] | \\{ \\}`` -> ``<mo stretchy="false">`` with
+  the delimiter's numeric reference (r4: the round-3 subset rejected
+  ubiquitous ``f(x)``);
+* ``\\left DELIM ... \\right DELIM`` -> an ``<mrow>`` whose delimiters
+  are ``<mo stretchy="true" fence="true" form="prefix|postfix">``;
+* ``\\sqrt{X}`` -> ``<msqrt><mrow>X</mrow></msqrt>``;
+  ``\\sqrt[N]{X}`` -> ``<mroot>`` (base mrow first, then index mrow);
+* ``\\text{...}`` -> ``<mtext>`` with interior spaces as
+  ``&#x000A0;``.
 
 Fidelity is pinned BYTE-FOR-BYTE against the reference's committed
 goldens, which were generated with the real latex2mathml
@@ -59,6 +68,13 @@ _OPERATOR_CHARS = {
     ",": 0x2C, ";": 0x3B, ":": 0x3A, "!": 0x21, "<": 0x3C, ">": 0x3E,
 }
 
+# delimiter name -> codepoint; plain occurrences render as
+# <mo stretchy="false">, \left/\right occurrences as stretchy fences
+_FENCES = {
+    "(": 0x28, ")": 0x29, "[": 0x5B, "]": 0x5D, "|": 0x7C,
+    "lbrace": 0x7B, "rbrace": 0x7D,
+}
+
 _GREEK = {
     "alpha": 0x3B1, "beta": 0x3B2, "gamma": 0x3B3, "delta": 0x3B4,
     "epsilon": 0x3F5, "zeta": 0x3B6, "eta": 0x3B7, "theta": 0x3B8,
@@ -95,8 +111,27 @@ def _tokenize(latex: str) -> List[Tuple[str, str]]:
             while j < n and latex[j].isalpha():
                 j += 1
             if j == i + 1:
+                if i + 1 < n and latex[i + 1] in "{}":
+                    out.append(("fence", "lbrace" if latex[i + 1] == "{"
+                                else "rbrace"))
+                    i += 2
+                    continue
                 raise UnsupportedLatex(f"escape {latex[i:i+2]!r}")
-            out.append(("cmd", latex[i + 1:j]))
+            name = latex[i + 1:j]
+            if name == "text":
+                # raw-read the braced argument (spaces significant)
+                k = j
+                while k < n and latex[k].isspace():
+                    k += 1
+                if k >= n or latex[k] != "{":
+                    raise UnsupportedLatex("\\text needs {")
+                m = latex.find("}", k + 1)
+                if m < 0:
+                    raise UnsupportedLatex("unclosed \\text")
+                out.append(("mtext", latex[k + 1:m]))
+                i = m + 1
+                continue
+            out.append(("cmd", name))
             i = j
         elif ch.isalpha():
             out.append(("mi", ch))
@@ -109,6 +144,9 @@ def _tokenize(latex: str) -> List[Tuple[str, str]]:
             i = j
         elif ch in _OPERATOR_CHARS:
             out.append(("mo", ch))
+            i += 1
+        elif ch in "()[]|":
+            out.append(("fence", ch))
             i += 1
         elif ch in "{}^_":
             out.append((ch, ch))
@@ -197,6 +235,14 @@ class _Parser:
             el = Element("mo")
             el.text = _ref(_OPERATOR_CHARS[val])
             return el, False
+        if kind == "fence":
+            el = Element("mo", {"stretchy": "false"})
+            el.text = _ref(_FENCES[val])
+            return el, False
+        if kind == "mtext":
+            el = Element("mtext")
+            el.text = val.replace(" ", "&#x000A0;")
+            return el, False
         if kind == "{":
             row = Element("mrow")
             for c in self.parse_nodes(until_brace=True):
@@ -208,6 +254,12 @@ class _Parser:
                 for _ in range(2):
                     el.append(self._braced_arg())
                 return el, False
+            if val == "sqrt":
+                return self._sqrt(), False
+            if val == "left":
+                return self._left_right(), False
+            if val == "right":
+                raise UnsupportedLatex("\\right without \\left")
             if val in _GREEK:
                 el = Element("mi")
                 el.text = _ref(_GREEK[val])
@@ -227,6 +279,63 @@ class _Parser:
         row = Element("mrow")
         for c in self.parse_nodes(until_brace=True):
             row.append(c)
+        return row
+
+    def _sqrt(self) -> Element:
+        """\\sqrt{X} -> msqrt; \\sqrt[N]{X} -> mroot (base mrow first,
+        then index mrow - the published converter's child order)."""
+        t = self._peek()
+        index: Optional[Element] = None
+        if t == ("fence", "["):
+            self.i += 1
+            idx = Element("mrow")
+            while True:
+                t = self._peek()
+                if t is None:
+                    raise UnsupportedLatex("unclosed \\sqrt[")
+                if t == ("fence", "]"):
+                    self.i += 1
+                    break
+                idx.append(self.parse_scripted())
+            index = idx
+        base = self._braced_arg()
+        if index is None:
+            el = Element("msqrt")
+            el.append(base)
+            return el
+        el = Element("mroot")
+        el.append(base)
+        el.append(index)
+        return el
+
+    def _fence_delim(self) -> str:
+        t = self._next()
+        if t[0] != "fence":
+            raise UnsupportedLatex(f"\\left/\\right delim {t[1]!r}")
+        return t[1]
+
+    def _left_right(self) -> Element:
+        """\\left DELIM body \\right DELIM -> mrow with stretchy
+        prefix/postfix fence <mo>s."""
+        open_d = self._fence_delim()
+        row = Element("mrow")
+        mo = SubElement(row, "mo", {"stretchy": "true", "fence": "true",
+                                    "form": "prefix"})
+        mo.text = _ref(_FENCES[open_d])
+        while True:
+            t = self._peek()
+            if t is None:
+                raise UnsupportedLatex("\\left without \\right")
+            if t == ("cmd", "right"):
+                self.i += 1
+                break
+            row.append(self.parse_scripted())
+        # mismatched pairs (\left[ ... \right)) are legal LaTeX; keep
+        # whatever delimiter was given
+        close_d = self._fence_delim()
+        mo = SubElement(row, "mo", {"stretchy": "true", "fence": "true",
+                                    "form": "postfix"})
+        mo.text = _ref(_FENCES[close_d])
         return row
 
 
