@@ -91,14 +91,27 @@ def main() -> None:
     control_run()  # warm (JIT/caches)
     times: dict[str, float] = {}
     # headline: best of 5, each run bracketed by the control so every
-    # sample carries its own window quality
+    # sample carries its own window quality. r3 verdict item 8: the
+    # committed artifact must come from a control-verified GOOD window
+    # - if the best sample is bracketed by degraded controls (co-tenant
+    # burst), rerun the 5-sample block, up to 3 attempts, rather than
+    # committing a mixed-window draw. 400 docs/s is the r1-quality
+    # control floor (good windows read 411-525 across rounds).
+    GOOD_CONTROL = 400.0
     runs: list[float] = []
     controls: list[float] = [control_run()]
-    for _ in range(5):
-        t0 = time.perf_counter()
-        chunk_documents(big, mode="hybrid", max_tokens=64).count()
-        runs.append(time.perf_counter() - t0)
-        controls.append(control_run())
+    attempts = 0
+    while True:
+        attempts += 1
+        for _ in range(5):
+            t0 = time.perf_counter()
+            chunk_documents(big, mode="hybrid", max_tokens=64).count()
+            runs.append(time.perf_counter() - t0)
+            controls.append(control_run())
+        bi = runs.index(min(runs))
+        window = (controls[bi], controls[bi + 1])
+        if min(window) >= GOOD_CONTROL or attempts >= 3:
+            break
     headline_secs = min(runs)
 
     # per-query number stays at the sf's own size (comparable across sf)
@@ -143,6 +156,10 @@ def main() -> None:
         "headline_runs_docs_per_sec": [round(n_big / r, 1)
                                        for r in runs],
         "control_1core_docs_per_sec": controls,
+        # the controls bracketing the committed best sample + how many
+        # 5-run attempts the good-window gate took (max 3)
+        "headline_window_controls": list(window),
+        "headline_attempts": attempts,
     }))
     spark.stop()
 

@@ -264,7 +264,18 @@ def _unpack_spans(packed: DataFrame) -> DataFrame:
 
 def extract_layout_docs_files(spark: SparkSession,
                               path: str) -> DataFrame:
-    """Zero-shuffle parse of a doc-grouped print table on disk.
+    """Zero-shuffle parse of a doc-grouped print table on disk,
+    unpacked to the nested DOC_SPANS_SCHEMA view (see
+    :func:`extract_layout_packed_files` for the raw packed boundary -
+    a sink that stores doc-bucketed span shards should consume THAT
+    and skip the unpack entirely)."""
+    return _unpack_spans(extract_layout_packed_files(spark, path))
+
+
+def extract_layout_packed_files(spark: SparkSession,
+                                path: str) -> DataFrame:
+    """Zero-shuffle parse of a doc-grouped print table on disk,
+    PACKED_SPANS_SCHEMA output - the parse boundary itself.
 
     The print table's own writer (one file per render task, a
     document's pages written consecutively) guarantees a document
@@ -336,9 +347,8 @@ def extract_layout_docs_files(spark: SparkSession,
     # repartitionByRange on the 0..n_slots-1 slot ids gives the exact
     # one-bin-per-task placement LPT computed (hash repartition would
     # collide bins)
-    return _unpack_spans(
-        paths.repartitionByRange(n_slots, "slot")
-        .mapInArrow(run, PACKED_SPANS_SCHEMA))
+    return (paths.repartitionByRange(n_slots, "slot")
+            .mapInArrow(run, PACKED_SPANS_SCHEMA))
 
 
 def extract_layout(cells: DataFrame) -> DataFrame:

@@ -265,10 +265,43 @@ def _dedup_state_fn(key, pdfs, state):
     yield pd.DataFrame({"fp": [key[0]], "doc_id": [winner]})
 
 
+def _dedup_state_fn_ttl(ttl_ms: int):
+    """TTL variant of the dedup state body (sliding admission window):
+    each sighting re-arms the processing-time timeout; a fingerprint
+    unseen for ``ttl_ms`` has its state reclaimed on the next trigger,
+    so a later re-occurrence is admitted again. This is the state-size
+    control for unbounded streams - state holds only fingerprints seen
+    within the window, not forever."""
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        doc_ids = []
+        for pdf in pdfs:
+            doc_ids.extend(pdf["doc_id"].tolist())
+        seen = state.exists and state.get[0]
+        if seen or not doc_ids:
+            if state.exists:
+                # Spark clears the timeout on every invocation that
+                # has data; re-arm it or the state never expires
+                state.setTimeoutDuration(ttl_ms)
+            return
+        winner = min(doc_ids)
+        state.update((True, winner))
+        state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"fp": [key[0]], "doc_id": [winner]})
+
+    return fn
+
+
 def stream_dedup_documents(
     spark: SparkSession,
     input_dir: str,
     max_files_per_trigger: Optional[int] = None,
+    ttl_ms: Optional[int] = None,
 ) -> DataFrame:
     """Streaming exact dedup over the documents stream.
 
@@ -281,9 +314,12 @@ def stream_dedup_documents(
 
     Scale shape: state is one boolean+string per DISTINCT fingerprint,
     partitioned by fp hash across executors - the streaming analogue
-    of the batch hash-groupBy exact dedup. Production knobs: RocksDB
-    state store for 10^9+ keys, state TTL (GroupStateTimeout) if the
-    admission window may expire; neither changes the operator."""
+    of the batch hash-groupBy exact dedup. Production knobs, both
+    TESTED (tests/test_streaming.py): the RocksDB state-store provider
+    (spark.sql.streaming.stateStore.providerClass) keeps 10^9+ keys
+    off-heap with checkpointed snapshots; ``ttl_ms`` turns the
+    admission list into a sliding window via ProcessingTimeTimeout so
+    state size tracks the window, not the stream's lifetime."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -299,13 +335,17 @@ def stream_dedup_documents(
             "a.offset - b.offset), s -> s.text), '\\u001f')"
         )).alias("fp"),
         "doc_id")
+    fn = (_dedup_state_fn if ttl_ms is None
+          else _dedup_state_fn_ttl(ttl_ms))
+    timeout = (GroupStateTimeout.NoTimeout if ttl_ms is None
+               else GroupStateTimeout.ProcessingTimeTimeout)
     return (keyed.groupBy("fp")
             .applyInPandasWithState(
-                _dedup_state_fn,
+                fn,
                 outputStructType=DEDUP_OUT_SCHEMA,
                 stateStructType=DEDUP_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))
 
 
 def stream_dedup_once(
@@ -314,6 +354,7 @@ def stream_dedup_once(
     output_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: Optional[int] = None,
+    ttl_ms: Optional[int] = None,
 ) -> None:
     """Drain available files through the stateful dedup into a parquet
     sink. Re-running with the same checkpoint resumes: already-seen
@@ -321,7 +362,8 @@ def stream_dedup_once(
     checkpoint), and the parquet sink's file log keeps output
     exactly-once."""
     survivors = stream_dedup_documents(
-        spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger,
+        ttl_ms=ttl_ms)
     q = (survivors.writeStream
          .format("parquet")
          .option("path", output_dir)
@@ -329,4 +371,29 @@ def stream_dedup_once(
          .outputMode("append")
          .trigger(availableNow=True)
          .start())
-    q.awaitTermination()
+    if ttl_ms is None:
+        q.awaitTermination()
+    else:
+        # with ProcessingTimeTimeout the microbatch engine keeps
+        # scheduling no-data batches while timers are pending, so an
+        # availableNow query never self-terminates (observed: the
+        # batch counter spins; processAllAvailable blocks the same
+        # way). Poll until the available data is drained and no
+        # trigger is mid-flight, then stop. Pending timers fire in a
+        # later run's batch - exactly the expiry semantics a periodic
+        # drain pipeline wants.
+        import time as _time
+
+        while q.isActive:
+            lp = q.lastProgress
+            if lp is not None and lp["numInputRows"] == 0:
+                # first zero-input batch = available data drained;
+                # the engine is now only polling timers
+                break
+            s = q.status
+            if (q.recentProgress and not s["isDataAvailable"]
+                    and not s["isTriggerActive"]):
+                break
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()

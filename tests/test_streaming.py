@@ -222,3 +222,104 @@ def test_stream_dedup_first_occurrence_wins(spark, tmp_path):
                     "a.offset - b.offset), s -> s.text), '\\u001f')"
                 )).alias("fp")).distinct().count())
     assert batch_fp == got2.count()
+
+
+def test_stream_dedup_rocksdb_provider_restart(spark, tmp_path):
+    """r3 verdict item 6: the 10^9-key scale note must be tested, not
+    asserted - run the stateful dedup on the RocksDB state-store
+    provider, restart from the checkpoint, and verify (a) first
+    occurrence still wins across the restart and (b) the checkpoint
+    actually contains RocksDB artifacts (the provider ran)."""
+    import glob as _glob
+
+    from docling_core_spark.engine import DOCUMENTS_SCHEMA
+    from docling_core_spark.streaming import stream_dedup_once
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    def doc(doc_id, text):
+        return (doc_id, [("text", text, "", 0)])
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state."
+             "RocksDBStateStoreProvider")
+    try:
+        spark.createDataFrame(
+            [doc("r01", "alpha"), doc("r02", "beta"),
+             doc("r03", "alpha")],
+            DOCUMENTS_SCHEMA).coalesce(1).write.mode("append") \
+            .parquet(in_dir)
+        stream_dedup_once(spark, in_dir, out_dir, ckpt)
+        got = {r["doc_id"]
+               for r in spark.read.parquet(out_dir).collect()}
+        assert got == {"r01", "r02"}
+
+        # restart: re-delivered alpha stays dead, new gamma admitted
+        spark.createDataFrame(
+            [doc("r04", "alpha"), doc("r05", "gamma")],
+            DOCUMENTS_SCHEMA).coalesce(1).write.mode("append") \
+            .parquet(in_dir)
+        stream_dedup_once(spark, in_dir, out_dir, ckpt)
+        got2 = {r["doc_id"]
+                for r in spark.read.parquet(out_dir).collect()}
+        assert got2 == {"r01", "r02", "r05"}
+
+        # the state checkpoint must carry RocksDB files (.zip
+        # snapshots / .changelog), not HDFS-provider .delta files
+        state_files = _glob.glob(os.path.join(ckpt, "state", "**"),
+                                 recursive=True)
+        assert any(f.endswith((".zip", ".changelog"))
+                   for f in state_files), state_files[:20]
+        assert not any(f.endswith(".delta") for f in state_files)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_stream_dedup_ttl_readmits_after_expiry(spark, tmp_path):
+    """ttl_ms turns the admission list into a sliding window: a
+    fingerprint idle past the TTL has its state reclaimed on the next
+    trigger and a later re-occurrence is admitted again; inside the
+    window duplicates still die."""
+    import time
+
+    from docling_core_spark.engine import DOCUMENTS_SCHEMA
+    from docling_core_spark.streaming import stream_dedup_once
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    TTL = 1500
+
+    def doc(doc_id, text):
+        return (doc_id, [("text", text, "", 0)])
+
+    def add(*docs):
+        spark.createDataFrame(list(docs), DOCUMENTS_SCHEMA) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    # run 1: admit alpha (+ an in-window duplicate dies)
+    add(doc("t01", "alpha"), doc("t02", "alpha"))
+    stream_dedup_once(spark, in_dir, out_dir, ckpt, ttl_ms=TTL)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"t01"}
+
+    # run 2 after the TTL, data only for beta: the trigger processes
+    # alpha's timeout and reclaims its state
+    time.sleep((TTL + 1200) / 1000.0)
+    add(doc("t03", "beta"))
+    stream_dedup_once(spark, in_dir, out_dir, ckpt, ttl_ms=TTL)
+
+    # run 3: alpha re-occurs after expiry -> admitted again
+    add(doc("t04", "alpha"))
+    stream_dedup_once(spark, in_dir, out_dir, ckpt, ttl_ms=TTL)
+    got3 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert got3 == {"t01", "t03", "t04"}
