@@ -210,26 +210,40 @@ def test_token_counts_real_single_arrow_stage(spark):
     assert "ReadSchema" in p
 
 
-def test_splice_replace_single_arrow_stage(spark):
-    """M6 splice is one Arrow crossing; only the presentation sort
-    shuffles."""
+def test_splice_replace_pure_sql_zero_python(spark):
+    """M6 splice after the r4 vectorization: ZERO Python crossings
+    (the SQL-fold rewrite replaced the Arrow stage entirely); only
+    the presentation sort shuffles."""
     p = _plan(spark, "splice_replace")
     tree = p.split("(1)")[0]
-    assert tree.count("MapInArrow") == 1
+    assert "MapInArrow" not in tree
+    assert "PythonUDF" not in p
     assert tree.count("Exchange") <= 1  # rangepartitioning (orderBy)
 
 
-def test_splice_graft_one_join_one_arrow_stage(spark):
+def test_splice_graft_one_join_zero_python(spark):
     """M4+M8 graft: the doc pairing is one doc_id equi-join (broadcast
-    at test SF; a co-partitioned sort-merge at scale), then ONE
-    MapInArrow splice - no other data shuffle before the presentation
-    sort."""
+    at test SF; a co-partitioned sort-merge at scale), then pure SQL
+    folds - no Python crossing, no other data shuffle before the
+    presentation sort."""
     p = _plan(spark, "splice_graft")
     tree = p.split("(1)")[0]
-    assert tree.count("MapInArrow") == 1
+    assert "MapInArrow" not in tree
+    assert "PythonUDF" not in p
     assert "Join" in tree
     # join machinery + presentation sort only
     assert tree.count("Exchange") <= 3
+
+
+def test_delete_range_pure_sql_zero_python(spark):
+    """M7 delete half (r4 driver query): pure SQL folds + skip
+    filter, zero Python, one presentation-sort shuffle."""
+    p = _plan(spark, "delete_range")
+    tree = p.split("(1)")[0]
+    assert "MapInArrow" not in tree
+    assert "PythonUDF" not in p
+    assert "Filter" in tree  # the skip_unresolvable filter
+    assert tree.count("Exchange") <= 1
 
 
 def test_dedup_retention_broadcasts_labels(spark):
