@@ -520,23 +520,44 @@ _REOFFSET = ("transform({0}, (x, i) -> named_struct("
              "'media_ref', x.media_ref, 'offset', CAST(i AS INT)))")
 
 
-def _splice_select(docs: DataFrame, anchor, new_arr: str,
-                   replace: bool) -> DataFrame:
-    d = (docs.withColumn("sp", F.expr(_SORTED))
-         .withColumn("aidx", F.expr(_sql_anchor_idx(anchor)))
-         .withColumn("aend", F.expr(_sql_subtree_end("aidx"))))
+def _sql_let(name: str, expr: str, body: str) -> str:
+    """Let-binding as a single-element ``transform``: ``expr`` is
+    evaluated exactly ONCE per row and ``body`` references it as the
+    lambda variable ``name``. This survives ANY optimizer inlining:
+    when Catalyst collapses the whole splice into one expression
+    (e.g. as a Generate/explode input), plain column references get
+    textually duplicated and each duplicate re-runs its O(n) fold -
+    measured 0.3s -> 12.7s on the exploded splice at sf0.01. Lambda
+    variables cannot be duplicated that way."""
+    return f"element_at(transform(array({expr}), {name} -> {body}), 1)"
+
+
+def _splice_expr(anchor, new_arr: str, replace: bool) -> str:
+    """The full splice as ONE expression over ``spans`` with let-bound
+    sorted array / anchor index / subtree end (see _sql_let)."""
     if replace:
         # page structure survives the cut (reference keeps pages)
-        body = ("concat(slice(sp, 1, aidx), "
-                "filter(slice(sp, aidx + 1, aend - aidx), "
+        body = ("concat(slice(sp_, 1, ai_), "
+                "filter(slice(sp_, ai_ + 1, ae_ - ai_), "
                 "x -> x.kind LIKE 'page_break:%'), "
                 f"{new_arr}, "
-                "slice(sp, aend + 1, size(sp) - aend))")
+                "slice(sp_, ae_ + 1, size(sp_) - ae_))")
     else:
-        body = (f"concat(slice(sp, 1, aend), {new_arr}, "
-                "slice(sp, aend + 1, size(sp) - aend))")
-    out = _REOFFSET.format(f"IF(aidx < 0, sp, {body})")
-    return d.select("doc_id", F.expr(out).alias("spans"))
+        body = (f"concat(slice(sp_, 1, ae_), {new_arr}, "
+                "slice(sp_, ae_ + 1, size(sp_) - ae_))")
+    out = _REOFFSET.format(f"IF(ai_ < 0, sp_, {body})")
+    return _sql_let(
+        "sp_", _SORTED,
+        _sql_let("ai_", _sql_anchor_idx(anchor, col="sp_"),
+                 _sql_let("ae_", _sql_subtree_end("ai_", col="sp_"),
+                          out)))
+
+
+def _splice_select(docs: DataFrame, anchor, new_arr: str,
+                   replace: bool) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.expr(_splice_expr(anchor, new_arr, replace)).alias("spans"))
 
 
 def insert_spans_after(docs: DataFrame, anchor,
@@ -563,40 +584,50 @@ def delete_spans_range(docs: DataFrame, start, end,
     not resolve (or the anchors are out of order) instead of raising -
     the corpus-pipeline mode (the reference API, like the default,
     raises on bad anchors)."""
-    d = (docs.select("doc_id", "spans")
-         .withColumn("sp", F.expr(_SORTED))
-         .withColumn("i0", F.expr(_sql_anchor_idx(start)))
-         .withColumn("i1", F.expr(_sql_anchor_idx(end))))
+    d = docs.select("doc_id", "spans")
+
+    def lets(body: str) -> str:
+        """sp_/i0_/i1_ let-bound (each fold once per row, _sql_let)."""
+        return _sql_let(
+            "sp_", _SORTED,
+            _sql_let("i0_", _sql_anchor_idx(start, col="sp_"),
+                     _sql_let("i1_", _sql_anchor_idx(end, col="sp_"),
+                              body)))
+
     if skip_unresolvable:
-        d = d.filter("i0 >= 0 AND i1 >= 0 AND i0 <= i1")
-    d = (d.withColumn("e0", F.expr(_sql_subtree_end("i0")))
-         .withColumn("e1", F.expr(_sql_subtree_end("i1"))))
-    cut = ("named_struct("
-           f"'c0', IF({str(bool(start_inclusive)).lower()}, i0, e0), "
-           f"'c1', IF({str(bool(end_inclusive)).lower()}, e1, i1))")
-    if skip_unresolvable:
-        # no raise_error branches in skip mode: Catalyst is free to
+        d = d.filter(F.expr(lets("i0_ >= 0 AND i1_ >= 0 AND i0_ <= i1_")))
+    cut = ("IF(c1r_ < c0_, c0_, c1r_)")
+    body = _sql_let(
+        "e0_", _sql_subtree_end("i0_", col="sp_"),
+        _sql_let(
+            "e1_", _sql_subtree_end("i1_", col="sp_"),
+            _sql_let(
+                "c0_",
+                f"IF({str(bool(start_inclusive)).lower()}, i0_, e0_)",
+                _sql_let(
+                    "c1_",
+                    _sql_let(
+                        "c1r_",
+                        f"IF({str(bool(end_inclusive)).lower()}, e1_, i1_)",
+                        cut),
+                    _REOFFSET.format(
+                        "concat(slice(sp_, 1, c0_), "
+                        "filter(slice(sp_, c0_ + 1, c1_ - c0_), "
+                        "x -> x.kind LIKE 'page_break:%'), "
+                        "slice(sp_, c1_ + 1, size(sp_) - c1_))")))))
+    if not skip_unresolvable:
+        # the raise branches stay OUT of skip mode: Catalyst may
         # reorder a collapsed Project around the skip Filter, and a
         # raise_error evaluated on a row the Filter would drop aborts
-        # the job (observed at sf0.01). The branches are unreachable
-        # post-filter anyway.
-        checked = cut
-    else:
-        checked = (
-            "CASE WHEN i0 < 0 OR i1 < 0 THEN "
+        # the job (observed at sf0.01); post-filter they are
+        # unreachable anyway
+        body = (
+            "CASE WHEN i0_ < 0 OR i1_ < 0 THEN "
             "raise_error('range anchor not found') "
-            "WHEN i0 > i1 THEN raise_error("
+            "WHEN i0_ > i1_ THEN raise_error("
             "'start anchor must not come after end anchor') "
-            f"ELSE {cut} END")
-    d = (d.withColumn("cut", F.expr(checked))
-         .withColumn("c0", F.col("cut.c0"))
-         .withColumn("c1", F.greatest("cut.c1", "cut.c0")))
-    out = _REOFFSET.format(
-        "concat(slice(sp, 1, c0), "
-        "filter(slice(sp, c0 + 1, c1 - c0), "
-        "x -> x.kind LIKE 'page_break:%'), "
-        "slice(sp, c1 + 1, size(sp) - c1))")
-    return d.select("doc_id", F.expr(out).alias("spans"))
+            f"ELSE {body} END")
+    return d.select("doc_id", F.expr(lets(body)).alias("spans"))
 
 
 def graft_documents(docs_a: DataFrame, docs_b: DataFrame,

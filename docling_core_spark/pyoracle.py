@@ -30,7 +30,7 @@ import re
 from typing import Dict, List, Optional, Tuple
 
 # bump when any expected-row computation here changes shape/semantics
-ORACLE_VERSION = 8  # r4: subtree walk skips page breaks; cuts keep them
+ORACLE_VERSION = 9  # r4: search_meta_validation synth endpoint rename
 
 # headings are free text; \x1f (ASCII unit separator) never appears in
 # the corpus and both sides apply the identical join, so equality of

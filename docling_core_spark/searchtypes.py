@@ -368,7 +368,7 @@ def synth_search_payload(doc_id: int, text: str) -> tuple:
             payload["$ref"] = DOCUMENT_REF
         if doc_id % 5 == 0:
             payload["ccs_s3_data"] = {
-                "endpoint": "store.example.internal",
+                "endpoint": "store.example.org",
                 "paths": [{"bucket": f"b{doc_id}", "prefix": "p",
                            "infix": "i"}],
             }
