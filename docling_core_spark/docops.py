@@ -241,6 +241,12 @@ SPLICE_GRAFT_KINDS = ("text", "paragraph", "title")
 # 500-doc corpus - both paths exercised).
 DELETE_RANGE_START = ("text", "paragraph")
 DELETE_RANGE_END = ("table", "code")
+# driver-query contract for append_child: the parent priority hits a
+# group in docs that have one (group branch: last child inside the
+# group) and a leaf everywhere else (+child attach branch), so one
+# corpus pass exercises both insert shapes.
+APPEND_CHILD_KINDS = ("list_group", "section_header", "text")
+APPEND_CHILD_SPAN = ("text", "Appended child note", "", 0)
 
 def _base_kind_py(kind: str) -> str:
     import re
@@ -378,6 +384,60 @@ def py_splice_spans(spans, anchor, new_spans, replace: bool = False):
     return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
 
 
+def _matching_end_group(kinds, i: int) -> int:
+    """Index of the ``end_group`` closing the opener at span i; the
+    sequence length when the group never closes (the codec tolerates
+    unclosed groups - they close at document end, model/spans.py)."""
+    n = len(kinds)
+    depth = 1
+    j = i + 1
+    while j < n and depth:
+        b = _base_kind_py(kinds[j])
+        if b in ("list_group", "inline_group"):
+            depth += 1
+        elif kinds[j] == "end_group":
+            depth -= 1
+        j += 1
+    return n if depth else j - 1
+
+
+def py_append_child_span(spans, parent_anchor, new_span):
+    """append_child_item (reference document.py:2007-2031) as a span
+    insert: the new leaf item becomes the LAST child of the parent.
+
+    * ``parent_anchor is None`` -> the body (the reference default):
+      the span appends at document end as a plain sibling.
+    * group parent (``list_group``/``inline_group`` opener) -> the
+      span inserts just before the group's matching ``end_group``
+      (last child inside the group).
+    * leaf parent -> the span inserts at the leaf's subtree end (after
+      any existing attached children) carrying the ``+child`` marker,
+      so rebuild re-attaches it as the leaf's child (model/spans.py
+      ``as_child``).
+
+    The reference refuses a child that itself has children
+    (document.py:2011-2012); this op inserts exactly one span, so the
+    constraint holds by construction. Offsets re-assigned densely."""
+    spans = sorted(spans, key=lambda s: s[3])
+    k, t, m = new_span[0], new_span[1], new_span[2]
+    if parent_anchor is None:
+        out = spans + [(k, t, m, 0)]
+        return [(kk, tt, mm, i) for i, (kk, tt, mm, _) in enumerate(out)]
+    kinds = [s[0] for s in spans]
+    idx = _anchor_index(spans, parent_anchor)
+    if idx is None:
+        return [(kk, tt, mm, i)
+                for i, (kk, tt, mm, _) in enumerate(spans)]
+    if _base_kind_py(kinds[idx]) in ("list_group", "inline_group"):
+        pos = _matching_end_group(kinds, idx)
+        ins = (k, t, m, 0)
+    else:
+        pos = _subtree_end(kinds, idx)
+        ins = (k + "+child", t, m, 0)
+    out = spans[:pos] + [ins] + spans[pos:]
+    return [(kk, tt, mm, i) for i, (kk, tt, mm, _) in enumerate(out)]
+
+
 def py_delete_spans_range(spans, start, end,
                           start_inclusive: bool = True,
                           end_inclusive: bool = True):
@@ -505,6 +565,28 @@ def _sql_subtree_end(aidx: str, col: str = "sp") -> str:
         "WHEN acc.t >= 0 THEN acc.t ELSE acc.i END))")
 
 
+def _sql_match_end_group(aidx: str, col: str = "sp") -> str:
+    """Index of the ``end_group`` matching the opener at ``aidx``; the
+    array size when the group never closes - the SQL twin of
+    _matching_end_group. State: i = position, d = group depth
+    (0 before the anchor), g = resolved end_group index."""
+    return (
+        f"aggregate({col}, "
+        "named_struct('i', 0, 'd', 0, 'g', -1), "
+        "(acc, s) -> CASE "
+        f"WHEN acc.g >= 0 OR acc.i < {aidx} THEN "
+        "named_struct('i', acc.i + 1, 'd', acc.d, 'g', acc.g) "
+        f"WHEN acc.i = {aidx} THEN "
+        "named_struct('i', acc.i + 1, 'd', 1, 'g', -1) "
+        "WHEN s.kind = 'end_group' THEN named_struct('i', acc.i + 1, "
+        "'d', acc.d - 1, 'g', IF(acc.d = 1, acc.i, -1)) "
+        f"WHEN {_S_OPENER} THEN "
+        "named_struct('i', acc.i + 1, 'd', acc.d + 1, 'g', -1) "
+        "ELSE named_struct('i', acc.i + 1, 'd', acc.d, 'g', acc.g) "
+        "END, "
+        "acc -> IF(acc.g >= 0, acc.g, acc.i))")
+
+
 def _sql_new_spans(new_spans) -> str:
     if not new_spans:
         return "slice(sp, 1, 0)"
@@ -570,6 +652,57 @@ def insert_spans_after(docs: DataFrame, anchor,
     exhaustive anchor sweeps)."""
     return _splice_select(docs.select("doc_id", "spans"), anchor,
                           _sql_new_spans(new_spans), replace)
+
+
+def _append_child_expr(anchor, new_span) -> str:
+    """append_child_item as ONE expression over ``spans`` (see
+    py_append_child_span for the semantics; let-bound folds per
+    _sql_let so each O(n) walk runs exactly once per row)."""
+    k, t, m = new_span[0], new_span[1], new_span[2]
+
+    def new_one(kind_expr: str) -> str:
+        return (f"array(named_struct('kind', {kind_expr}, "
+                f"'text', {_sql_str(t)}, 'media_ref', {_sql_str(m)}, "
+                "'offset', 0))")
+
+    if anchor is None:
+        return _sql_let(
+            "sp_", _SORTED,
+            _REOFFSET.format(f"concat(sp_, {new_one(_sql_str(k))})"))
+    kind_expr = f"IF(op_, {_sql_str(k)}, {_sql_str(k + '+child')})"
+    body = (f"concat(slice(sp_, 1, pos_), {new_one(kind_expr)}, "
+            "slice(sp_, pos_ + 1, size(sp_) - pos_))")
+    out = _REOFFSET.format(f"IF(ai_ < 0, sp_, {body})")
+    opener = ("IF(ai_ < 0, false, regexp_extract("
+              "element_at(sp_, ai_ + 1).kind, '^[a-z_]+', 0) "
+              "IN ('list_group', 'inline_group'))")
+    pos = (f"IF(op_, {_sql_match_end_group('ai_', col='sp_')}, "
+           f"{_sql_subtree_end('ai_', col='sp_')})")
+    return _sql_let(
+        "sp_", _SORTED,
+        _sql_let("ai_", _sql_anchor_idx(anchor, col="sp_"),
+                 _sql_let("op_", opener,
+                          _sql_let("pos_", pos, out))))
+
+
+def append_child_spans(docs: DataFrame, parent_anchor,
+                       new_span) -> DataFrame:
+    """append_child_item (reference document.py:2007-2031) as a Spark
+    op: the same single-leaf child appended to the resolved parent in
+    every document - the body (``parent_anchor is None``), a group
+    (insert before its matching ``end_group``), or a leaf (``+child``
+    attach at the leaf's subtree end). Pure SQL folds, zero shuffle,
+    zero Python; semantics identical to py_append_child_span
+    (tests/test_splice.py asserts equality over the corpus and the
+    exhaustive anchor sweep vs the LIVE reference).
+
+    Documented residual: children of ``furniture:*`` leaves do not
+    round-trip (the emitter skips furniture subtrees); anchor kinds in
+    practice are body-layer items, as in the driver query."""
+    return docs.select(
+        "doc_id",
+        F.expr(_append_child_expr(parent_anchor, new_span))
+        .alias("spans"))
 
 
 def delete_spans_range(docs: DataFrame, start, end,

@@ -334,8 +334,10 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 base = ("code" if c.code_language in ("", "unknown")
                         else f"code:{c.code_language}")
                 emit(f"{base}{fmt_suffix(c)}", c.text, c.media_ref)
+                emit_item_children(c)
             elif c.kind == K_FORMULA:
                 emit("formula", c.text, c.orig)
+                emit_item_children(c)
             elif c.kind == K_PICTURE:
                 img_tag = encode_image_ref(c.image)
                 if c.chart_class:
@@ -364,10 +366,13 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                     # orphan caption (no floating item claimed it):
                     # keep it as a standalone caption span
                     emit("caption", c.text)
+                emit_item_children(c)
             elif c.kind == K_KEY_VALUE:
                 emit("key_value_region", c.text)
+                emit_item_children(c)
             elif c.kind == K_FORM:
                 emit("form", c.text)
+                emit_item_children(c)
             else:
                 base = c.label if c.label in TEXTUAL_LABELS else "text"
                 emit(f"{base}{fmt_suffix(c)}", c.text, c.hyperlink)

@@ -397,6 +397,26 @@ def _rows_delete_range(n: int) -> list:
     return out
 
 
+def _rows_append_child(n: int) -> list:
+    """append_child_item driver oracle (reference document.py:
+    2007-2031): the same pure append the Spark SQL folds implement
+    (docops.py_append_child_span), single-process; parent semantics
+    parity-locked to the live reference in tests/test_append_child.py."""
+    from docling_core_spark.docops import (
+        APPEND_CHILD_KINDS,
+        APPEND_CHILD_SPAN,
+        py_append_child_span,
+    )
+
+    out = []
+    for r in _corpus_rows(n):
+        res = py_append_child_span(_tuples(r["spans"]),
+                                   APPEND_CHILD_KINDS,
+                                   APPEND_CHILD_SPAN)
+        out.extend(_span_rows(r["doc_id"], res))
+    return out
+
+
 def _rows_splice_graft(n: int) -> list:
     """M4+M8 driver oracle: ring-neighbour graft, single-process."""
     from docling_core_spark.docops import (
@@ -691,6 +711,10 @@ _SPECS: Dict[str, tuple] = {
          ("text", "string"), ("media_ref", "string")], None),
     "delete_range": (
         _rows_delete_range,
+        [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
+         ("text", "string"), ("media_ref", "string")], None),
+    "append_child": (
+        _rows_append_child,
         [("doc_id", "string"), ("ord", "int32"), ("kind", "string"),
          ("text", "string"), ("media_ref", "string")], None),
     "docjson_validation": (
