@@ -309,26 +309,39 @@ def _subtree_end(kinds, i: int) -> int:
     return tent if tent is not None else j
 
 
-def _anchor_index(spans, anchor):
+def _is_attached_kind(k: str) -> bool:
+    return (k.endswith("+child")
+            or (":of_prev" in k and _base_kind_py(k) in
+                ("list_group", "inline_group")))
+
+
+def _anchor_index(spans, anchor, allow_attached: bool = False):
     """Resolve an anchor to a span index. ``anchor`` is either an
     explicit span offset (int) or a priority tuple of base kinds - the
     first standalone item span (no ``+child`` cell content, no
     ``:of_prev`` bracket, not origin/end_group) whose base kind matches
-    wins. Returns None when nothing matches (doc passes through)."""
+    wins. Returns None when nothing matches (doc passes through).
+
+    ``allow_attached``: offset anchors may resolve to attached child
+    spans (rich cells, of_prev brackets) - the caller then splices IN
+    THE OWNING LEAF'S CHILD LIST (the reference's sibling semantics
+    for such items). ``end_group`` is never an anchor (it is a
+    bracket, not an item)."""
     if isinstance(anchor, int):
         idx = next((i for i, s in enumerate(spans)
                     if s[3] == anchor), None)
         if idx is None:
             raise ValueError(f"anchor offset {anchor} not found")
         k = spans[idx][0]
-        if (k.endswith("+child") or k == "end_group"
-                or (":of_prev" in k and _base_kind_py(k) in
-                    ("list_group", "inline_group"))):
+        if k == "end_group":
+            raise ValueError(
+                f"anchor {anchor} is an end_group bracket, not an item")
+        if _is_attached_kind(k) and not allow_attached:
             # attached children (rich cells, of_prev brackets) are not
-            # standalone siblings: the reference treats an insert
-            # after one as ADDING A CHILD to the owning leaf (a leaf
-            # with mixed block children - inexpressible as a span
-            # sibling). Anchor on the owning leaf instead.
+            # standalone siblings: an insert after one splices in the
+            # owning leaf's child list - only supported where the new
+            # content is flat leaf spans (insert_spans_after), not for
+            # whole-body grafts. Anchor on the owning leaf instead.
             raise ValueError(
                 f"anchor {anchor} is an attached child span ({k}); "
                 "anchor on its owning leaf instead")
@@ -351,7 +364,8 @@ def graft_body(spans) -> list:
     return [s for s in spans if not s[0].startswith("origin")]
 
 
-def py_splice_spans(spans, anchor, new_spans, replace: bool = False):
+def py_splice_spans(spans, anchor, new_spans, replace: bool = False,
+                    allow_child_anchor: bool = True):
     """Pure per-doc splice over (kind, text, media_ref, offset) tuples
     sorted by offset. ``anchor``: span offset or base-kind priority
     tuple (see _anchor_index).
@@ -368,19 +382,45 @@ def py_splice_spans(spans, anchor, new_spans, replace: bool = False):
     Offsets are re-assigned densely (the per-pool index rewrite).
     Page breaks inside a replaced subtree survive the cut (the
     reference's delete cascade never deletes pages, so following
-    content keeps its page on rebuild)."""
+    content keeps its page on rebuild).
+
+    Attached-child offset anchors (rich cells, of_prev brackets) are
+    supported when ``allow_child_anchor``: the new spans land in the
+    OWNING LEAF's child list right after the anchor (reference
+    insert_item_after_sibling on such an item), carrying the
+    ``+child`` marker - requires flat leaf ``new_spans`` (no group
+    brackets). NOTE the reference's own replace_item on a rich cell
+    or of_prev bracket corrupts its tree (validate_tree fails after
+    insert-then-delete); the engine performs the substitution the
+    reference intends (tests/test_splice.py documents the
+    divergence)."""
     spans = sorted(spans, key=lambda s: s[3])
     kinds = [s[0] for s in spans]
-    idx = _anchor_index(spans, anchor)
+    idx = _anchor_index(spans, anchor,
+                        allow_attached=allow_child_anchor)
     if idx is None:
         return [(k, t, m, i) for i, (k, t, m, _) in enumerate(spans)]
-    end = _subtree_end(kinds, idx)
+    k_a = kinds[idx]
+    if allow_child_anchor and _is_attached_kind(k_a):
+        if any(_base_kind_py(ns[0]) in ("list_group", "inline_group")
+               or ns[0] == "end_group" for ns in new_spans):
+            raise ValueError(
+                "child-anchor splice supports flat leaf spans only")
+        if ":of_prev" in k_a:
+            end = _matching_end_group(kinds, idx) + 1
+        else:
+            end = idx + 1
+        new_marked = [(ns[0] + "+child", ns[1], ns[2], 0)
+                      for ns in new_spans]
+    else:
+        end = _subtree_end(kinds, idx)
+        new_marked = [tuple(s[:3]) + (0,) for s in new_spans]
     if replace:
         head = spans[:idx] + [s for s in spans[idx:end]
                               if s[0].startswith("page_break:")]
     else:
         head = spans[:end]
-    out = head + [tuple(s[:3]) + (0,) for s in new_spans] + spans[end:]
+    out = head + new_marked + spans[end:]
     return [(k, t, m, i) for i, (k, t, m, _) in enumerate(out)]
 
 
@@ -501,23 +541,31 @@ def _sql_str(v: str) -> str:
     return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _sql_anchor_idx(anchor, col: str = "sp") -> str:
+def _sql_anchor_idx(anchor, col: str = "sp",
+                    allow_attached: bool = False) -> str:
     """Index of the anchor span in ``col`` (-1 when a kind-priority
     anchor matches nothing), mirroring _anchor_index: offset anchors
-    must exist and not be attached-child spans (raise_error, like the
-    ValueError on the Python path); kind anchors take the FIRST
-    standalone span of the highest-priority matching base kind."""
+    must exist and (unless ``allow_attached``) not be attached-child
+    spans (raise_error, like the ValueError on the Python path); kind
+    anchors take the FIRST standalone span of the highest-priority
+    matching base kind."""
     if isinstance(anchor, int):
         find = (f"aggregate({col}, named_struct('i', 0, 'a', -1), "
                 "(acc, s) -> named_struct('i', acc.i + 1, 'a', "
                 f"IF(acc.a < 0 AND s.offset = {int(anchor)}, "
                 "acc.i, acc.a)), acc -> acc.a)")
-        att = _S_ATTACHED.replace("s.kind", "x.kind")
+        if allow_attached:
+            refuse = "x.kind = 'end_group'"
+            msg = f"anchor {anchor} is an end_group bracket, not an item"
+        else:
+            refuse = _S_ATTACHED.replace("s.kind", "x.kind")
+            msg = (f"anchor {anchor} is an attached child span; "
+                   "anchor on its owning leaf instead")
         return (f"CASE WHEN ({find}) < 0 THEN "
                 f"raise_error({_sql_str(f'anchor offset {anchor} not found')}) "
                 f"WHEN exists(slice({col}, ({find}) + 1, 1), "
-                f"x -> {att}) THEN "
-                f"raise_error({_sql_str(f'anchor {anchor} is an attached child span; anchor on its owning leaf instead')}) "
+                f"x -> {refuse}) THEN "
+                f"raise_error({_sql_str(msg)}) "
                 f"ELSE ({find}) END")
     kinds = list(anchor)
     fields = ", ".join(f"'a{j}', -1" for j in range(len(kinds)))
@@ -614,32 +662,63 @@ def _sql_let(name: str, expr: str, body: str) -> str:
     return f"element_at(transform(array({expr}), {name} -> {body}), 1)"
 
 
-def _splice_expr(anchor, new_arr: str, replace: bool) -> str:
+def _splice_expr(anchor, new_arr: str, replace: bool,
+                 new_arr_child: str = None) -> str:
     """The full splice as ONE expression over ``spans`` with let-bound
-    sorted array / anchor index / subtree end (see _sql_let)."""
+    sorted array / anchor index / subtree end (see _sql_let).
+
+    ``new_arr_child``: the +child-marked twin of ``new_arr``. When
+    given, attached-child offset anchors are supported - the splice
+    runs in the owning leaf's child list (anchor's own extent: the
+    bracket group for an of_prev opener, the single span for a rich
+    cell) and inserts the marked twin. When None (grafts), attached
+    anchors keep the loud refusal."""
+    allow = new_arr_child is not None
+    ins = f"IF(at_, {new_arr_child}, {new_arr})" if allow else new_arr
     if replace:
         # page structure survives the cut (reference keeps pages)
         body = ("concat(slice(sp_, 1, ai_), "
                 "filter(slice(sp_, ai_ + 1, ae_ - ai_), "
                 "x -> x.kind LIKE 'page_break:%'), "
-                f"{new_arr}, "
+                f"{ins}, "
                 "slice(sp_, ae_ + 1, size(sp_) - ae_))")
     else:
-        body = (f"concat(slice(sp_, 1, ae_), {new_arr}, "
+        body = (f"concat(slice(sp_, 1, ae_), {ins}, "
                 "slice(sp_, ae_ + 1, size(sp_) - ae_))")
     out = _REOFFSET.format(f"IF(ai_ < 0, sp_, {body})")
+    if not allow:
+        return _sql_let(
+            "sp_", _SORTED,
+            _sql_let("ai_", _sql_anchor_idx(anchor, col="sp_"),
+                     _sql_let("ae_", _sql_subtree_end("ai_", col="sp_"),
+                              out)))
+    att = _S_ATTACHED.replace("s.kind", "element_at(sp_, ai_ + 1).kind")
+    attached = f"IF(ai_ < 0, false, {att})"
+    # anchor extent: of_prev opener -> through its matching end_group;
+    # rich cell -> the one span; standalone -> full pre-order subtree
+    end = ("CASE WHEN NOT at_ THEN "
+           f"{_sql_subtree_end('ai_', col='sp_')} "
+           "WHEN regexp_extract(element_at(sp_, ai_ + 1).kind, "
+           "'^[a-z_]+', 0) IN ('list_group', 'inline_group') THEN "
+           f"{_sql_match_end_group('ai_', col='sp_')} + 1 "
+           "ELSE ai_ + 1 END")
     return _sql_let(
         "sp_", _SORTED,
-        _sql_let("ai_", _sql_anchor_idx(anchor, col="sp_"),
-                 _sql_let("ae_", _sql_subtree_end("ai_", col="sp_"),
-                          out)))
+        _sql_let("ai_",
+                 _sql_anchor_idx(anchor, col="sp_",
+                                 allow_attached=True),
+                 _sql_let("at_", attached,
+                          _sql_let("ae_", end, out))))
 
 
 def _splice_select(docs: DataFrame, anchor, new_arr: str,
-                   replace: bool) -> DataFrame:
+                   replace: bool,
+                   new_arr_child: str = None) -> DataFrame:
     return docs.select(
         "doc_id",
-        F.expr(_splice_expr(anchor, new_arr, replace)).alias("spans"))
+        F.expr(_splice_expr(anchor, new_arr, replace,
+                            new_arr_child=new_arr_child))
+        .alias("spans"))
 
 
 def insert_spans_after(docs: DataFrame, anchor,
@@ -649,9 +728,21 @@ def insert_spans_after(docs: DataFrame, anchor,
     (offset or base-kind priority tuple). Pure SQL folds, zero
     shuffle, zero Python; semantics identical to py_splice_spans
     (tests/test_splice.py asserts equality over the corpus and both
-    exhaustive anchor sweeps)."""
-    return _splice_select(docs.select("doc_id", "spans"), anchor,
-                          _sql_new_spans(new_spans), replace)
+    exhaustive anchor sweeps).
+
+    Offset anchors may resolve to attached child spans (rich cells,
+    of_prev brackets) when ``new_spans`` are flat leaves: the splice
+    then runs in the owning leaf's child list with the new spans
+    ``+child``-marked (reference sibling semantics for such items)."""
+    flat = not any(
+        _base_kind_py(ns[0]) in ("list_group", "inline_group")
+        or ns[0] == "end_group" for ns in new_spans)
+    marked = ([(ns[0] + "+child",) + tuple(ns[1:]) for ns in new_spans]
+              if flat else None)
+    return _splice_select(
+        docs.select("doc_id", "spans"), anchor,
+        _sql_new_spans(new_spans), replace,
+        new_arr_child=_sql_new_spans(marked) if flat else None)
 
 
 def _append_child_expr(anchor, new_span) -> str:

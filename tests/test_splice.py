@@ -322,25 +322,21 @@ def test_insert_after_every_anchor_exhaustive(spark):
     """Exhaustive sweep: insert after EVERY resolvable item of the
     first few corpus docs - pins subtree-end behaviour for anchor
     shapes the targeted tests don't pick (captions, formulas, nested
-    list items, checkboxes, key-value regions, charts...)."""
-    checked = skipped = 0
+    list items, checkboxes, key-value regions, charts...). Since
+    round 4 this includes attached-child anchors (rich cells,
+    of_prev brackets): the splice runs in the owning leaf's child
+    list with the new span +child-marked; NO anchor shape is skipped
+    anymore."""
+    checked = 0
     for seed_doc in range(4):
         spans = gen_doc_spans(seed_doc, seed=42)
         doc, r2o = build_doc("d", spans)
         for ref, a in sorted(r2o.items(), key=lambda kv: kv[1]):
             doc_m, _ = build_doc("d", spans)
             sib = _resolve(doc_m, ref)
-            try:
-                tuples = py_splice_spans(
-                    [(s["kind"], s["text"], s["media_ref"], s["offset"])
-                     for s in spans], a, [("text", NEW_TEXT, "", 0)])
-            except ValueError:
-                # attached-child anchors (of_prev brackets, rich
-                # cells): the reference treats the insert as adding a
-                # block child to the owning leaf - inexpressible as a
-                # span sibling; the splice refuses loudly instead
-                skipped += 1
-                continue
+            tuples = py_splice_spans(
+                [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                 for s in spans], a, [("text", NEW_TEXT, "", 0)])
             try:
                 doc_m.insert_text(sibling=sib, label="text",
                                   text=NEW_TEXT, after=True)
@@ -350,39 +346,47 @@ def test_insert_after_every_anchor_exhaustive(spark):
             assert _engine_md(spans, tuples) == exp, (seed_doc, ref, a)
             checked += 1
     assert checked >= 100
-    assert skipped <= checked // 10  # the refusal is the rare case
 
 
 def test_replace_every_anchor_exhaustive(spark):
-    """Same exhaustive sweep for M6 replace_item."""
+    """Same exhaustive sweep for M6 replace_item. For attached-child
+    anchors the REFERENCE's own replace_item corrupts its tree
+    (insert-then-delete leaves the hierarchy inconsistent -
+    validate_tree fails inside export); the engine performs the
+    substitution the reference intends, so those anchors assert
+    engine well-formedness instead of byte parity (documented
+    divergence, like the graft RefItem bug)."""
     from docling_core.types.doc.document import TextItem
 
-    checked = skipped = 0
+    checked = ref_broken = 0
     for seed_doc in range(4):
         spans = gen_doc_spans(seed_doc, seed=42)
         doc, r2o = build_doc("d", spans)
         for ref, a in sorted(r2o.items(), key=lambda kv: kv[1]):
             doc_m, _ = build_doc("d", spans)
             old = _resolve(doc_m, ref)
-            try:
-                tuples = py_splice_spans(
-                    [(s["kind"], s["text"], s["media_ref"], s["offset"])
-                     for s in spans], a, [("text", NEW_TEXT, "", 0)],
-                    replace=True)
-            except ValueError:
-                skipped += 1
-                continue
+            tuples = py_splice_spans(
+                [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                 for s in spans], a, [("text", NEW_TEXT, "", 0)],
+                replace=True)
             new = TextItem(self_ref="#", label="text", text=NEW_TEXT,
                            orig=NEW_TEXT)
             try:
                 doc_m.replace_item(new_item=new, old_item=old)
             except Exception:
                 continue
-            exp = reference_markdown(doc_m)
+            try:
+                exp = reference_markdown(doc_m)
+            except Exception:
+                # reference bug: its own tree is now inconsistent;
+                # the engine output must still be well-formed
+                assert NEW_TEXT in _engine_md(spans, tuples)
+                ref_broken += 1
+                continue
             assert _engine_md(spans, tuples) == exp, (seed_doc, ref, a)
             checked += 1
     assert checked >= 100
-    assert skipped <= checked // 10
+    assert ref_broken <= checked // 20
 
 
 _PB_SPANS = [
@@ -644,3 +648,45 @@ def test_splice_linear_on_long_doc(spark):
     assert len(out[0]["spans"]) == 100_002
     assert dt < 60, f"splice on 100k-span doc took {dt:.1f}s"
     one.unpersist()
+
+
+def test_sql_child_anchor_equals_py(spark):
+    """Attached-child offset anchors (rich cells, of_prev brackets)
+    through the SQL fold path: identical to py_splice_spans for both
+    insert and replace on every attached anchor of the first corpus
+    docs."""
+    from docling_core_spark.docops import _is_attached_kind
+
+    new = [("text", NEW_TEXT, "", 0)]
+    tested = 0
+    for i in range(8):
+        spans = gen_doc_spans(i, seed=42)
+        tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                  for s in spans]
+        df = spark.createDataFrame([(f"doc_{i}", tuples)],
+                                   DOCUMENTS_SCHEMA)
+        for s in sorted(tuples, key=lambda x: x[3]):
+            if not _is_attached_kind(s[0]):
+                continue
+            for rep in (False, True):
+                exp = py_splice_spans(tuples, s[3], new, replace=rep)
+                got = [tuple(x) for x in insert_spans_after(
+                    df, s[3], new, replace=rep).collect()[0]["spans"]]
+                assert got == [tuple(x) for x in exp], (i, s[3], rep)
+                tested += 1
+    assert tested >= 20
+
+
+def test_child_anchor_requires_flat_leaf_spans():
+    """Group brackets cannot become children of a leaf via the child
+    splice (they would need of_prev rewriting); the op refuses."""
+    spans = [
+        ("table", "A|B&&1|<rich_0>", "t0", 0),
+        ("text+child", "cell", "", 1),
+        ("text", "after", "", 2),
+    ]
+    with pytest.raises(ValueError, match="flat leaf"):
+        py_splice_spans(spans, 1,
+                        [("list_group", "", "", 0),
+                         ("list_item", "x", "", 0),
+                         ("end_group", "", "", 0)])
