@@ -96,7 +96,43 @@ _MO_COMMANDS = {
     "geq": (0x2265, False), "neq": (0x2260, False),
     "rightarrow": (0x2192, False), "to": (0x2192, False),
     "partial": (0x2202, False),
+    # round-4 widening: contour/multiple integrals, set relations,
+    # binary/logic operators, arrows - all plain <mo> symbols in the
+    # published converter's table (unimathsymbols), movable=False
+    # like \int
+    "oint": (0x222E, False), "iint": (0x222C, False),
+    "iiint": (0x222D, False),
+    "in": (0x2208, False), "notin": (0x2209, False),
+    "subset": (0x2282, False), "supset": (0x2283, False),
+    "subseteq": (0x2286, False), "supseteq": (0x2287, False),
+    "cup": (0x222A, False), "cap": (0x2229, False),
+    "approx": (0x2248, False), "sim": (0x223C, False),
+    "equiv": (0x2261, False), "propto": (0x221D, False),
+    "ll": (0x226A, False), "gg": (0x226B, False),
+    "oplus": (0x2295, False), "otimes": (0x2297, False),
+    "wedge": (0x2227, False), "vee": (0x2228, False),
+    "leftarrow": (0x2190, False), "leftrightarrow": (0x2194, False),
+    "Rightarrow": (0x21D2, False), "Leftarrow": (0x21D0, False),
+    "Leftrightarrow": (0x21D4, False), "mapsto": (0x21A6, False),
 }
+
+# \mathbb{X} -> double-struck letter (<mi>), the published
+# converter's per-letter symbol entries; non-BMP block at U+1D538
+# with the six Letterlike Symbols exceptions
+_MATHBB_EXCEPTIONS = {
+    "C": 0x2102, "H": 0x210D, "N": 0x2115, "P": 0x2119,
+    "Q": 0x211A, "R": 0x211D, "Z": 0x2124,
+}
+
+
+def _mathbb_cp(ch: str) -> int:
+    if ch in _MATHBB_EXCEPTIONS:
+        return _MATHBB_EXCEPTIONS[ch]
+    if "A" <= ch <= "Z":
+        return 0x1D538 + ord(ch) - ord("A")
+    if "a" <= ch <= "z":
+        return 0x1D552 + ord(ch) - ord("a")
+    raise UnsupportedLatex(f"\\mathbb{{{ch}}}")
 
 
 def _tokenize(latex: str) -> List[Tuple[str, str]]:
@@ -269,6 +305,16 @@ class _Parser:
                 el = Element("mo")
                 el.text = _ref(cp)
                 return el, movable
+            if val == "mathbb":
+                arg = self._braced_arg()
+                kids = list(arg)
+                if (len(kids) != 1 or kids[0].tag != "mi"
+                        or not kids[0].text
+                        or len(kids[0].text) != 1):
+                    raise UnsupportedLatex("\\mathbb needs one letter")
+                el = Element("mi")
+                el.text = _ref(_mathbb_cp(kids[0].text))
+                return el, False
             raise UnsupportedLatex(f"command \\{val}")
         raise UnsupportedLatex(f"token {kind!r}")
 
