@@ -1403,6 +1403,11 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("viz_key_values", _q_viz_key_values),
         # canonical tail = reversed head: first in-window on odd rounds
         ("search_meta_validation", q_search_validation),
+        # round-4 training-data hygiene ops (appended at the canonical
+        # tail so the r4 reversed window row-checks them immediately)
+        ("pii_scrub", textops.q_pii_scrub),
+        ("contamination_screen", textops.q_contamination_screen),
+        ("stratified_sample", textops.q_stratified_sample),
     ]
     if _rotation_state() % 2:
         pool.reverse()

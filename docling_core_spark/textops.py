@@ -1566,6 +1566,191 @@ ORDER BY f.doc_id
 
 
 # ----------------------------------------------------------------------
+# PII scrubbing (training-data hygiene)
+# ----------------------------------------------------------------------
+
+# Java regex (Spark) and RE2 (DuckDB) agree on these leftmost-first
+# greedy patterns; the driver hash-compares the scrubbed text bytes.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: count and redact email/phone matches. The
+    synthetic corpus carries no contact strings, so the query first
+    plants deterministic PII in every third document (both engines run
+    the identical augmentation), then scrubs - the driver hash checks
+    the scrubbed bytes, so a missed or mangled redaction fails.
+
+    100 TB design: pure whole-stage-codegen projection over the scan
+    (regexp_count/regexp_replace are JVM expressions) - zero shuffle,
+    zero Python, I/O-bound; the orderBy is for the small test result
+    only."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" Contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +1-555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"),
+                        4, "0"),
+                 F.lit("."))).otherwise(F.col("text"))
+    return (docs.select("doc_id", aug.alias("t"))
+            .select(
+                "doc_id",
+                F.regexp_count("t", F.lit(EMAIL_RE)).cast("long")
+                .alias("n_emails"),
+                F.regexp_count("t", F.lit(PHONE_RE)).cast("long")
+                .alias("n_phones"),
+                F.regexp_replace(
+                    F.regexp_replace("t", EMAIL_RE, "[EMAIL]"),
+                    PHONE_RE, "[PHONE]").alias("clean_text"))
+            .orderBy("doc_id"))
+
+
+SQL_PII_SCRUB = f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+         ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                      '{PHONE_RE}', '[PHONE]', 'g') AS clean_text
+FROM t ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# benchmark-contamination screen
+# ----------------------------------------------------------------------
+
+CONTAM_BENCH_MOD = 97  # ~1% of docs play the held-out benchmark
+CONTAM_MIN_SHARE = 0.5
+
+
+def q_contamination_screen(spark: SparkSession, sf_dir: str
+                           ) -> DataFrame:
+    """Benchmark-contamination screen: flag corpus documents whose
+    word-3-gram shingles overlap a held-out benchmark set (here: every
+    97th document) above CONTAM_MIN_SHARE - the standard pre-training
+    decontamination pass (n-gram collision against eval sets).
+
+    100 TB design: shingles are built relationally (posexplode + lead,
+    no per-row lambda re-evaluation); the screen is ONE equi-join on
+    the shingle string shuffling only (shingle, doc_id) pairs - never
+    document payloads - then a partial-agg count. Broadcast the
+    benchmark side when it is statistic-sized; at eval-set scale
+    (millions of n-grams) that is the default."""
+    sh = _shingle_rows(spark, sf_dir)
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = (sh.filter(is_bench)
+             .select(F.col("sh").alias("bsh")).distinct())
+    corpus = sh.filter(~is_bench)
+    totals = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    shared = (corpus.join(F.broadcast(bench),
+                          corpus.sh == bench.bsh)
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (totals.join(shared, "doc_id", "left")
+            .select(
+                "doc_id", "n_shingles",
+                F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+                _r4(F.coalesce("n_shared", F.lit(0))
+                    / F.col("n_shingles")).alias("shared_ratio"))
+            .withColumn(
+                "contaminated",
+                F.col("n_shared") / F.col("n_shingles")
+                >= F.lit(CONTAM_MIN_SHARE))
+            .orderBy("doc_id"))
+
+
+SQL_CONTAMINATION_SCREEN = f"""
+WITH w AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+s AS (SELECT doc_id, unnest({SHINGLES_DUCK}) AS sh FROM w),
+bench AS (SELECT DISTINCT sh FROM s WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+corpus AS (SELECT * FROM s WHERE doc_id % {CONTAM_BENCH_MOD} != 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+shr AS (SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b USING (sh) GROUP BY c.doc_id)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(s2.n_shared, 0) AS n_shared,
+       {_sql_r("CAST(COALESCE(s2.n_shared, 0) AS DOUBLE) / t.n_shingles",
+               4)} AS shared_ratio,
+       CAST(COALESCE(s2.n_shared, 0) AS DOUBLE) / t.n_shingles
+           >= {CONTAM_MIN_SHARE} AS contaminated
+FROM tot t LEFT JOIN shr s2 USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# stratified sampling (corpus mix control)
+# ----------------------------------------------------------------------
+
+# per-language keep thresholds out of SAMPLE_MOD buckets (downsample
+# the dominant languages, keep the rare ones whole)
+SAMPLE_MOD = 10000
+STRATA_THRESHOLDS = {"en": 5000, "zh": 8000, "de": 10000, "es": 2500,
+                     "fr": 1000}
+SAMPLE_DEFAULT_THRESHOLD = 10000
+
+
+def _sample_bucket_sql() -> str:
+    """Deterministic per-doc bucket in [0, SAMPLE_MOD): an LCG step on
+    doc_id, pure BIGINT arithmetic so Spark and DuckDB agree bit-for-
+    bit (no float, no engine hash)."""
+    return (f"CAST((doc_id * 1103515245 + 12345) % 2147483648 "
+            f"% {SAMPLE_MOD} AS BIGINT)")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling: keep each document iff its
+    deterministic bucket clears the language's threshold - rate
+    control per stratum without any shuffle (the scalable variant: a
+    rank-per-stratum sampler would need a total order inside each
+    language partition, a straggler at web scale; the hash-threshold
+    form is one codegen filter over the scan and hits the target rate
+    to within binomial noise)."""
+    docs = _t(spark, sf_dir, "documents")
+    thr = F.coalesce(
+        *[F.when(F.col("lang") == lang, F.lit(t))
+          for lang, t in sorted(STRATA_THRESHOLDS.items())],
+        F.lit(SAMPLE_DEFAULT_THRESHOLD))
+    return (docs
+            .withColumn("bucket", F.expr(_sample_bucket_sql()))
+            .withColumn("threshold", thr.cast("long"))
+            .filter(F.col("bucket") < F.col("threshold"))
+            .select("doc_id", "lang", "bucket", "threshold")
+            .orderBy("doc_id"))
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {t}"
+        for lang, t in sorted(STRATA_THRESHOLDS.items()))
+    return f"CASE {whens} ELSE {SAMPLE_DEFAULT_THRESHOLD} END"
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {_sample_bucket_sql()} AS bucket,
+         CAST({_strata_case_sql()} AS BIGINT) AS threshold
+  FROM documents)
+SELECT doc_id, lang, bucket, threshold
+FROM t WHERE bucket < threshold ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1594,4 +1779,7 @@ ORACLES = {
     "ann_ivf_kmeans_topk": SQL_ANN_IVF_KMEANS_TOPK,
     "dup_clusters": sql_dup_clusters(),
     "dedup_retention": sql_dedup_retention(),
+    "pii_scrub": SQL_PII_SCRUB,
+    "contamination_screen": SQL_CONTAMINATION_SCREEN,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }

@@ -1,0 +1,107 @@
+"""Round-4 training-data hygiene ops: PII scrub, benchmark
+contamination screen, stratified sampling. Value parity vs the DuckDB
+oracles is covered by tests/test_oracle_queries.py (parameterized over
+every oracle key); these tests pin behavior and PLAN SHAPE - the
+100 TB design claims in the docstrings are asserted, not asserted-in-
+prose."""
+
+from __future__ import annotations
+
+import os
+
+from docling_core_spark.textops import (
+    CONTAM_BENCH_MOD,
+    SAMPLE_MOD,
+    STRATA_THRESHOLDS,
+    q_contamination_screen,
+    q_pii_scrub,
+    q_stratified_sample,
+)
+
+SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pii_scrub_redacts_planted_contacts(spark):
+    out = q_pii_scrub(spark, SF_DIR).collect()
+    planted = [r for r in out if r["doc_id"] % 3 == 0]
+    clean = [r for r in out if r["doc_id"] % 3 != 0]
+    assert planted and clean
+    for r in planted:
+        assert r["n_emails"] >= 1 and r["n_phones"] >= 1
+        assert "[EMAIL]" in r["clean_text"]
+        assert "[PHONE]" in r["clean_text"]
+        assert "@" not in r["clean_text"]
+    for r in clean:
+        assert r["n_emails"] == 0 and r["n_phones"] == 0
+        assert "[EMAIL]" not in r["clean_text"]
+
+
+def test_pii_scrub_plan_is_scan_projection(spark):
+    """Zero Python, and the only exchange is the test-output sort."""
+    plan = _plan(q_pii_scrub(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    import re
+
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert m.group(1) == "rangepartitioning", plan
+
+
+def test_contamination_screen_flags_benchmark_copies(spark):
+    out = {r["doc_id"]: r
+           for r in q_contamination_screen(spark, SF_DIR).collect()}
+    # no benchmark doc appears in the screened output
+    assert all(d % CONTAM_BENCH_MOD != 0 for d in out)
+    # ratios well-formed; overlap exists somewhere in a word-soup
+    # corpus but full contamination is rare
+    assert all(0.0 <= r["shared_ratio"] <= 1.0 for r in out.values())
+    assert any(r["n_shared"] > 0 for r in out.values())
+    for r in out.values():
+        assert r["contaminated"] == (
+            r["n_shared"] / r["n_shingles"] >= 0.5)
+
+
+def test_contamination_screen_plan_broadcasts_benchmark(spark):
+    plan = _plan(q_contamination_screen(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stratified_sample_hits_target_rates(spark):
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.textops import _t
+
+    totals = {r["lang"]: r["n"] for r in
+              _t(spark, SF_DIR, "documents")
+              .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {}
+    for r in q_stratified_sample(spark, SF_DIR).collect():
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+        assert r["bucket"] < r["threshold"]
+    for lang, thr in STRATA_THRESHOLDS.items():
+        rate = thr / SAMPLE_MOD
+        if rate == 1.0:
+            assert kept.get(lang, 0) == totals[lang]
+        else:
+            # binomial tolerance on a few-hundred-doc stratum
+            import math
+
+            n = totals[lang]
+            tol = 4 * math.sqrt(n * rate * (1 - rate)) + 1
+            assert abs(kept.get(lang, 0) - n * rate) <= tol, lang
+
+
+def test_stratified_sample_plan_is_one_filter(spark):
+    """The scalable variant: no per-stratum ordering, no shuffle
+    besides the test-output sort, no Python."""
+    import re
+
+    plan = _plan(q_stratified_sample(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert m.group(1) == "rangepartitioning", plan
