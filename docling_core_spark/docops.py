@@ -782,14 +782,11 @@ def append_child_spans(docs: DataFrame, parent_anchor,
     op: the same single-leaf child appended to the resolved parent in
     every document - the body (``parent_anchor is None``), a group
     (insert before its matching ``end_group``), or a leaf (``+child``
-    attach at the leaf's subtree end). Pure SQL folds, zero shuffle,
-    zero Python; semantics identical to py_append_child_span
+    attach at the leaf's subtree end - furniture leaves included, the
+    emitter walks their children since round 4). Pure SQL folds, zero
+    shuffle, zero Python; semantics identical to py_append_child_span
     (tests/test_splice.py asserts equality over the corpus and the
-    exhaustive anchor sweep vs the LIVE reference).
-
-    Documented residual: children of ``furniture:*`` leaves do not
-    round-trip (the emitter skips furniture subtrees); anchor kinds in
-    practice are body-layer items, as in the driver query."""
+    exhaustive anchor sweep vs the LIVE reference)."""
     return docs.select(
         "doc_id",
         F.expr(_append_child_expr(parent_anchor, new_span))

@@ -301,6 +301,10 @@ def spans_from_doc(doc: Doc) -> List[dict]:
                 emitted_page = c.page_no
             if c.layer == LAYER_FURNITURE and not c.is_group:
                 emit(f"furniture:{c.label}", c.text)
+                # body-layer children of a furniture leaf are legal
+                # trees (append_child_item onto a page header) and the
+                # serializers render them - emit, don't drop
+                emit_item_children(c)
                 continue
             if c.kind == K_LIST_GROUP:
                 emit("list_group:furniture"

@@ -30,6 +30,11 @@ _KINDS = st.sampled_from([
     "chart:bar_chart", "chart:", "key_value_region", "caption:img_0",
     "caption:", "caption:missing_ref", "page_break:2", "page_break:x",
     "furniture:page_header", "furniture:", "unknown_kind", "",
+    # attached-child grammar (rich cells, of_prev brackets) - the
+    # round-4 splice/append paths walk these
+    "text+child", "table+child", "text+fmt=b+child",
+    "list_group:of_prev", "inline_group:of_prev",
+    "list_group:of_prev:furniture",
 ])
 
 _TEXTS = st.one_of(
@@ -103,3 +108,27 @@ def test_token_count_arithmetic_identity(s):
     )
 
     assert RegexTokenizer(64).count_tokens(s) == len(_PIECE_RE.findall(s))
+
+
+@given(st.lists(_SPAN, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_splice_and_append_total(spans):
+    """Kind-anchored splice/append never crash on arbitrary input and
+    always return densely re-offset spans the codec accepts."""
+    from docling_core_spark.docops import (
+        py_append_child_span,
+        py_splice_spans,
+    )
+
+    new = ("text", "FUZZ", "", 0)
+    for anchor in (("text", "table"), ("list_group",), ("picture",)):
+        for out in (
+            py_splice_spans(spans, anchor, [new]),
+            py_splice_spans(spans, anchor, [new], replace=True),
+            py_append_child_span(spans, anchor, new),
+        ):
+            assert [s[3] for s in out] == list(range(len(out)))
+            doc_from_spans("fuzz", out)
+    out = py_append_child_span(spans, None, new)
+    assert [s[3] for s in out] == list(range(len(out)))
+    assert out[-1][:3] == new[:3]
