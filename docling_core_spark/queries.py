@@ -1408,6 +1408,7 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("pii_scrub", textops.q_pii_scrub),
         ("contamination_screen", textops.q_contamination_screen),
         ("stratified_sample", textops.q_stratified_sample),
+        ("dup_passages", textops.q_dup_passages),
     ]
     if _rotation_state() % 2:
         pool.reverse()

@@ -1751,6 +1751,91 @@ FROM t WHERE bucket < threshold ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# duplicate-passage detection (substring-level dedup signal)
+# ----------------------------------------------------------------------
+
+PASSAGE_K = 16  # words per window
+PASSAGE_STRIDE = 8
+
+
+def _windows_spark() -> str:
+    """Word windows of PASSAGE_K, stride PASSAGE_STRIDE, over ``ws``
+    (short docs fall back to one whole-doc window, like shingles)."""
+    k, s = PASSAGE_K, PASSAGE_STRIDE
+    return (f"CASE WHEN size(ws) >= {k} THEN "
+            f"transform(sequence(0, (size(ws) - {k}) div {s}), "
+            f"i -> concat_ws(' ', slice(ws, i * {s} + 1, {k}))) "
+            "ELSE array(concat_ws(' ', ws)) END")
+
+
+def _windows_duck() -> str:
+    k, s = PASSAGE_K, PASSAGE_STRIDE
+    return (f"CASE WHEN len(ws) >= {k} THEN "
+            f"list_transform(range(0, ((len(ws) - {k}) // {s}) + 1), "
+            f"i -> array_to_string(ws[i * {s} + 1 : i * {s} + {k}], ' ')) "
+            "ELSE [array_to_string(ws, ' ')] END")
+
+
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (substring) duplication signal: hash overlapping
+    word windows (PASSAGE_K words, stride PASSAGE_STRIDE), count the
+    occurrences of each window hash across the corpus, and report per
+    document how many of its windows are duplicated elsewhere - the
+    windowed-hash form of exact substring dedup (suffix-array dedup's
+    distributed stand-in: same signal, bounded state).
+
+    100 TB design: the window build is a codegen projection; the only
+    shuffles carry (window_hash) and (doc_id) - never text beyond the
+    window strings in the first explode, and those can be hashed
+    map-side before shuffling (here the hash IS computed pre-shuffle).
+    The duplicated-hash table is corpus-dependent but
+    heavy-hitter-shaped; at web scale it is the standard
+    count-then-join passage dedup plan (one aggregation + one
+    re-join), embarrassingly partitionable by hash."""
+    docs = _t(spark, sf_dir, "documents")
+    wins = (docs
+            .withColumn("ws", F.expr(words_spark()))
+            .select("doc_id",
+                    F.explode(F.expr(_windows_spark())).alias("w"))
+            .select("doc_id", F.expr(WORDHASH_SPARK).alias("wh")))
+    # wins is read three times below; at corpus scale persist it to
+    # (memory-and-)disk - for the test-scale query plan, recomputing
+    # the codegen projection is cheaper than cache management
+    dup = (wins.groupBy("wh")
+           .agg(F.count(F.lit(1)).alias("n_occ"))
+           .filter(F.col("n_occ") >= 2)
+           .select("wh"))
+    per_doc = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"))
+    per_dup = (wins.join(dup, "wh")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_dup")))
+    return (per_doc.join(per_dup, "doc_id", "left")
+            .select(
+                "doc_id", "n_windows",
+                F.coalesce("n_dup", F.lit(0)).alias("n_dup_windows"),
+                _r4(F.coalesce("n_dup", F.lit(0))
+                    / F.col("n_windows")).alias("dup_ratio"))
+            .orderBy("doc_id"))
+
+
+SQL_DUP_PASSAGES = f"""
+WITH d AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+wn AS (SELECT doc_id, unnest({_windows_duck()}) AS w FROM d),
+h AS (SELECT doc_id, {WORDHASH_DUCK} AS wh FROM wn),
+dup AS (SELECT wh FROM h GROUP BY wh HAVING COUNT(*) >= 2),
+tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM h GROUP BY doc_id),
+dd AS (SELECT h.doc_id, COUNT(*) AS n_dup
+       FROM h JOIN dup USING (wh) GROUP BY h.doc_id)
+SELECT t.doc_id, t.n_windows,
+       COALESCE(dd.n_dup, 0) AS n_dup_windows,
+       {_sql_r("CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / t.n_windows",
+               4)} AS dup_ratio
+FROM tot t LEFT JOIN dd USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1782,4 +1867,5 @@ ORACLES = {
     "pii_scrub": SQL_PII_SCRUB,
     "contamination_screen": SQL_CONTAMINATION_SCREEN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "dup_passages": SQL_DUP_PASSAGES,
 }

