@@ -690,3 +690,75 @@ def test_child_anchor_requires_flat_leaf_spans():
                         [("list_group", "", "", 0),
                          ("list_item", "x", "", 0),
                          ("end_group", "", "", 0)])
+
+
+def test_sql_splice_equals_py_on_malformed_input(spark):
+    """The SQL fold state machines must agree with the Python twins on
+    MALFORMED span sequences too (unclosed groups, orphan end_groups,
+    dangling +child/of_prev, duplicate offsets are excluded - offset
+    ties make sort order ambiguous). Deterministic pseudo-random
+    grammar soup, one Spark job for all docs and ops."""
+    import random
+
+    from docling_core_spark.docops import (
+        append_child_spans,
+        delete_spans_range,
+        py_append_child_span,
+        py_delete_spans_range,
+        py_splice_spans,
+    )
+
+    kinds = [
+        "title", "section_header:1", "text", "paragraph", "list_group",
+        "inline_group", "end_group", "list_item", "code", "formula",
+        "picture", "table", "caption:img_0", "page_break:2",
+        "furniture:page_header", "text+child", "table+child",
+        "list_group:of_prev", "inline_group:of_prev", "unknown_kind",
+    ]
+    rng = random.Random(20260819)
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 24)
+        spans = [(rng.choice(kinds), rng.choice(["", "t", "x y z"]),
+                  rng.choice(["", "img_0"]), off)
+                 for off, _ in enumerate(range(n))]
+        rng.shuffle(spans)
+        rows.append((f"fz_{i}", spans))
+    df = spark.createDataFrame(rows, DOCUMENTS_SCHEMA).cache()
+    df.count()
+    new = [("text", NEW_TEXT, "", 0)]
+    anchors = (("text", "table"), ("list_group",), ("picture", "code"))
+    try:
+        for anchor in anchors:
+            for rep in (False, True):
+                got = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                       for r in insert_spans_after(
+                           df, anchor, new, replace=rep).collect()}
+                for doc_id, spans in rows:
+                    exp = py_splice_spans(spans, anchor, new,
+                                          replace=rep)
+                    assert got[doc_id] == [tuple(x) for x in exp], \
+                        (doc_id, anchor, rep)
+            got = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+                   for r in append_child_spans(
+                       df, anchor, new[0]).collect()}
+            for doc_id, spans in rows:
+                exp = py_append_child_span(spans, anchor, new[0])
+                assert got[doc_id] == [tuple(x) for x in exp], \
+                    (doc_id, anchor)
+        # range delete in skip mode (the raise branches cannot be
+        # compared through a full-batch collect)
+        got = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+               for r in delete_spans_range(
+                   df, ("text",), ("table", "code"),
+                   skip_unresolvable=True).collect()}
+        for doc_id, spans in rows:
+            try:
+                exp = py_delete_spans_range(spans, ("text",),
+                                            ("table", "code"))
+            except ValueError:
+                assert doc_id not in got, doc_id
+                continue
+            assert got[doc_id] == [tuple(x) for x in exp], doc_id
+    finally:
+        df.unpersist()
