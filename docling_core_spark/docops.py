@@ -635,9 +635,11 @@ def _sql_match_end_group(aidx: str, col: str = "sp") -> str:
         "acc -> IF(acc.g >= 0, acc.g, acc.i))")
 
 
-def _sql_new_spans(new_spans) -> str:
+def _sql_new_spans(new_spans, col: str = "sp_") -> str:
     if not new_spans:
-        return "slice(sp, 1, 0)"
+        # an empty typed array: slice of the (let-bound) input - with
+        # replace=True this makes the splice a pure subtree delete
+        return f"slice({col}, 1, 0)"
     items = ", ".join(
         f"named_struct('kind', {_sql_str(k)}, 'text', {_sql_str(t)}, "
         f"'media_ref', {_sql_str(m)}, 'offset', 0)"

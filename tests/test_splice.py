@@ -762,3 +762,19 @@ def test_sql_splice_equals_py_on_malformed_input(spark):
             assert got[doc_id] == [tuple(x) for x in exp], doc_id
     finally:
         df.unpersist()
+
+
+def test_empty_new_spans_replace_is_subtree_delete(spark):
+    """insert_spans_after(..., [], replace=True) = delete the anchor
+    subtree (keeping page breaks) - the degenerate splice must resolve
+    (regression: the empty-array literal referenced an unbound
+    column)."""
+    tuples = [("text", "a", "", 0), ("table", "A|B&&1|2", "t0", 1),
+              ("page_break:2", "", "", 2), ("text", "b", "", 3)]
+    df = spark.createDataFrame([("d0", tuples)], DOCUMENTS_SCHEMA)
+    for rep in (False, True):
+        got = [tuple(s) for s in insert_spans_after(
+            df, ("table",), [], replace=rep).collect()[0]["spans"]]
+        exp = py_splice_spans(tuples, ("table",), [], replace=rep)
+        assert got == [tuple(x) for x in exp]
+    assert [g[0] for g in got] == ["text", "page_break:2", "text"]
