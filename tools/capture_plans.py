@@ -51,11 +51,25 @@ CAPTURE = {
     "rec_validation": ("synthesize->corrupt->validate: chained "
                        "MapInArrow stages, zero shuffle before the "
                        "presentation sort"),
-    "splice_replace": ("M6 replace_item splice: ONE MapInArrow, zero "
-                       "shuffle before the presentation sort"),
+    "splice_replace": ("M6 replace_item splice: pure SQL folds, ZERO "
+                       "Python, zero shuffle before the presentation "
+                       "sort (r4 vectorization)"),
     "splice_graft": ("M4+M8 cross-doc graft: one doc_id equi-join "
                      "(broadcast at bench SF; sort-merge at scale), "
-                     "ONE MapInArrow splice stage"),
+                     "pure SQL fold splice, ZERO Python"),
+    "delete_range": ("M7 deletion half: pure SQL folds, ZERO Python, "
+                     "zero shuffle before the presentation sort"),
+    "append_child": ("append_child_item: pure SQL folds (anchor + "
+                     "extent + end_group walks, all let-bound), ZERO "
+                     "Python, zero shuffle before the sort"),
+    "pii_scrub": ("codegen regexp_count/replace projections over the "
+                  "scan; only the presentation-sort Exchange"),
+    "contamination_screen": ("benchmark shingle side BROADCAST; "
+                             "shuffles carry (doc_id, shingle) only"),
+    "stratified_sample": ("one codegen LCG-bucket filter; only the "
+                          "presentation-sort Exchange"),
+    "dup_passages": ("window hashes computed map-side pre-shuffle; "
+                     "count-then-join, no cross join"),
     "dedup_retention": ("canonical selection: every label/survivor "
                         "join BROADCASTs (cluster table is "
                         "statistic-sized); wide shuffles only on "
