@@ -1792,30 +1792,28 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-hitter-shaped; at web scale it is the standard
     count-then-join passage dedup plan (one aggregation + one
     re-join), embarrassingly partitionable by hash."""
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
     wins = (docs
             .withColumn("ws", F.expr(words_spark()))
             .select("doc_id",
                     F.explode(F.expr(_windows_spark())).alias("w"))
             .select("doc_id", F.expr(WORDHASH_SPARK).alias("wh")))
-    # wins is read three times below; at corpus scale persist it to
-    # (memory-and-)disk - for the test-scale query plan, recomputing
-    # the codegen projection is cheaper than cache management
-    dup = (wins.groupBy("wh")
-           .agg(F.count(F.lit(1)).alias("n_occ"))
-           .filter(F.col("n_occ") >= 2)
-           .select("wh"))
-    per_doc = wins.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_windows"))
-    per_dup = (wins.join(dup, "wh")
-               .groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_dup")))
-    return (per_doc.join(per_dup, "doc_id", "left")
+    # single corpus scan: per-hash occurrence counts via a window over
+    # the hash partitioning, then one re-aggregation per doc - two
+    # shuffles total ((wh) then (doc_id)), vs the naive
+    # count-table + re-join form that scans the corpus three times
+    occ = wins.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("wh")))
+    return (occ.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+                 .alias("n_dup_windows"))
             .select(
-                "doc_id", "n_windows",
-                F.coalesce("n_dup", F.lit(0)).alias("n_dup_windows"),
-                _r4(F.coalesce("n_dup", F.lit(0))
-                    / F.col("n_windows")).alias("dup_ratio"))
+                "doc_id", "n_windows", "n_dup_windows",
+                _r4(F.col("n_dup_windows") / F.col("n_windows"))
+                .alias("dup_ratio"))
             .orderBy("doc_id"))
 
 
