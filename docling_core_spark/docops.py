@@ -787,8 +787,8 @@ def append_child_spans(docs: DataFrame, parent_anchor,
     attach at the leaf's subtree end - furniture leaves included, the
     emitter walks their children since round 4). Pure SQL folds, zero
     shuffle, zero Python; semantics identical to py_append_child_span
-    (tests/test_splice.py asserts equality over the corpus and the
-    exhaustive anchor sweep vs the LIVE reference)."""
+    (tests/test_append_child.py asserts equality over the corpus and
+    the exhaustive parent sweep vs the LIVE reference)."""
     return docs.select(
         "doc_id",
         F.expr(_append_child_expr(parent_anchor, new_span))
