@@ -778,3 +778,71 @@ def test_empty_new_spans_replace_is_subtree_delete(spark):
         exp = py_splice_spans(tuples, ("table",), [], replace=rep)
         assert got == [tuple(x) for x in exp]
     assert [g[0] for g in got] == ["text", "page_break:2", "text"]
+
+def test_multi_span_insert_at_child_anchor_matches_chained_reference(
+        spark):
+    """Multi-span insert at an attached-child anchor (rich cell /
+    of_prev bracket member) == the reference chaining insert_text
+    after the anchor, then after each newly created item. Pins that
+    py_splice_spans places a BATCH of new spans in order inside the
+    owning leaf's child list exactly where repeated single reference
+    inserts would land them (document.py:3290 insert_text returns the
+    created item, enabling the chain)."""
+    from docling_core_spark.docops import _is_attached_kind
+
+    new_texts = [f"{NEW_TEXT} #{i}" for i in range(3)]
+    new_spans = [("text", t, "", 0) for t in new_texts]
+    tested = 0
+    for i in range(10):
+        spans = gen_doc_spans(i, seed=42)
+        tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                  for s in spans]
+        doc, r2o = build_doc("d", spans)
+        by_offset = {v: k for k, v in r2o.items()}
+        for s in sorted(tuples, key=lambda x: x[3]):
+            if not _is_attached_kind(s[0]) or s[3] not in by_offset:
+                continue
+            doc_m, _ = build_doc("d", spans)
+            sib = _resolve(doc_m, by_offset[s[3]])
+            try:
+                for t in new_texts:
+                    sib = doc_m.insert_text(sibling=sib, label="text",
+                                            text=t, after=True)
+            except Exception:
+                continue  # reference rejects this sibling shape
+            exp = reference_markdown(doc_m)
+            got_tuples = py_splice_spans(tuples, s[3], new_spans)
+            assert _engine_md(spans, got_tuples) == exp, (i, s[3])
+            tested += 1
+    assert tested >= 10
+
+def test_multi_span_insert_at_sibling_anchor_matches_chained_reference(
+        spark):
+    """Same chained-reference pin for ORDINARY sibling anchors (leaf
+    text, group openers, tables with rich-cell subtrees): a 2-span
+    batch after the anchor == reference insert_text chained after the
+    anchor then after the first new item."""
+    new_texts = ["spliced batch head", "spliced batch tail"]
+    new_spans = [("text", t, "", 0) for t in new_texts]
+    tested = 0
+    for i in range(N):
+        spans = gen_doc_spans(i, seed=42)
+        tuples = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                  for s in spans]
+        doc, r2o = build_doc("d", spans)
+        anchors, by_offset = _anchors(spans, r2o)
+        for a in anchors:
+            doc_m, _ = build_doc("d", spans)
+            sib = _resolve(doc_m, by_offset[a])
+            try:
+                sib = doc_m.insert_text(sibling=sib, label="text",
+                                        text=new_texts[0], after=True)
+                doc_m.insert_text(sibling=sib, label="text",
+                                  text=new_texts[1], after=True)
+            except Exception:
+                continue
+            exp = reference_markdown(doc_m)
+            got_tuples = py_splice_spans(tuples, a, new_spans)
+            assert _engine_md(spans, got_tuples) == exp, (i, a)
+            tested += 1
+    assert tested >= 3 * N
