@@ -854,15 +854,24 @@ def delete_spans_range(docs: DataFrame, start, end,
 
 
 def graft_documents(docs_a: DataFrame, docs_b: DataFrame,
-                    anchor) -> DataFrame:
+                    anchor, broadcast_b: bool = False) -> DataFrame:
     """M8 insert_document (document.py:3876-3894): splice document B's
     body content into document A after the anchor subtree, joined on
     doc_id. B's doc-level ``origin:`` span is dropped (the reference
     keeps the target's origin; only body children transfer). One
     equi-join shuffle + pure SQL folds; page renumbering for the
-    append case rides concatenate (M9)."""
+    append case rides concatenate (M9).
+
+    Scale: the equi-join shuffles FULL span payloads of both sides.
+    When B is a small template/boilerplate table (the common grafting
+    shape: one appendix grafted into every corpus doc), pass
+    ``broadcast_b=True`` so A's spans never move - the graft becomes a
+    map-side BroadcastHashJoin over the corpus scan. With comparable
+    sides leave it False and let AQE pick the strategy."""
     b = docs_b.select(F.col("doc_id"),
                       F.col("spans").alias("spans_b"))
+    if broadcast_b:
+        b = F.broadcast(b)
     joined = docs_a.select("doc_id", "spans").join(b, "doc_id")
     new_arr = ("filter(array_sort(spans_b, (l, r) -> CASE "
                "WHEN l.offset < r.offset THEN -1 "

@@ -846,3 +846,29 @@ def test_multi_span_insert_at_sibling_anchor_matches_chained_reference(
             assert _engine_md(spans, got_tuples) == exp, (i, a)
             tested += 1
     assert tested >= 3 * N
+
+def test_graft_broadcast_b_same_result_and_plan(spark):
+    """broadcast_b=True must not change results, and the physical plan
+    must carry a BroadcastHashJoin (A's spans never shuffle) - the
+    template-table grafting shape at corpus scale."""
+    from docling_core_spark.docops import SPLICE_GRAFT_KINDS
+
+    rows = []
+    for i in range(6):
+        spans = gen_doc_spans(i, seed=42)
+        rows.append((f"d{i:03d}",
+                     [(s["kind"], s["text"], s["media_ref"],
+                       s["offset"]) for s in spans]))
+    a = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    graft_src = [("origin:99", "f", "application/pdf", 0),
+                 ("text", "template appendix", "", 1)]
+    b = spark.createDataFrame([(did, graft_src) for did, _ in rows],
+                              DOCUMENTS_SCHEMA)
+    plain = graft_documents(a, b, SPLICE_GRAFT_KINDS)
+    bcast = graft_documents(a, b, SPLICE_GRAFT_KINDS, broadcast_b=True)
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution() \
+        .executedPlan().toString()
+    key = lambda df: sorted(
+        (r["doc_id"], [tuple(s) for s in r["spans"]])
+        for r in df.collect())
+    assert key(plain) == key(bcast)
