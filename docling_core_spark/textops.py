@@ -87,8 +87,8 @@ def _data_fingerprint(sf_dir: str, name: str) -> tuple:
 # dialect templates
 # ----------------------------------------------------------------------
 
-def words_spark() -> str:
-    return f"regexp_extract_all(lower(text), '{WORD_RE}', 0)"
+def words_spark(col: str = "text") -> str:
+    return f"regexp_extract_all(lower({col}), '{WORD_RE}', 0)"
 
 
 def words_duck() -> str:
@@ -308,18 +308,18 @@ FROM h ORDER BY doc_id
 # MinHash + LSH near-dup candidate pairs (verified Jaccard)
 # ----------------------------------------------------------------------
 
-def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh) distinct shingles, one row each - the relational
-    build: posexplode words once, 3-grams via window lead() within the
-    doc partition. Same shingle set as SHINGLES_DUCK, but the word
-    regexp runs once per doc instead of once per indexed reference
-    (interpreted lambdas re-evaluate referenced array expressions)."""
+def _shingle_rows_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) distinct shingles of ``docs[text_col]`` - the
+    relational build: posexplode words once, 3-grams via window lead()
+    within the doc partition. Same shingle set as SHINGLES_DUCK, but
+    the word regexp runs once per doc instead of once per indexed
+    reference (interpreted lambdas re-evaluate referenced array
+    expressions)."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", F.size(F.expr(words_spark())).alias("n"),
-        F.posexplode(F.expr(words_spark())).alias("pos", "w"))
+        "doc_id", F.size(F.expr(words_spark(text_col))).alias("n"),
+        F.posexplode(F.expr(words_spark(text_col))).alias("pos", "w"))
     win = Window.partitionBy("doc_id").orderBy("pos")
     tri = (w.filter(F.col("n") >= 3)
            .select("doc_id", "w",
@@ -328,10 +328,15 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.col("w2").isNotNull())
            .select("doc_id",
                    F.concat_ws(" ", "w", "w1", "w2").alias("sh")))
-    short = (docs.select("doc_id", F.expr(words_spark()).alias("ws"))
+    short = (docs.select("doc_id",
+                         F.expr(words_spark(text_col)).alias("ws"))
              .filter(F.size("ws") < 3)
              .select("doc_id", F.concat_ws(" ", "ws").alias("sh")))
     return tri.unionByName(short).distinct()
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingle_rows_of(_t(spark, sf_dir, "documents"))
 
 
 def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1834,6 +1839,205 @@ FROM tot t LEFT JOIN dd USING (doc_id) ORDER BY t.doc_id
 
 
 # ----------------------------------------------------------------------
+# end-to-end clean-corpus pipeline (composite hygiene pass)
+# ----------------------------------------------------------------------
+
+CLEAN_MIN_WORDS = 5
+CLEAN_MAX_WORDS = 100000
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data hygiene pipeline, end to end in ONE
+    plan: plant-and-scrub PII -> language ID -> quality gate -> exact
+    dedup retention -> benchmark-decontamination -> surviving clean
+    documents. Each stage reuses the standalone operator's exact
+    definition (q_pii_scrub, q_lang_id, q_quality_scores,
+    q_contamination_screen), so this query certifies the COMPOSITION -
+    the order-sensitive part a real pipeline gets wrong (scrub before
+    analysis; held-out set excluded from the output but never
+    quality-filtered; dedup before the contamination join).
+
+    100 TB design: stages 1-3 are whole-stage-codegen projections over
+    the scan (zero shuffle); dedup adds one shuffle on content_md5
+    (min-doc_id retention inside each hash partition); decontamination
+    is one broadcast join on shingles of the SURVIVORS only (the
+    filters run before the explode, so the shingle volume is the clean
+    corpus, not the raw scan). Nothing materializes more than
+    (doc_id, shingle) pairs post-filter."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" Contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +1-555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"),
+                        4, "0"),
+                 F.lit("."))).otherwise(F.col("text"))
+    scr = (docs.select("doc_id", aug.alias("t"))
+           .select(
+               "doc_id",
+               (F.regexp_count("t", F.lit(EMAIL_RE))
+                + F.regexp_count("t", F.lit(PHONE_RE)))
+               .cast("long").alias("n_pii"),
+               F.regexp_replace(
+                   F.regexp_replace("t", EMAIL_RE, "[EMAIL]"),
+                   PHONE_RE, "[PHONE]").alias("clean_text")))
+    base = scr.withColumn("ws", F.expr(words_spark("clean_text")))
+    for lang in STOPWORDS:
+        base = base.withColumn(f"c_{lang}", F.expr(_stop_count_spark(lang)))
+    base = base.select(
+        "doc_id", "n_pii", "clean_text", "ws",
+        F.size("ws").cast("long").alias("n_words"),
+        F.expr(LANG_PRED_CASE).alias("pred_lang"))
+    surv = (base.filter(
+                (F.col("pred_lang") != "und")
+                & (F.col("n_words") >= CLEAN_MIN_WORDS)
+                & (F.col("n_words") <= CLEAN_MAX_WORDS)
+                & (F.col("doc_id") % CONTAM_BENCH_MOD != 0))
+            .withColumn("content_md5", F.md5("clean_text")))
+    ded = (surv.withColumn(
+               "min_id",
+               F.min("doc_id").over(Window.partitionBy("content_md5")))
+           .filter(F.col("doc_id") == F.col("min_id"))
+           .drop("min_id"))
+    bench_sh = (_shingle_rows_of(
+        base.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("doc_id", F.col("clean_text").alias("text")))
+        .select(F.col("sh").alias("bsh")).distinct())
+    corp_sh = _shingle_rows_of(
+        ded.select("doc_id", F.col("clean_text").alias("text")))
+    tot = corp_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shr = (corp_sh.join(F.broadcast(bench_sh),
+                        corp_sh.sh == bench_sh.bsh)
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
+    contam = (tot.join(shr, "doc_id", "left")
+              .filter(F.coalesce("n_shared", F.lit(0)) / F.col("n_sh")
+                      >= F.lit(CONTAM_MIN_SHARE))
+              .select("doc_id"))
+    return (ded.join(contam, "doc_id", "left_anti")
+            .select("doc_id", "pred_lang", "n_words", "n_pii",
+                    "content_md5", "clean_text")
+            .orderBy("doc_id"))
+
+
+_CLEAN_WS_DUCK = f"regexp_extract_all(lower(clean_text), '{WORD_RE}')"
+
+SQL_CLEAN_CORPUS = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+         ELSE text END AS t
+  FROM documents),
+scr AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '{EMAIL_RE}'))
+              + len(regexp_extract_all(t, '{PHONE_RE}')) AS BIGINT)
+             AS n_pii,
+         regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{PHONE_RE}', '[PHONE]', 'g') AS clean_text
+  FROM aug),
+w AS (SELECT *, {_CLEAN_WS_DUCK} AS ws FROM scr),
+b AS (
+  SELECT *, CAST(len(ws) AS BIGINT) AS n_words,
+         {", ".join(f'CAST({_stop_count_duck(lang)} AS BIGINT) AS c_{lang}'
+                    for lang in STOPWORDS)}
+  FROM w),
+p AS (SELECT *, {LANG_PRED_CASE} AS pred_lang FROM b),
+surv AS (
+  SELECT *, md5(clean_text) AS content_md5 FROM p
+  WHERE pred_lang != 'und' AND n_words >= {CLEAN_MIN_WORDS}
+    AND n_words <= {CLEAN_MAX_WORDS}
+    AND doc_id % {CONTAM_BENCH_MOD} != 0),
+ded AS (
+  SELECT * FROM surv
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY content_md5)),
+bsh AS (SELECT DISTINCT unnest({SHINGLES_DUCK}) AS sh FROM p
+        WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+csh AS (SELECT doc_id, unnest({SHINGLES_DUCK}) AS sh FROM ded),
+tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM csh GROUP BY doc_id),
+shr AS (SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM csh c JOIN bsh USING (sh) GROUP BY c.doc_id),
+contam AS (
+  SELECT t.doc_id FROM tot t LEFT JOIN shr USING (doc_id)
+  WHERE CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_sh
+        >= {CONTAM_MIN_SHARE})
+SELECT doc_id, pred_lang, n_words, n_pii, content_md5, clean_text
+FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# corpus term statistics: per-language TF-IDF top terms
+# ----------------------------------------------------------------------
+
+TFIDF_TOP_K = 10
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-K terms by TF-IDF over the corpus - the
+    corpus-statistics operator of a training-data pipeline (vocabulary
+    health checks, boilerplate-term detection). IDF uses an
+    integer-scaled surrogate, ``idf_x1000 = (n_docs * 1000) div df``,
+    so Spark and DuckDB agree bit-for-bit (libm log implementations
+    are not guaranteed identical across engines); the ranking it
+    induces is the same as n/df up to the x1000 quantization.
+
+    100 TB design: the explode is map-side; (lang, term) stats are one
+    hash aggregation with partial aggs (count-distinct via Spark's
+    two-phase expand); the per-language doc counts broadcast; the
+    row_number ranks vocabulary-sized tables (distinct terms per
+    language), never corpus-sized ones."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang",
+        F.explode(F.expr(words_spark())).alias("term"))
+    stats = words.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"))
+    nlang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    scored = (stats.join(F.broadcast(nlang), "lang")
+              .withColumn("idf_x1000",
+                          F.expr("n_docs * 1000 div df"))
+              .withColumn("score",
+                          F.col("tf") * F.col("idf_x1000")))
+    win = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("term"))
+    return (scored.withColumn(
+                "rnk", F.row_number().over(win).cast("long"))
+            .filter(F.col("rnk") <= TFIDF_TOP_K)
+            .select("lang", "term", "tf", "df", "idf_x1000",
+                    "score", "rnk")
+            .orderBy("lang", "rnk"))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH t AS (SELECT doc_id, lang, {words_duck()} AS ws FROM documents),
+w AS (SELECT doc_id, lang, unnest(ws) AS term FROM t),
+s AS (SELECT lang, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM w GROUP BY lang, term),
+n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+sc AS (SELECT s.lang, s.term, tf, df,
+              (n_docs * 1000) // df AS idf_x1000,
+              tf * ((n_docs * 1000) // df) AS score
+       FROM s JOIN n USING (lang)),
+r AS (SELECT *, row_number() OVER (
+          PARTITION BY lang ORDER BY score DESC, term ASC) AS rnk
+      FROM sc)
+SELECT lang, term, tf, df, idf_x1000, score, rnk
+FROM r WHERE rnk <= {TFIDF_TOP_K} ORDER BY lang, rnk
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -1866,4 +2070,6 @@ ORACLES = {
     "contamination_screen": SQL_CONTAMINATION_SCREEN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "dup_passages": SQL_DUP_PASSAGES,
+    "clean_corpus": SQL_CLEAN_CORPUS,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
 }

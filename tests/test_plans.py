@@ -260,3 +260,25 @@ def test_rec_validation_chained_arrow_stages(spark):
     p = _plan(spark, "rec_validation")
     tree = p.split("(1)")[0]
     assert tree.count("MapInArrow") == 2  # synth+corrupt | validate
+
+
+def test_clean_corpus_composite_plan(spark):
+    """r4 composite hygiene pipeline: fully JVM-side (no Python
+    anywhere), the benchmark-shingle decontamination join broadcasts
+    (never shuffles the corpus against the held-out set), and the
+    final exclusion is a broadcast anti-join."""
+    p = _plan(spark, "clean_corpus")
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "MapInArrow" not in p
+    assert "BroadcastHashJoin" in p
+    # the contamination exclusion must not sort-merge the survivors
+    assert "SortMergeJoin" not in p
+
+
+def test_tfidf_top_terms_plan(spark):
+    """Corpus term stats: JVM-side, per-language doc counts broadcast
+    into the vocabulary-sized score table."""
+    p = _plan(spark, "tfidf_top_terms")
+    assert "Python" not in p and "ArrowEval" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
