@@ -16,7 +16,26 @@ import zipfile
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SPARK_SUBMIT = shutil.which("spark-submit")
+
+
+def _find_spark_submit():
+    """PATH first; else the launcher bundled with the installed
+    pyspark (pip installs ship one under $SPARK_HOME/bin even when the
+    caller's PATH was scrubbed)."""
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    try:
+        from pyspark.find_spark_home import _find_spark_home
+        cand = os.path.join(_find_spark_home(), "bin", "spark-submit")
+        if os.access(cand, os.X_OK):
+            return cand
+    except Exception:
+        pass
+    return None
+
+
+SPARK_SUBMIT = _find_spark_submit()
 
 
 def _submit(args, cwd):
