@@ -2038,6 +2038,228 @@ FROM r WHERE rnk <= {TFIDF_TOP_K} ORDER BY lang, rnk
 
 
 # ----------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, app. A1.1)
+# ----------------------------------------------------------------------
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals in the style of the
+    Gopher corpus filters (Rae et al. 2021, appendix A1.1): repeated
+    words, the dominance of the single most frequent 2-gram, and the
+    share of 3-gram occurrences that are repeats. Gopher's line-level
+    signals do not apply (the corpus carries no line structure), and
+    its *character*-fraction n-gram variants are replaced by the
+    deterministic *occurrence*-fraction surrogates below (same
+    monotone intent, no char-accounting ambiguity).
+
+    Columns: ``dup_word_frac`` = 1 - distinct/total words;
+    ``top_bigram_cnt``/``top_bigram_frac`` = multiplicity and
+    occurrence share of the modal 2-gram; ``dup_trigram_frac`` =
+    share of 3-gram occurrences whose gram occurs >= 2x in the doc.
+
+    100 TB design: ZERO shuffle - every signal is per-document array
+    math (array_sort + one linear fold / adjacency filter), entirely
+    inside whole-stage-codegen expressions over the scan projection;
+    the sort-adjacency trick replaces the naive O(n^2)
+    count-each-element lambda so mega-documents stay O(n log n). The
+    DuckDB oracle deliberately uses the opposite (relational
+    explode + GROUP BY) formulation, so parity certifies the
+    algebra, not a shared implementation."""
+    docs = _t(spark, sf_dir, "documents")
+    bg = ("IF(size(ws) < 2, array(), transform(sequence(0, size(ws)-2), "
+          "i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2))))")
+    tg = ("IF(size(ws) < 3, array(), transform(sequence(0, size(ws)-3), "
+          "i -> concat(element_at(ws, i+1), ' ', element_at(ws, i+2), "
+          "' ', element_at(ws, i+3))))")
+    # modal multiplicity of a sorted array: one linear fold carrying
+    # (prev, run, best); the per-step IF duplication is constant-size
+    # (never the fold result itself - see the Catalyst HOF note in
+    # docops._sql_let)
+    top_cnt = (
+        "aggregate(array_sort(bg), "
+        "named_struct('prev', '', 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', IF(x = acc.prev, acc.run + 1L, 1L), "
+        "'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))), "
+        "acc -> acc.best)")
+    # occurrences belonging to duplicated grams: sort, then count
+    # positions equal to a neighbour
+    dup_occ = (
+        "IF(size(st) = 0, 0L, CAST(size(filter(sequence(1, size(st)), "
+        "i -> (i > 1 AND element_at(st, i) = element_at(st, i-1)) "
+        "OR (i < size(st) AND element_at(st, i) = element_at(st, i+1))"
+        ")) AS LONG))")
+    base = (docs
+            .select("doc_id", F.expr(words_spark()).alias("ws"))
+            .withColumn("bg", F.expr(bg))
+            .withColumn("st", F.expr("array_sort(" + tg + ")"))
+            .select(
+                "doc_id",
+                F.size("ws").cast("long").alias("n_words"),
+                F.size(F.array_distinct("ws")).cast("long").alias("n_dist"),
+                F.size("bg").cast("long").alias("n_bigrams"),
+                F.expr(top_cnt).alias("top_bigram_cnt"),
+                F.size("st").cast("long").alias("n_trigrams"),
+                F.expr(dup_occ).alias("dup_trigram_occ")))
+    frac = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, _r4(F.col(num) / F.col(den))).otherwise(F.lit(0.0))
+    return (base.select(
+                "doc_id", "n_words",
+                F.when(F.col("n_words") > 0,
+                       _r4(F.lit(1.0)
+                           - _r4(F.col("n_dist") / F.col("n_words"))))
+                .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+                "top_bigram_cnt",
+                frac("top_bigram_cnt", "n_bigrams").alias("top_bigram_frac"),
+                frac("dup_trigram_occ", "n_trigrams")
+                .alias("dup_trigram_frac"))
+            .orderBy("doc_id"))
+
+
+SQL_REPETITION_SIGNALS = f"""
+WITH d AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+w AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_dist
+      FROM d),
+bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+       FROM d, unnest(range(1, len(ws))) t(i)),
+bga AS (SELECT doc_id, SUM(c) AS n_bg, MAX(c) AS top_bg
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg
+              GROUP BY doc_id, g)
+        GROUP BY doc_id),
+tg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+       FROM d, unnest(range(1, len(ws) - 1)) t(i)),
+tga AS (SELECT doc_id, SUM(c) AS n_tg,
+               COALESCE(SUM(c) FILTER (WHERE c >= 2), 0) AS dup_tg
+        FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg
+              GROUP BY doc_id, g)
+        GROUP BY doc_id)
+SELECT w.doc_id, w.n_words,
+       CASE WHEN n_words > 0 THEN
+         {_sql_r("1.0 - " + _sql_r("CAST(n_dist AS DOUBLE) / n_words", 4),
+                 4)}
+       ELSE 0.0 END AS dup_word_frac,
+       CAST(COALESCE(top_bg, 0) AS BIGINT) AS top_bigram_cnt,
+       CASE WHEN COALESCE(n_bg, 0) > 0 THEN
+         {_sql_r("CAST(top_bg AS DOUBLE) / n_bg", 4)}
+       ELSE 0.0 END AS top_bigram_frac,
+       CASE WHEN COALESCE(n_tg, 0) > 0 THEN
+         {_sql_r("CAST(dup_tg AS DOUBLE) / n_tg", 4)}
+       ELSE 0.0 END AS dup_trigram_frac
+FROM w LEFT JOIN bga USING (doc_id) LEFT JOIN tga USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# corpus-frequency boilerplate segment stripping (CCNet-style)
+# ----------------------------------------------------------------------
+
+BOILER_SEG_WORDS = 5
+BOILER_MIN_DOCS = 2
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal, the CCNet/RefinedWeb
+    hygiene pass re-shaped for a line-less corpus: cut each document's
+    word stream into non-overlapping BOILER_SEG_WORDS-word segments
+    (the stand-in for lines), mark any segment whose exact text occurs
+    in >= BOILER_MIN_DOCS *distinct* documents as boilerplate, and
+    emit the document with those segments removed (the tail words
+    past the last full segment are always kept). ``clean_text`` is
+    whitespace/case-normalized by construction (the word tokenizer).
+
+    100 TB design: two shuffles - one hash aggregation keyed on the
+    segment string for the distinct-doc counts (partial aggs
+    map-side), one re-aggregation on doc_id to stitch surviving
+    segments back in order. The boilerplate table is heavy-hitter-
+    shaped (only segments repeated across documents), so the
+    mark-join's build side is far smaller than the corpus; at web
+    scale you would join on a 64-bit segment hash and let AQE pick
+    broadcast vs shuffle - here the string key keeps the oracle
+    byte-identical. Nothing Python, nothing per-row."""
+    from pyspark.sql import Window
+
+    K = BOILER_SEG_WORDS
+    docs = _t(spark, sf_dir, "documents")
+    segs_expr = (
+        f"IF(size(ws) < {K}, array(), "
+        f"transform(sequence(1, CAST(size(ws) / {K} AS INT)), "
+        f"i -> array_join(slice(ws, (i-1)*{K} + 1, {K}), ' ')))")
+    base = (docs
+            .select("doc_id", F.expr(words_spark()).alias("ws"))
+            .withColumn("segs", F.expr(segs_expr))
+            .withColumn(
+                "tail",
+                F.expr(f"array_join(slice(ws, "
+                       f"size(segs)*{K} + 1, size(ws)), ' ')"))
+            .select("doc_id", "tail",
+                    F.posexplode_outer("segs").alias("pos", "s")))
+    # distinct-doc frequency of each segment via one window aggregation
+    # over the segment key (single corpus scan, same trick as
+    # q_dup_passages); approx_count_distinct would be the 100 TB knob,
+    # exact size(collect_set()) keeps oracle parity here
+    marked = base.withColumn(
+        "n_docs",
+        F.size(F.collect_set("doc_id").over(Window.partitionBy("s"))))
+    boiler = (F.col("s").isNotNull()
+              & (F.col("n_docs") >= BOILER_MIN_DOCS))
+    keep_seg = F.col("s").isNotNull() & (F.col("n_docs") < BOILER_MIN_DOCS)
+    return (marked
+            .groupBy("doc_id")
+            .agg(F.count("s").cast("long").alias("n_segments"),
+                 F.sum(boiler.cast("long")).alias("n_boiler_segments"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(keep_seg, F.struct("pos", "s")))),
+                         lambda r: r["s"]),
+                     " ").alias("kept"),
+                 F.first("tail").alias("tail"))
+            .select(
+                "doc_id", "n_segments", "n_boiler_segments",
+                F.array_join(
+                    F.filter(F.array("kept", "tail"),
+                             lambda x: x != ""), " ").alias("clean_text"))
+            .orderBy("doc_id"))
+
+
+SQL_STRIP_BOILERPLATE = f"""
+WITH d AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+base AS (SELECT doc_id, ws, len(ws) // {BOILER_SEG_WORDS} AS n_seg
+         FROM d),
+seg AS (SELECT doc_id, i AS pos,
+               array_to_string(
+                 ws[(i-1)*{BOILER_SEG_WORDS}+1 : i*{BOILER_SEG_WORDS}],
+                 ' ') AS s
+        FROM base, unnest(range(1, n_seg + 1)) t(i)),
+boil AS (SELECT s FROM seg GROUP BY s
+         HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+mk AS (SELECT seg.doc_id, pos, seg.s,
+              (boil.s IS NOT NULL) AS is_b
+       FROM seg LEFT JOIN boil ON seg.s = boil.s),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boiler_segments,
+               string_agg(CASE WHEN is_b THEN NULL ELSE s END, ' '
+                          ORDER BY pos) AS kept
+        FROM mk GROUP BY doc_id),
+tl AS (SELECT doc_id,
+              array_to_string(
+                ws[n_seg*{BOILER_SEG_WORDS}+1 : len(ws)], ' ') AS tail
+       FROM base)
+SELECT b.doc_id,
+       COALESCE(a.n_segments, 0) AS n_segments,
+       COALESCE(a.n_boiler_segments, 0) AS n_boiler_segments,
+       COALESCE(array_to_string(
+         list_filter([COALESCE(a.kept, ''), tl.tail], x -> x != ''),
+         ' '), '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id) JOIN tl USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -2072,4 +2294,6 @@ ORACLES = {
     "dup_passages": SQL_DUP_PASSAGES,
     "clean_corpus": SQL_CLEAN_CORPUS,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
+    "strip_boilerplate": SQL_STRIP_BOILERPLATE,
 }

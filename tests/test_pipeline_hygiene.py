@@ -135,3 +135,70 @@ def test_dup_passages_plan_shape(spark):
 
     first_exchange = plan.find("Exchange")
     assert first_exchange != -1
+
+
+def test_repetition_signals_bounds_and_signal(spark):
+    from docling_core_spark.textops import q_repetition_signals
+
+    out = {r["doc_id"]: r
+           for r in q_repetition_signals(spark, SF_DIR).collect()}
+    assert out
+    for r in out.values():
+        assert 0.0 <= r["dup_word_frac"] <= 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+        assert 0.0 <= r["dup_trigram_frac"] <= 1.0
+        if r["n_words"] >= 2:
+            assert r["top_bigram_cnt"] >= 1
+    # the 31-word-vocab synthetic corpus repeats words in every doc
+    # of typical length, and somewhere a bigram repeats within a doc
+    assert any(r["dup_word_frac"] > 0.5 for r in out.values())
+    assert any(r["top_bigram_cnt"] >= 2 for r in out.values())
+    assert any(r["dup_trigram_frac"] > 0.0 for r in out.values())
+
+
+def test_repetition_signals_plan_zero_shuffle(spark):
+    """The 100 TB claim in the docstring: per-doc array math only -
+    no Python, and the only exchange is the test-output sort."""
+    import re
+
+    from docling_core_spark.textops import q_repetition_signals
+
+    plan = _plan(q_repetition_signals(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    for m in re.finditer(r"Exchange (\w+)", plan):
+        assert m.group(1) == "rangepartitioning", plan
+
+
+def test_strip_boilerplate_removes_exactly_marked_segments(spark):
+    from docling_core_spark.textops import (
+        BOILER_SEG_WORDS,
+        q_strip_boilerplate,
+    )
+
+    out = {r["doc_id"]: r
+           for r in q_strip_boilerplate(spark, SF_DIR).collect()}
+    assert out
+    for r in out.values():
+        assert 0 <= r["n_boiler_segments"] <= r["n_segments"]
+    # corpus-level signal: the synthetic corpus shares segments
+    assert any(r["n_boiler_segments"] > 0 for r in out.values())
+    assert any(r["n_boiler_segments"] == 0 for r in out.values())
+    # word accounting: clean_text lost exactly SEG_WORDS per removed
+    # segment relative to the normalized source words
+    import re as _re
+
+    from docling_core_spark.textops import _t
+
+    src = {r["doc_id"]: len(_re.findall("[a-z0-9]+", r["text"].lower()))
+           for r in _t(spark, SF_DIR, "documents").collect()}
+    for d, r in out.items():
+        n_clean = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert n_clean == src[d] - BOILER_SEG_WORDS * r["n_boiler_segments"]
+
+
+def test_strip_boilerplate_plan_shape(spark):
+    from docling_core_spark.textops import q_strip_boilerplate
+
+    plan = _plan(q_strip_boilerplate(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
