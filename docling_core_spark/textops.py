@@ -2169,17 +2169,18 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the last full segment are always kept). ``clean_text`` is
     whitespace/case-normalized by construction (the word tokenizer).
 
-    100 TB design: two shuffles - one hash aggregation keyed on the
-    segment string for the distinct-doc counts (partial aggs
-    map-side), one re-aggregation on doc_id to stitch surviving
+    100 TB design: one hash aggregation keyed on the segment string
+    for the distinct-doc counts (two-phase partial aggs, BOUNDED
+    per-key state - deliberately not the single-scan
+    window+collect_set form, which buffers every (doc_id) of a
+    partition key and OOMs on a boilerplate segment shared by 10^9
+    docs), one mark-join of the segments against the surviving
+    boilerplate keys, one re-aggregation on doc_id to stitch kept
     segments back in order. The boilerplate table is heavy-hitter-
-    shaped (only segments repeated across documents), so the
-    mark-join's build side is far smaller than the corpus; at web
-    scale you would join on a 64-bit segment hash and let AQE pick
-    broadcast vs shuffle - here the string key keeps the oracle
-    byte-identical. Nothing Python, nothing per-row."""
-    from pyspark.sql import Window
-
+    shaped (only segments repeated across documents), so AQE
+    broadcasts the build side when it fits; at web scale you would
+    join on a 64-bit segment hash - here the string key keeps the
+    oracle byte-identical. Nothing Python, nothing per-row."""
     K = BOILER_SEG_WORDS
     docs = _t(spark, sf_dir, "documents")
     segs_expr = (
@@ -2195,16 +2196,14 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                        f"size(segs)*{K} + 1, size(ws)), ' ')"))
             .select("doc_id", "tail",
                     F.posexplode_outer("segs").alias("pos", "s")))
-    # distinct-doc frequency of each segment via one window aggregation
-    # over the segment key (single corpus scan, same trick as
-    # q_dup_passages); approx_count_distinct would be the 100 TB knob,
-    # exact size(collect_set()) keeps oracle parity here
-    marked = base.withColumn(
-        "n_docs",
-        F.size(F.collect_set("doc_id").over(Window.partitionBy("s"))))
-    boiler = (F.col("s").isNotNull()
-              & (F.col("n_docs") >= BOILER_MIN_DOCS))
-    keep_seg = F.col("s").isNotNull() & (F.col("n_docs") < BOILER_MIN_DOCS)
+    boil = (base.filter(F.col("s").isNotNull())
+            .groupBy("s")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+            .select(F.col("s").alias("bs")))
+    marked = base.join(boil, base["s"] == boil["bs"], "left")
+    boiler = F.col("bs").isNotNull()
+    keep_seg = F.col("s").isNotNull() & F.col("bs").isNull()
     return (marked
             .groupBy("doc_id")
             .agg(F.count("s").cast("long").alias("n_segments"),
