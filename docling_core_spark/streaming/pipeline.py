@@ -382,17 +382,31 @@ def stream_dedup_once(
         # trigger is mid-flight, then stop. Pending timers fire in a
         # later run's batch - exactly the expiry semantics a periodic
         # drain pipeline wants.
+        #
+        # A timer-only zero-input batch can complete BEFORE the data
+        # batch under load, so "first zero-input batch" alone is not
+        # proof the data drained - only accept it after some batch
+        # actually consumed rows; when the drain genuinely has no new
+        # files, fall back to a sustained-idle check + deadline.
         import time as _time
 
+        t0 = _time.monotonic()
+        saw_data = False
+        idle_polls = 0
         while q.isActive:
+            prog = q.recentProgress
+            if any(p["numInputRows"] > 0 for p in prog):
+                saw_data = True
             lp = q.lastProgress
-            if lp is not None and lp["numInputRows"] == 0:
-                # first zero-input batch = available data drained;
-                # the engine is now only polling timers
-                break
             s = q.status
-            if (q.recentProgress and not s["isDataAvailable"]
-                    and not s["isTriggerActive"]):
+            engine_idle = (bool(prog) and not s["isDataAvailable"]
+                           and not s["isTriggerActive"])
+            if saw_data and ((lp is not None
+                              and lp["numInputRows"] == 0)
+                             or engine_idle):
+                break
+            idle_polls = idle_polls + 1 if engine_idle else 0
+            if idle_polls >= 25 or _time.monotonic() - t0 > 90.0:
                 break
             _time.sleep(0.2)
         q.stop()
