@@ -74,6 +74,15 @@ CAPTURE = {
                         "join BROADCASTs (cluster table is "
                         "statistic-sized); wide shuffles only on "
                         "tiny aggregates + presentation sort"),
+    "repetition_signals": ("Gopher-style repetition fractions: "
+                           "zero-shuffle per-doc array math "
+                           "(sort-adjacency + one linear fold), no "
+                           "Python, only the presentation-sort "
+                           "Exchange"),
+    "strip_boilerplate": ("bounded-state countDistinct agg on the "
+                          "segment key (two-phase partial aggs, NOT "
+                          "window+collect_set); heavy-hitter build "
+                          "side broadcast; one doc_id restitch agg"),
 }
 
 
