@@ -202,3 +202,57 @@ def test_strip_boilerplate_plan_shape(spark):
     plan = _plan(q_strip_boilerplate(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+def _write_docs(spark, tmp_path, rows):
+    import os as _os
+
+    p = _os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.parquet(p)
+    return str(tmp_path)
+
+
+def test_repetition_signals_handcrafted(spark, tmp_path):
+    """Pin the arithmetic on inputs small enough to verify by hand
+    (the corpus parity test certifies Spark==DuckDB; this certifies
+    both against the definition)."""
+    from docling_core_spark.textops import q_repetition_signals
+
+    sf = _write_docs(spark, tmp_path, [
+        (1, "a a a b"),        # bigrams [aa,aa,ab] tri [aaa,aab]
+        (2, "x y x y x y"),    # bigrams [xy,yx,xy,yx,xy] tri all dup
+        (3, "solo"),           # no bigrams/trigrams
+    ])
+    out = {r["doc_id"]: r for r in q_repetition_signals(spark, sf).collect()}
+    r1, r2, r3 = out[1], out[2], out[3]
+    assert (r1["n_words"], r1["dup_word_frac"]) == (4, 0.5)
+    assert (r1["top_bigram_cnt"], r1["top_bigram_frac"]) == (2, 0.6667)
+    assert r1["dup_trigram_frac"] == 0.0
+    assert (r2["dup_word_frac"], r2["top_bigram_cnt"],
+            r2["top_bigram_frac"], r2["dup_trigram_frac"]) == (
+        0.6667, 3, 0.6, 1.0)
+    assert (r3["n_words"], r3["top_bigram_cnt"], r3["top_bigram_frac"],
+            r3["dup_trigram_frac"]) == (1, 0, 0.0, 0.0)
+
+
+def test_strip_boilerplate_handcrafted(spark, tmp_path):
+    from docling_core_spark.textops import q_strip_boilerplate
+
+    shared = "one two three four five"
+    sf = _write_docs(spark, tmp_path, [
+        (10, shared + " alpha beta"),
+        (11, shared + " gamma"),
+        (12, "unique words only here now extra"),
+        (13, "tiny doc"),
+    ])
+    out = {r["doc_id"]: r for r in q_strip_boilerplate(spark, sf).collect()}
+    assert (out[10]["n_segments"], out[10]["n_boiler_segments"],
+            out[10]["clean_text"]) == (1, 1, "alpha beta")
+    assert (out[11]["n_segments"], out[11]["n_boiler_segments"],
+            out[11]["clean_text"]) == (1, 1, "gamma")
+    assert (out[12]["n_segments"], out[12]["n_boiler_segments"],
+            out[12]["clean_text"]) == (
+        1, 0, "unique words only here now extra")
+    assert (out[13]["n_segments"], out[13]["n_boiler_segments"],
+            out[13]["clean_text"]) == (0, 0, "tiny doc")
