@@ -256,3 +256,77 @@ def test_strip_boilerplate_handcrafted(spark, tmp_path):
         1, 0, "unique words only here now extra")
     assert (out[13]["n_segments"], out[13]["n_boiler_segments"],
             out[13]["clean_text"]) == (0, 0, "tiny doc")
+
+
+def test_new_ops_match_python_reference_on_random_corpus(spark, tmp_path):
+    """Third formulation: a seeded random corpus (small vocab to force
+    cross-doc repeats, plus edge docs) checked against independent
+    pure-Python references - on top of the DuckDB parity test, the
+    three implementations must agree exactly."""
+    import math
+    import random
+    import re as _re
+    from collections import Counter
+
+    from docling_core_spark.textops import (
+        BOILER_MIN_DOCS,
+        BOILER_SEG_WORDS,
+        q_repetition_signals,
+        q_strip_boilerplate,
+    )
+
+    rng = random.Random(421)
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl"]
+    rows = [(0, ""), (1, "one"), (2, "ab cd ef gh ij"),
+            (3, " ".join(["ab"] * 10))]
+    for d in range(4, 200):
+        rows.append((d, " ".join(rng.choice(vocab)
+                                 for _ in range(rng.randint(0, 40)))))
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def words(t):
+        return _re.findall("[a-z0-9]+", t.lower())
+
+    # --- repetition_signals reference
+    exp = {}
+    for d, t in rows:
+        ws = words(t)
+        n = len(ws)
+        dw = r4(1.0 - r4(len(set(ws)) / n)) if n else 0.0
+        bg = [" ".join(ws[i:i + 2]) for i in range(n - 1)]
+        tg = [" ".join(ws[i:i + 3]) for i in range(n - 2)]
+        top = max(Counter(bg).values()) if bg else 0
+        topf = r4(top / len(bg)) if bg else 0.0
+        c = Counter(tg)
+        dup = sum(v for v in c.values() if v >= 2)
+        dupf = r4(dup / len(tg)) if tg else 0.0
+        exp[d] = (n, dw, top, topf, dupf)
+    got = {r["doc_id"]: (r["n_words"], r["dup_word_frac"],
+                         r["top_bigram_cnt"], r["top_bigram_frac"],
+                         r["dup_trigram_frac"])
+           for r in q_repetition_signals(spark, sf).collect()}
+    assert got == exp
+
+    # --- strip_boilerplate reference
+    K, M = BOILER_SEG_WORDS, BOILER_MIN_DOCS
+    per, seen = {}, {}
+    for d, t in rows:
+        ws = words(t)
+        n_seg = len(ws) // K
+        ss = [" ".join(ws[i * K:(i + 1) * K]) for i in range(n_seg)]
+        per[d] = (ss, " ".join(ws[n_seg * K:]))
+        for s in set(ss):
+            seen.setdefault(s, set()).add(d)
+    boil = {s for s, ds in seen.items() if len(ds) >= M}
+    exp2 = {}
+    for d, (ss, tail) in per.items():
+        kept = " ".join(s for s in ss if s not in boil)
+        clean = " ".join(x for x in (kept, tail) if x != "")
+        exp2[d] = (len(ss), sum(s in boil for s in ss), clean)
+    got2 = {r["doc_id"]: (r["n_segments"], r["n_boiler_segments"],
+                          r["clean_text"])
+            for r in q_strip_boilerplate(spark, sf).collect()}
+    assert got2 == exp2
