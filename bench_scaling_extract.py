@@ -52,9 +52,70 @@ spark.stop()
 """
 
 
+# Executor-shard runner (the pairing the north rule names: N vs 4N
+# EXECUTORS at fixed executor size): extract only an LPT byte-balanced
+# shard of the page files in its own local[N] JVM, barriered per round
+# so the parent aggregates total_docs / max shard wall. Extraction is
+# one fused zero-shuffle stage over whole input splits, so n_shards
+# concurrent JVMs ARE the n_shards-executor run (driver replicated per
+# shard, which only penalizes the proxy).
+SHARD_RUNNER = r"""
+import heapq, json, os, shutil, sys, tempfile, time
+path, cpus, shard_id, n_shards, go = (sys.argv[1], int(sys.argv[2]),
+                                      int(sys.argv[3]), int(sys.argv[4]),
+                                      sys.argv[5])
+sys.path.insert(0, "/root/repo")
+from docling_core_spark.session import get_spark
+from docling_core_spark.extraction.spark import extract_pages
+spark = get_spark(app_name=f"xshard-{shard_id}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+files = sorted(os.path.join(path, f) for f in os.listdir(path)
+               if f.endswith(".parquet"))
+sizes = sorted(((os.path.getsize(f), f) for f in files), reverse=True)
+heap = [(0, i) for i in range(n_shards)]
+heapq.heapify(heap)
+shards = [[] for _ in range(n_shards)]
+for sz, f in sizes:
+    load, i = heapq.heappop(heap)
+    shards[i].append(f)
+    heapq.heappush(heap, (load + sz, i))
+tmp = tempfile.mkdtemp(prefix=f"xshard{shard_id}_")
+for f in shards[shard_id]:
+    os.symlink(f, os.path.join(tmp, os.path.basename(f)))
+pages = spark.read.parquet(tmp)
+n_docs_shard = pages.count()
+extract_pages(pages).count()  # warm
+print("WARMED", flush=True)
+for r in range(3):
+    while not os.path.exists(f"{go}.{r}"):
+        time.sleep(0.02)
+    t0 = time.perf_counter()
+    n = extract_pages(pages).count()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"shard": shard_id, "round": r, "cpus": cpus,
+                      "secs": round(dt, 3), "spans": n,
+                      "docs": n_docs_shard}), flush=True)
+shutil.rmtree(tmp)
+spark.stop()
+"""
+
+
+def _pages_path(n_docs: int) -> str:
+    sys.path.insert(0, "/root/repo")
+    from docling_core_spark.corpus import CORPUS_VERSION
+    from docling_core_spark.extraction.spark import PAGES_VERSION
+
+    return (f"/tmp/docling_scaling_pages_{n_docs}"
+            f"_v{CORPUS_VERSION}.{PAGES_VERSION}.parquet")
+
+
 def run(n_docs: int, cpus: int) -> dict:
+    from bench_scaling_layout import _pin
+
     out = subprocess.run(
-        [sys.executable, "-c", RUNNER, str(n_docs), str(cpus)],
+        _pin(cpus) + [sys.executable, "-c", RUNNER, str(n_docs),
+                      str(cpus)],
         capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
@@ -72,6 +133,25 @@ def main() -> None:
               f"{results[lo]['docs_per_sec']} -> "
               f"{results[hi]['docs_per_sec']} pages/s, "
               f"efficiency {eff:.2f}")
+    # N vs 4N executors at fixed executor size (local[8] each)
+    import bench_scaling_layout as bsl
+
+    hi4 = bsl.run_shards(_pages_path(n_docs), 4, 8, runner=SHARD_RUNNER)
+    print(json.dumps({k: hi4[k] for k in
+                      ("n_shards", "cpus", "docs_per_sec", "best_round")}))
+    xeff = hi4["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
+    print(f"extract scaling 1 -> 4 executors (local[8] each): "
+          f"{results[8]['docs_per_sec']} -> {hi4['docs_per_sec']} "
+          f"pages/s, efficiency {xeff:.2f}")
+    print(json.dumps({"metric": "extract_scaling_efficiency_4x",
+                      "pairs": {"2->8": round(
+                          results[8]["docs_per_sec"]
+                          / (4 * results[2]["docs_per_sec"]), 3),
+                          "8->32": round(
+                              results[32]["docs_per_sec"]
+                              / (4 * results[8]["docs_per_sec"]), 3),
+                          "1x8->4x8": round(xeff, 3)},
+                      "n_docs": n_docs}))
 
 
 if __name__ == "__main__":
