@@ -115,3 +115,31 @@ def test_lineage_metrics(spark, out_dir):
     agg = lineage.groupBy().sum("n_docs", "n_chunks").collect()[0]
     assert agg["sum(n_docs)"] == N_DOCS
     assert agg["sum(n_chunks)"] == out.count()
+
+
+def test_extraction_tier_preempt_and_resume(spark, out_dir):
+    """The north rule's own pipeline through the checkpoint protocol:
+    page render -> main-content extraction as a resumable stage. A
+    preempted run commits a prefix of buckets with lineage; resume
+    completes the corpus and the union equals the direct extraction
+    exactly (span-sequence level: doc_id, ord, kind, text)."""
+    from docling_core_spark.extraction.spark import (
+        extract_pages,
+        render_pages,
+    )
+
+    pages = render_pages(_docs(spark)).cache()
+    direct = sorted(map(tuple, extract_pages(pages)
+                        .select("doc_id", "ord", "kind", "text")
+                        .collect()))
+    run_resumable(pages, out_dir, extract_pages, n_buckets=N_BUCKETS,
+                  max_buckets_this_run=2)
+    assert len(completed_buckets(spark, out_dir)) == 2
+    out = run_resumable(pages, out_dir, extract_pages,
+                        n_buckets=N_BUCKETS)
+    got = sorted(map(tuple, out.select("doc_id", "ord", "kind", "text")
+                     .collect()))
+    assert got == direct
+    lineage = read_lineage(spark, out_dir)
+    assert lineage.groupBy().sum("n_docs").collect()[0][0] == N_DOCS
+    pages.unpersist()
