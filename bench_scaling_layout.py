@@ -38,8 +38,10 @@ Usage: python bench_scaling_layout.py [n_docs] [n_pairs]
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
+import time
 
 # Executor-shard runner: parse only the files whose LPT shard index
 # (over n_shards byte-balanced shards) equals shard_id, in a local[N]
@@ -363,13 +365,35 @@ def run_shards(cells_path: str, n_shards: int, cpus: int,
             os.unlink(e.name)
 
 
+def gated_capacity_probe(pair: int) -> float:
+    """Probe box capacity; optionally defer the pair until the probe
+    clears LADDER_PROBE_FLOOR (same self-certifying-window protocol as
+    bench.py's 400-docs/s control gate for the headline artifact).
+    Every deferred probe is printed, so the log shows how long the
+    ladder waited and what it saw — the gate selects WHEN to measure,
+    never WHAT to report."""
+    floor = float(os.environ.get("LADDER_PROBE_FLOOR", "0"))
+    retries = int(os.environ.get("LADDER_PROBE_RETRIES", "8"))
+    wait_s = int(os.environ.get("LADDER_PROBE_WAIT_SECS", "75"))
+    cap = cpu_capacity_ratio()
+    attempt = 0
+    while cap < floor and attempt < retries:
+        print(f"pair {pair} probe {cap:.2f} < floor {floor:.2f} — "
+              f"deferring {wait_s}s (attempt {attempt + 1}/{retries})",
+              flush=True)
+        time.sleep(wait_s)
+        cap = cpu_capacity_ratio()
+        attempt += 1
+    return cap
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 160000
     n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     x_effs, effs, ctl_effs, caps = [], [], [], []
     spark_over_ctl = []
     for p in range(n_pairs):
-        cap = cpu_capacity_ratio()
+        cap = gated_capacity_probe(p)
         caps.append(cap)
         print(f"pair {p} box CPU capacity 8->32: {cap:.2f} of ideal 4x")
         lo = run(n_docs, 8)          # also materializes the corpus
