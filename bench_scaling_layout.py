@@ -80,9 +80,25 @@ for f in shards[shard_id]:
 # r4: the measured job stops at the PACKED parse boundary (the shape
 # a doc-bucketed span sink consumes) - the mp control parses to the
 # same boundary, so spark/control compares like for like; the JVM
-# unpack+inline view is sized separately in the single-JVM runner
-def job():
-    return extract_layout_packed_files(spark, tmp).count()
+# unpack+inline view is sized separately in the single-JVM runner.
+# LADDER_BOUNDARY=sink instead runs the production SINK plan on BOTH
+# sides: Python workers pyarrow-write the packed shards themselves
+# and only lineage rows cross into the JVM (extract_layout_shards) -
+# the count-only packed boundary still ships every span byte over the
+# Arrow IPC socket, a cost the no-Spark control never pays.
+BOUNDARY = os.environ.get("LADDER_BOUNDARY", "packed")
+if BOUNDARY == "sink":
+    from docling_core_spark.extraction.layout_spark import (
+        extract_layout_shards)
+    sink_dir = tempfile.mkdtemp(prefix=f"lsinkshard{shard_id}_")
+
+    def job():
+        return sum(r["n_docs"] for r in
+                   extract_layout_shards(spark, tmp, sink_dir)
+                   .collect())
+else:
+    def job():
+        return extract_layout_packed_files(spark, tmp).count()
 
 n_docs_shard = job()
 job()  # warm
@@ -103,6 +119,8 @@ for r in range(3):
                       "secs": round(dt, 3),
                       "docs": n_docs_shard}), flush=True)
 shutil.rmtree(tmp)
+if BOUNDARY == "sink":
+    shutil.rmtree(sink_dir, ignore_errors=True)
 spark.stop()
 """
 
@@ -128,9 +146,23 @@ if not os.path.exists(os.path.join(path, "_SUCCESS")):
 
 # measured job = packed parse boundary (control-comparable, see shard
 # runner note); the flat unpack+inline end-to-end is timed once to
-# size the JVM-side view overhead
-def job():
-    return extract_layout_packed_files(spark, path).count()
+# size the JVM-side view overhead. LADDER_BOUNDARY=sink swaps in the
+# production sink plan (workers write shards, lineage-only crossing).
+BOUNDARY = os.environ.get("LADDER_BOUNDARY", "packed")
+if BOUNDARY == "sink":
+    import tempfile
+
+    from docling_core_spark.extraction.layout_spark import (
+        extract_layout_shards)
+    sink_dir = tempfile.mkdtemp(prefix=f"lsink{cpus}_")
+
+    def job():
+        return sum(r["n_docs"] for r in
+                   extract_layout_shards(spark, path, sink_dir)
+                   .collect())
+else:
+    def job():
+        return extract_layout_packed_files(spark, path).count()
 
 def job_flat():
     return (extract_layout_docs_files(spark, path)
@@ -150,6 +182,9 @@ print(json.dumps({"cpus": cpus, "n_docs": n_docs, "secs": round(best, 3),
                   "docs": n,
                   "flat_secs": round(flat_secs, 3), "spans": n_spans,
                   "docs_per_sec": round(n_docs / best, 2)}))
+if BOUNDARY == "sink":
+    import shutil
+    shutil.rmtree(sink_dir, ignore_errors=True)
 spark.stop()
 """
 
@@ -166,7 +201,12 @@ sys.path.insert(0, "/root/repo")
 path, procs = sys.argv[1], int(sys.argv[2])
 
 
-def parse_bin(files):
+BOUNDARY = os.environ.get("LADDER_BOUNDARY", "packed")
+
+
+def parse_bin(args):
+    i, files, sink_dir = args
+    import pyarrow as pa
     import pyarrow.parquet as pq
     from docling_core_spark.extraction.layout_spark import (
         _parse_cell_batches)
@@ -175,10 +215,26 @@ def parse_bin(files):
         for p in files:
             yield from pq.ParquetFile(p).iter_batches(batch_size=2048)
 
-    return sum(b.num_rows for b in _parse_cell_batches(cell_batches()))
+    if sink_dir is None:
+        return sum(b.num_rows
+                   for b in _parse_cell_batches(cell_batches()))
+    # sink boundary: write the packed shard exactly like the Spark
+    # workers do (write-then-rename), so both sides pay the same I/O
+    out_batches = list(_parse_cell_batches(cell_batches()))
+    n = 0
+    if out_batches:
+        tbl = pa.Table.from_batches(out_batches)
+        tmp_f = os.path.join(sink_dir, f"_tmp-{i:05d}")
+        pq.write_table(tbl, tmp_f)
+        os.rename(tmp_f, os.path.join(sink_dir, f"shard-{i:05d}.parquet"))
+        n = tbl.num_rows
+    return n
 
 
 if __name__ == "__main__":
+    import shutil, tempfile
+    sink_root = (tempfile.mkdtemp(prefix="lsinkctl_")
+                 if BOUNDARY == "sink" else None)
     files = sorted(os.path.join(path, f) for f in os.listdir(path)
                    if f.endswith(".parquet"))
     n_bins = min(procs * 4, len(files)) or 1
@@ -191,14 +247,17 @@ if __name__ == "__main__":
         load, i = heapq.heappop(heap)
         bins[i].append(f)
         heapq.heappush(heap, (load + sz, i))
+    work = [(i, b, sink_root) for i, b in enumerate(bins)]
     with mp.Pool(procs) as pool:
-        pool.map(parse_bin, bins)  # warm (workers + imports)
+        pool.map(parse_bin, work)  # warm (workers + imports)
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            docs = sum(pool.map(parse_bin, bins))
+            docs = sum(pool.map(parse_bin, work))
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
+    if sink_root is not None:
+        shutil.rmtree(sink_root, ignore_errors=True)
     print(json.dumps({"procs": procs, "secs": round(best, 3),
                       "docs": docs,
                       "docs_per_sec": round(docs / best, 2)}))
@@ -473,6 +532,7 @@ def main() -> None:
           f"(capacity median {statistics.median(caps):.2f})")
     print(json.dumps({
         "metric": "layout_scaling_efficiency_1to4_executors",
+        "boundary": os.environ.get("LADDER_BOUNDARY", "packed"),
         "median": round(statistics.median(x_effs), 3),
         "pairs": [round(x, 3) for x in x_effs],
         "single_jvm_8to32": [round(x, 3) for x in effs],

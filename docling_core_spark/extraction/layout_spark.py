@@ -351,6 +351,120 @@ def extract_layout_packed_files(spark: SparkSession,
             .mapInArrow(run, PACKED_SPANS_SCHEMA))
 
 
+SHARD_LINEAGE_SCHEMA = ("slot int, shard_path string, n_files int, "
+                        "n_docs int, n_spans long, "
+                        "doc_id_min string, doc_id_max string, "
+                        "wall_s double")
+
+
+def extract_layout_shards(spark: SparkSession, path: str,
+                          out_dir: str) -> DataFrame:
+    """Parse a doc-grouped print table and SINK the packed spans to
+    doc-bucketed parquet shards, writing from the Python workers
+    themselves; only per-task lineage/metrics rows cross the
+    Python->JVM boundary.
+
+    This is the production sink plan at 10^12 docs: the packed span
+    payload never crosses the Arrow IPC socket into the JVM at all -
+    each task pyarrow-reads its LPT bin of print files, parses, and
+    pyarrow-writes ONE packed shard (write-then-rename, so a killed
+    task leaves only a ``_tmp`` orphan and rewriting is idempotent -
+    the same commit discipline as io/checkpoint.py, whose Iceberg
+    analogue is a snapshot commit). The returned lineage DataFrame is
+    the north-rule metrics table: (slot, shard_path, n_files, n_docs,
+    n_spans, doc_id_min/max, wall_s) per task. Measured motivation:
+    the count-only packed boundary still ships every span byte into
+    the JVM; under memory-bandwidth contention that crossing is the
+    one cost the equivalent no-Spark pool does not pay.
+
+    Reference has no equivalent (single-process, reference
+    docling_core/transforms/ serializes in-memory); the shard shape is
+    what :func:`extract_layout_packed_files` consumes back, so
+    downstream stages read co-located buckets instead of re-shuffling.
+    """
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet"))
+    sizes_by_file = {f: os.path.getsize(f) for f in files}
+    _MIN_BIN_BYTES = 2 << 20
+    par = max(1, spark.sparkContext.defaultParallelism)
+    total_bytes = sum(sizes_by_file.values())
+    n_slots = max(par, min(par * 4, total_bytes // _MIN_BIN_BYTES))
+    n_slots = min(n_slots, len(files)) or 1
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(path_batches: Iterator) -> Iterator:
+        import time as _time
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [(s, p) for pb in path_batches
+                for s, p in zip(pb.column("slot").to_pylist(),
+                                pb.column("path").to_pylist())]
+        if not rows:
+            return
+        t0 = _time.perf_counter()
+        slot = rows[0][0]
+        bin_files = [p for _s, p in rows]
+
+        def cell_batches() -> Iterator:
+            for p in bin_files:
+                f = pq.ParquetFile(p)
+                yield from f.iter_batches(batch_size=2048)
+
+        out_batches = list(_parse_cell_batches(cell_batches()))
+        shard = os.path.join(out_dir, f"shard-{slot:05d}.parquet")
+        tmp = os.path.join(out_dir,
+                           f"_tmp-{slot:05d}-{uuid.uuid4().hex}")
+        if out_batches:
+            import pyarrow.compute as pc
+
+            tbl = pa.Table.from_batches(out_batches)
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, shard)  # the commit point
+            n_docs = tbl.num_rows
+            n_spans = int(pc.sum(
+                pc.list_value_length(tbl.column("ords"))).as_py() or 0)
+            mm = pc.min_max(tbl.column("doc_id"))
+            dmin = mm["min"].as_py()
+            dmax = mm["max"].as_py()
+        else:
+            shard, n_docs, n_spans, dmin, dmax = None, 0, 0, None, None
+        wall = _time.perf_counter() - t0
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([slot], pa.int32()),
+             pa.array([shard], pa.string()),
+             pa.array([len(bin_files)], pa.int32()),
+             pa.array([n_docs], pa.int32()),
+             pa.array([n_spans], pa.int64()),
+             pa.array([dmin], pa.string()),
+             pa.array([dmax], pa.string()),
+             pa.array([round(wall, 3)], pa.float64())],
+            names=["slot", "shard_path", "n_files", "n_docs",
+                   "n_spans", "doc_id_min", "doc_id_max", "wall_s"])
+
+    import heapq
+
+    sizes = sorted(((sizes_by_file[f], f) for f in files),
+                   reverse=True)
+    heap = [(0, i) for i in range(n_slots)]
+    heapq.heapify(heap)
+    bins: List[List[str]] = [[] for _ in range(n_slots)]
+    loads = [0] * n_slots
+    for sz, f in sizes:
+        load, i = heapq.heappop(heap)
+        bins[i].append(f)
+        loads[i] = load + sz
+        heapq.heappush(heap, (load + sz, i))
+    order = sorted(range(n_slots), key=lambda i: -loads[i])
+    rows = [(rank, f) for rank, i in enumerate(order) for f in bins[i]]
+    paths = spark.createDataFrame(rows, "slot int, path string")
+    return (paths.repartitionByRange(n_slots, "slot")
+            .mapInArrow(run, SHARD_LINEAGE_SCHEMA))
+
+
 def extract_layout(cells: DataFrame) -> DataFrame:
     """Cell table -> flat extracted span rows (``SPANS_SCHEMA``).
 

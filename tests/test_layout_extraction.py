@@ -444,3 +444,49 @@ def test_pages_path_equals_tuples_path_adversarial():
         recs.append((999, [], [], [], [], [], []))
         got = extract_layout_pages(recs)
         assert got == want, i
+
+
+# ----------------------------------------------------------------------
+# Python-side shard sink (the production sink boundary)
+# ----------------------------------------------------------------------
+
+def test_spark_layout_shard_sink_matches_and_commits(spark, tmp_path):
+    """extract_layout_shards writes packed shards from the Python
+    workers (the span payload never crosses the Arrow IPC boundary
+    into the JVM); one lineage/metrics row per task crosses instead.
+    Reading the shards back equals the direct packed parse, lineage
+    totals account for every doc and span, and a killed task's _tmp
+    orphan is invisible to read-back (write-then-rename commit)."""
+    import os
+
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.layout_spark import (
+        extract_layout_packed_files,
+        extract_layout_shards,
+        render_layout,
+    )
+
+    docs = synth_documents(spark, n_docs=30, seed=42, partitions=5)
+    path = str(tmp_path / "cells")
+    render_layout(docs).write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "shards")
+    lineage = extract_layout_shards(spark, path, out).collect()
+
+    direct = {r["doc_id"]: (list(r["ords"]), r["kinds"], r["texts"],
+                            r["refs"])
+              for r in extract_layout_packed_files(spark,
+                                                   path).collect()}
+    # a killed task's orphan must not change what a reader sees
+    (tmp_path / "shards" / "_tmp-99999-dead").write_bytes(b"junk")
+    got = {r["doc_id"]: (list(r["ords"]), r["kinds"], r["texts"],
+                         r["refs"])
+           for r in spark.read.parquet(
+               os.path.join(out, "shard-*.parquet")).collect()}
+    assert got == direct
+    assert sum(r["n_docs"] for r in lineage) == len(direct)
+    n_spans = sum(len(v[0]) for v in direct.values())
+    assert sum(r["n_spans"] for r in lineage) == n_spans
+    for r in lineage:
+        if r["n_docs"]:
+            assert r["doc_id_min"] <= r["doc_id_max"]
+            assert os.path.basename(r["shard_path"]).startswith("shard-")
