@@ -358,7 +358,8 @@ SHARD_LINEAGE_SCHEMA = ("slot int, shard_path string, n_files int, "
 
 
 def extract_layout_shards(spark: SparkSession, path: str,
-                          out_dir: str) -> DataFrame:
+                          out_dir: str,
+                          resume: bool = False) -> DataFrame:
     """Parse a doc-grouped print table and SINK the packed spans to
     doc-bucketed parquet shards, writing from the Python workers
     themselves; only per-task lineage/metrics rows cross the
@@ -376,6 +377,15 @@ def extract_layout_shards(spark: SparkSession, path: str,
     the count-only packed boundary still ships every span byte into
     the JVM; under memory-bandwidth contention that crossing is the
     one cost the equivalent no-Spark pool does not pay.
+
+    ``resume=True`` skips every slot whose committed shard already
+    exists (the bin->slot assignment is deterministic for a given
+    input listing: LPT over sorted file sizes), so a preempted run
+    re-executes only the missing slots — the north rule's
+    checkpoint-resume contract at the sink. The returned lineage
+    covers only the slots written THIS run; full accounting is the
+    shards themselves (or persist the lineage rows per run, as
+    io/checkpoint.py does for the chunking tier).
 
     Reference has no equivalent (single-process, reference
     docling_core/transforms/ serializes in-memory); the shard shape is
@@ -460,6 +470,14 @@ def extract_layout_shards(spark: SparkSession, path: str,
         heapq.heappush(heap, (load + sz, i))
     order = sorted(range(n_slots), key=lambda i: -loads[i])
     rows = [(rank, f) for rank, i in enumerate(order) for f in bins[i]]
+    if resume:
+        done = {
+            rank for rank in range(n_slots)
+            if os.path.exists(
+                os.path.join(out_dir, f"shard-{rank:05d}.parquet"))}
+        rows = [(rank, f) for rank, f in rows if rank not in done]
+        if not rows:
+            return spark.createDataFrame([], SHARD_LINEAGE_SCHEMA)
     paths = spark.createDataFrame(rows, "slot int, path string")
     return (paths.repartitionByRange(n_slots, "slot")
             .mapInArrow(run, SHARD_LINEAGE_SCHEMA))

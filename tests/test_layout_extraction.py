@@ -490,3 +490,49 @@ def test_spark_layout_shard_sink_matches_and_commits(spark, tmp_path):
         if r["n_docs"]:
             assert r["doc_id_min"] <= r["doc_id_max"]
             assert os.path.basename(r["shard_path"]).startswith("shard-")
+
+
+def test_spark_layout_shard_sink_resume_skips_committed(spark, tmp_path):
+    """resume=True re-executes only missing slots: committed shards
+    keep their bytes untouched (mtime-stable), a deleted shard is
+    rewritten, and the read-back after resume equals a full run."""
+    import os
+    import time
+
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.layout_spark import (
+        extract_layout_shards,
+        render_layout,
+    )
+
+    docs = synth_documents(spark, n_docs=30, seed=42, partitions=5)
+    path = str(tmp_path / "cells")
+    render_layout(docs).write.mode("overwrite").parquet(path)
+    out = str(tmp_path / "shards")
+    extract_layout_shards(spark, path, out).collect()
+    shards = sorted(f for f in os.listdir(out)
+                    if f.startswith("shard-"))
+    assert len(shards) >= 2
+    full = {r["doc_id"]: r["texts"] for r in
+            spark.read.parquet(
+                os.path.join(out, "shard-*.parquet")).collect()}
+    victim = shards[0]
+    os.unlink(os.path.join(out, victim))
+    mtimes = {f: os.path.getmtime(os.path.join(out, f))
+              for f in shards[1:]}
+    time.sleep(0.05)
+    lineage = extract_layout_shards(spark, path, out,
+                                    resume=True).collect()
+    # only the victim slot ran
+    written = [r for r in lineage if r["n_docs"]]
+    assert [os.path.basename(r["shard_path"])
+            for r in written] == [victim]
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == m
+    got = {r["doc_id"]: r["texts"] for r in
+           spark.read.parquet(
+               os.path.join(out, "shard-*.parquet")).collect()}
+    assert got == full
+    # fully-committed dir: resume is a no-op with an empty lineage
+    assert extract_layout_shards(spark, path, out,
+                                 resume=True).count() == 0
