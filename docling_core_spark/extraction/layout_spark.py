@@ -357,6 +357,68 @@ SHARD_LINEAGE_SCHEMA = ("slot int, shard_path string, n_files int, "
                         "wall_s double")
 
 
+def _write_slot_shards(rows, out_dir: str) -> Iterator:
+    """Parse and sink one packed shard PER SLOT present in ``rows``
+    (``(slot, path)`` pairs), yielding one lineage RecordBatch each.
+
+    repartitionByRange puts one slot per partition in practice, but
+    its boundaries come from sampling, so that 1:1 mapping is not a
+    contract. Grouping by slot here means a merged partition can never
+    fuse two bins into one mislabeled shard — which would make a later
+    ``resume=True`` re-run the "missing" slot and duplicate its docs.
+    """
+    import time as _time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not rows:
+        return
+    by_slot: dict = {}
+    for s, p in rows:
+        by_slot.setdefault(s, []).append(p)
+    for slot in sorted(by_slot):
+        bin_files = by_slot[slot]
+        t0 = _time.perf_counter()
+
+        def cell_batches() -> Iterator:
+            for p in bin_files:
+                f = pq.ParquetFile(p)
+                yield from f.iter_batches(batch_size=2048)
+
+        out_batches = list(_parse_cell_batches(cell_batches()))
+        shard = os.path.join(out_dir, f"shard-{slot:05d}.parquet")
+        tmp = os.path.join(out_dir,
+                           f"_tmp-{slot:05d}-{uuid.uuid4().hex}")
+        if out_batches:
+            import pyarrow.compute as pc
+
+            tbl = pa.Table.from_batches(out_batches)
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, shard)  # the commit point
+            n_docs = tbl.num_rows
+            n_spans = int(pc.sum(
+                pc.list_value_length(tbl.column("ords"))).as_py() or 0)
+            mm = pc.min_max(tbl.column("doc_id"))
+            dmin = mm["min"].as_py()
+            dmax = mm["max"].as_py()
+        else:
+            shard, n_docs, n_spans, dmin, dmax = None, 0, 0, None, None
+        wall = _time.perf_counter() - t0
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([slot], pa.int32()),
+             pa.array([shard], pa.string()),
+             pa.array([len(bin_files)], pa.int32()),
+             pa.array([n_docs], pa.int32()),
+             pa.array([n_spans], pa.int64()),
+             pa.array([dmin], pa.string()),
+             pa.array([dmax], pa.string()),
+             pa.array([round(wall, 3)], pa.float64())],
+            names=["slot", "shard_path", "n_files", "n_docs",
+                   "n_spans", "doc_id_min", "doc_id_max", "wall_s"])
+
+
 def extract_layout_shards(spark: SparkSession, path: str,
                           out_dir: str,
                           resume: bool = False) -> DataFrame:
@@ -404,56 +466,10 @@ def extract_layout_shards(spark: SparkSession, path: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def run(path_batches: Iterator) -> Iterator:
-        import time as _time
-        import uuid
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         rows = [(s, p) for pb in path_batches
                 for s, p in zip(pb.column("slot").to_pylist(),
                                 pb.column("path").to_pylist())]
-        if not rows:
-            return
-        t0 = _time.perf_counter()
-        slot = rows[0][0]
-        bin_files = [p for _s, p in rows]
-
-        def cell_batches() -> Iterator:
-            for p in bin_files:
-                f = pq.ParquetFile(p)
-                yield from f.iter_batches(batch_size=2048)
-
-        out_batches = list(_parse_cell_batches(cell_batches()))
-        shard = os.path.join(out_dir, f"shard-{slot:05d}.parquet")
-        tmp = os.path.join(out_dir,
-                           f"_tmp-{slot:05d}-{uuid.uuid4().hex}")
-        if out_batches:
-            import pyarrow.compute as pc
-
-            tbl = pa.Table.from_batches(out_batches)
-            pq.write_table(tbl, tmp)
-            os.rename(tmp, shard)  # the commit point
-            n_docs = tbl.num_rows
-            n_spans = int(pc.sum(
-                pc.list_value_length(tbl.column("ords"))).as_py() or 0)
-            mm = pc.min_max(tbl.column("doc_id"))
-            dmin = mm["min"].as_py()
-            dmax = mm["max"].as_py()
-        else:
-            shard, n_docs, n_spans, dmin, dmax = None, 0, 0, None, None
-        wall = _time.perf_counter() - t0
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([slot], pa.int32()),
-             pa.array([shard], pa.string()),
-             pa.array([len(bin_files)], pa.int32()),
-             pa.array([n_docs], pa.int32()),
-             pa.array([n_spans], pa.int64()),
-             pa.array([dmin], pa.string()),
-             pa.array([dmax], pa.string()),
-             pa.array([round(wall, 3)], pa.float64())],
-            names=["slot", "shard_path", "n_files", "n_docs",
-                   "n_spans", "doc_id_min", "doc_id_max", "wall_s"])
+        yield from _write_slot_shards(rows, out_dir)
 
     import heapq
 

@@ -536,3 +536,55 @@ def test_spark_layout_shard_sink_resume_skips_committed(spark, tmp_path):
     # fully-committed dir: resume is a no-op with an empty lineage
     assert extract_layout_shards(spark, path, out,
                                  resume=True).count() == 0
+
+
+def test_shard_sink_mixed_slot_partition_writes_per_slot(
+        spark, tmp_path):
+    """A partition holding TWO slots (repartitionByRange gives 1:1 in
+    practice but only by sampling, not contract) must still write one
+    correctly-labeled shard per slot — never fuse both bins into one
+    shard under the first slot's name, which a later resume would
+    'repair' by re-running the missing slot and duplicating docs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.layout_spark import (
+        _write_slot_shards,
+        render_layout,
+    )
+
+    docs = synth_documents(spark, n_docs=20, seed=7, partitions=4)
+    path = str(tmp_path / "cells")
+    render_layout(docs).write.mode("overwrite").parquet(path)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".parquet"))
+    assert len(files) >= 2
+    half = len(files) // 2
+    rows = ([(0, f) for f in files[:half]]
+            + [(1, f) for f in files[half:]])
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    lineage = list(_write_slot_shards(rows, out))
+    assert [b.column("slot").to_pylist()[0] for b in lineage] == [0, 1]
+    shards = sorted(f for f in os.listdir(out)
+                    if f.startswith("shard-"))
+    assert shards == ["shard-00000.parquet", "shard-00001.parquet"]
+    # the two shards split the corpus exactly by bin membership
+    expect0 = set()
+    for f in files[:half]:
+        expect0 |= set(pq.read_table(f, columns=["doc_id"])
+                       .column("doc_id").to_pylist())
+    got0 = set(pq.read_table(os.path.join(out, shards[0]),
+                             columns=["doc_id"])
+               .column("doc_id").to_pylist())
+    got1 = set(pq.read_table(os.path.join(out, shards[1]),
+                             columns=["doc_id"])
+               .column("doc_id").to_pylist())
+    assert got0 == expect0
+    assert not (got0 & got1)
+    n_all = len({d for f in files
+                 for d in pq.read_table(f, columns=["doc_id"])
+                 .column("doc_id").to_pylist()})
+    assert len(got0 | got1) == n_all
