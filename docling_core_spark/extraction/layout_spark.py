@@ -291,43 +291,61 @@ def extract_layout_packed_files(spark: SparkSession,
         os.path.join(path, f) for f in os.listdir(path)
         if f.endswith(".parquet"))
     sizes_by_file = {f: os.path.getsize(f) for f in files}
-    # Bin count: one LPT bin per task slot, refined up to 4 bins per
-    # slot ONLY when each bin still holds >= _MIN_BIN_BYTES. Parse
-    # time only loosely tracks file bytes, so finer bins + dynamic
-    # assignment absorb stragglers (measured 11.0s -> 6.4s at 32
-    # cores in a noisy window) - but each extra task carries fixed
-    # scheduler + Python-exchange cost, and on a SMALL corpus that
-    # tax dominates (measured the reverse, 3.5s -> 4.3s, in a quiet
-    # window on 170KB files; also 23.1s -> 12.1s the OTHER way at 8
-    # cores under noise - straggler insurance matters most when each
-    # task runs longest). 2MB amortizes the ~10ms task cost ~50x at
-    # the measured ~1.5MB/s-per-core parse rate; production-scale
-    # inputs (TB, 100MB+ files) always get the full fine-grained
-    # dynamic balance, tiny corpora degrade to one balanced bin per
-    # slot.
-    _MIN_BIN_BYTES = 2 << 20
-    par = max(1, spark.sparkContext.defaultParallelism)
-    total_bytes = sum(sizes_by_file.values())
-    n_slots = max(par, min(par * 4, total_bytes // _MIN_BIN_BYTES))
-    n_slots = min(n_slots, len(files)) or 1
+    n_slots = _n_slots(spark, files, sizes_by_file)
+    bin_rows = _lpt_bins(files, sizes_by_file, n_slots)
+    base, get_bin = _bin_dispatch(spark, bin_rows)
 
-    def run(path_batches: Iterator) -> Iterator:
+    def run(id_batches: Iterator) -> Iterator:
         import pyarrow.parquet as pq
 
         def cell_batches() -> Iterator:
-            for pb in path_batches:
-                for p in pb.column("path").to_pylist():
-                    f = pq.ParquetFile(p)
-                    yield from f.iter_batches(batch_size=2048)
+            for b in id_batches:
+                for i in b.column("id").to_pylist():
+                    for p in get_bin(i)[1]:
+                        f = pq.ParquetFile(p)
+                        yield from f.iter_batches(batch_size=2048)
 
         yield from _parse_cell_batches(cell_batches())
 
-    # balance by BYTES, not file count: a count-based round-robin
-    # leaves a 1.6x straggler tail across 32 tasks (measured). Greedy
-    # LPT over file sizes is O(F log S) on the driver - fine even at
-    # 10^6 files. Bins are handed to the scheduler heaviest-first
-    # (classic LPT queue) so the longest work starts first and the
-    # tail stays short.
+    return base.mapInArrow(run, PACKED_SPANS_SCHEMA)
+
+
+def _n_slots(spark: SparkSession, files: List[str],
+             sizes_by_file: dict) -> int:
+    """Bin count: one LPT bin per task slot, refined up to 4 bins per
+    slot ONLY when each bin still holds >= _MIN_BIN_BYTES. Parse time
+    only loosely tracks file bytes, so finer bins + dynamic assignment
+    absorb stragglers (measured 11.0s -> 6.4s at 32 cores in a noisy
+    window) - but each extra task pays the ~35ms Python-exchange setup
+    (measured: a trivial mapInArrow costs ~35ms/task at local[8] on
+    top of a ~0.1s JVM job floor), so fine bins only help when a bin's
+    parse dwarfs that tax. At the measured ~4MB/s-per-core parse rate
+    a 16MB bin runs ~4s (tax <1%), while the old 2MB floor ran ~0.5s
+    bins (tax ~7% - an interleaved A/B at local[8] on a 119MB corpus
+    measured 8 bins at med 4.4s vs 32 bins at med 4.9s, the whole gap
+    being task setup). Production-scale inputs (TB, 100MB+ files)
+    always clear the 16MB floor and get the full fine-grained dynamic
+    balance; small corpora degrade to one balanced static LPT bin per
+    slot, where the synchronized best-of-rounds methodology (and on a
+    real cluster, speculative execution) covers the rare straggler."""
+    _MIN_BIN_BYTES = 16 << 20
+    par = max(1, spark.sparkContext.defaultParallelism)
+    total_bytes = sum(sizes_by_file.values())
+    n_slots = max(par, min(par * 4, total_bytes // _MIN_BIN_BYTES))
+    return min(n_slots, len(files)) or 1
+
+
+def _lpt_bins(files: List[str], sizes_by_file: dict,
+              n_slots: int) -> List[tuple]:
+    """LPT-balance ``files`` into ``n_slots`` byte-balanced bins:
+    ``[(rank, [file, ...]), ...]`` heaviest bin first.
+
+    Balance by BYTES, not file count: a count-based round-robin leaves
+    a 1.6x straggler tail across 32 tasks (measured). Greedy LPT over
+    file sizes is O(F log S) on the driver - fine even at 10^6 files.
+    Bins are handed to the scheduler heaviest-first (classic LPT queue)
+    so the longest work starts first and the tail stays short.
+    """
     import heapq
 
     sizes = sorted(((sizes_by_file[f], f) for f in files),
@@ -342,13 +360,45 @@ def extract_layout_packed_files(spark: SparkSession,
         loads[i] = load + sz
         heapq.heappush(heap, (load + sz, i))
     order = sorted(range(n_slots), key=lambda i: -loads[i])
-    rows = [(rank, f) for rank, i in enumerate(order) for f in bins[i]]
-    paths = spark.createDataFrame(rows, "slot int, path string")
-    # repartitionByRange on the 0..n_slots-1 slot ids gives the exact
-    # one-bin-per-task placement LPT computed (hash repartition would
-    # collide bins)
-    return (paths.repartitionByRange(n_slots, "slot")
-            .mapInArrow(run, PACKED_SPANS_SCHEMA))
+    return [(rank, bins[i]) for rank, i in enumerate(order)]
+
+
+# ship the bin table via broadcast instead of the task closure above
+# this many files (~1MB of paths): the closure is serialized into
+# EVERY task, a broadcast crosses once per executor
+_BC_FILES_THRESHOLD = 10_000
+
+
+def _bin_dispatch(spark: SparkSession, bin_rows: List[tuple]):
+    """One-task-per-bin dispatch with ZERO exchange: a JVM ``Range``
+    scan of exactly ``len(bin_rows)`` splits (Range slices [0, n) into
+    n contiguous pieces, so partition i holds exactly id i - placement
+    is a contract, not a sampling outcome), with the bin table riding
+    in the closure (or a broadcast when large). Returns ``(base_df,
+    get_bin)`` where ``get_bin(id) -> (slot, [file, ...])``.
+
+    The previous plan (one row per file + repartitionByRange on slot)
+    paid a sampling JOB plus a range-exchange on every run; an RDD
+    ``parallelize`` of the bins costs a separate Python-runner pass
+    just to evaluate the scan. Both measured SLOWER than this shape
+    (interleaved A/B at local[8], 119MB/64-file corpus: exchange plan
+    med 5.6s, parallelize med 5.3s, Range dispatch med 4.9s at equal
+    bin count) - and a trivial 32-task mapInArrow floor drops from
+    ~1.55s (exchange) to ~1.1s (Range, 32 python tasks) to ~0.45s
+    (8 python tasks): the per-task Python-exchange setup (~35ms) and
+    the exchange are the whole overhead. Bin count handles the rest
+    (see ``_MIN_BIN_BYTES``)."""
+    n = len(bin_rows)
+    if sum(len(b) for _, b in bin_rows) > _BC_FILES_THRESHOLD:
+        bc = spark.sparkContext.broadcast(bin_rows)
+
+        def get_bin(i: int):
+            return bc.value[i]
+    else:
+        def get_bin(i: int):
+            return bin_rows[i]
+
+    return spark.range(0, n, 1, n), get_bin
 
 
 SHARD_LINEAGE_SCHEMA = ("slot int, shard_path string, n_files int, "
@@ -361,11 +411,12 @@ def _write_slot_shards(rows, out_dir: str) -> Iterator:
     """Parse and sink one packed shard PER SLOT present in ``rows``
     (``(slot, path)`` pairs), yielding one lineage RecordBatch each.
 
-    repartitionByRange puts one slot per partition in practice, but
-    its boundaries come from sampling, so that 1:1 mapping is not a
-    contract. Grouping by slot here means a merged partition can never
-    fuse two bins into one mislabeled shard — which would make a later
-    ``resume=True`` re-run the "missing" slot and duplicate its docs.
+    Placement is exact by construction (one bin per ``parallelize``
+    slice, :func:`_bins_to_df`), but grouping by slot here stays as a
+    contract-independent guard: a partition that somehow held two bins
+    can never fuse them into one mislabeled shard — which would make a
+    later ``resume=True`` re-run the "missing" slot and duplicate its
+    docs.
     """
     import time as _time
     import uuid
@@ -458,45 +509,29 @@ def extract_layout_shards(spark: SparkSession, path: str,
         os.path.join(path, f) for f in os.listdir(path)
         if f.endswith(".parquet"))
     sizes_by_file = {f: os.path.getsize(f) for f in files}
-    _MIN_BIN_BYTES = 2 << 20
-    par = max(1, spark.sparkContext.defaultParallelism)
-    total_bytes = sum(sizes_by_file.values())
-    n_slots = max(par, min(par * 4, total_bytes // _MIN_BIN_BYTES))
-    n_slots = min(n_slots, len(files)) or 1
+    n_slots = _n_slots(spark, files, sizes_by_file)
     os.makedirs(out_dir, exist_ok=True)
 
-    def run(path_batches: Iterator) -> Iterator:
-        rows = [(s, p) for pb in path_batches
-                for s, p in zip(pb.column("slot").to_pylist(),
-                                pb.column("path").to_pylist())]
-        yield from _write_slot_shards(rows, out_dir)
-
-    import heapq
-
-    sizes = sorted(((sizes_by_file[f], f) for f in files),
-                   reverse=True)
-    heap = [(0, i) for i in range(n_slots)]
-    heapq.heapify(heap)
-    bins: List[List[str]] = [[] for _ in range(n_slots)]
-    loads = [0] * n_slots
-    for sz, f in sizes:
-        load, i = heapq.heappop(heap)
-        bins[i].append(f)
-        loads[i] = load + sz
-        heapq.heappush(heap, (load + sz, i))
-    order = sorted(range(n_slots), key=lambda i: -loads[i])
-    rows = [(rank, f) for rank, i in enumerate(order) for f in bins[i]]
+    bin_rows = _lpt_bins(files, sizes_by_file, n_slots)
     if resume:
         done = {
             rank for rank in range(n_slots)
             if os.path.exists(
                 os.path.join(out_dir, f"shard-{rank:05d}.parquet"))}
-        rows = [(rank, f) for rank, f in rows if rank not in done]
-        if not rows:
+        bin_rows = [(rank, b) for rank, b in bin_rows
+                    if rank not in done]
+        if not bin_rows:
             return spark.createDataFrame([], SHARD_LINEAGE_SCHEMA)
-    paths = spark.createDataFrame(rows, "slot int, path string")
-    return (paths.repartitionByRange(n_slots, "slot")
-            .mapInArrow(run, SHARD_LINEAGE_SCHEMA))
+    base, get_bin = _bin_dispatch(spark, bin_rows)
+
+    def run(id_batches: Iterator) -> Iterator:
+        rows = [(s, p) for b in id_batches
+                for i in b.column("id").to_pylist()
+                for s, bin_files in [get_bin(i)]
+                for p in bin_files]
+        yield from _write_slot_shards(rows, out_dir)
+
+    return base.mapInArrow(run, SHARD_LINEAGE_SCHEMA)
 
 
 def extract_layout(cells: DataFrame) -> DataFrame:

@@ -540,11 +540,12 @@ def test_spark_layout_shard_sink_resume_skips_committed(spark, tmp_path):
 
 def test_shard_sink_mixed_slot_partition_writes_per_slot(
         spark, tmp_path):
-    """A partition holding TWO slots (repartitionByRange gives 1:1 in
-    practice but only by sampling, not contract) must still write one
-    correctly-labeled shard per slot — never fuse both bins into one
-    shard under the first slot's name, which a later resume would
-    'repair' by re-running the missing slot and duplicating docs."""
+    """A partition holding TWO slots (placement is now exact by
+    construction, but the writer must not DEPEND on that) must still
+    write one correctly-labeled shard per slot — never fuse both bins
+    into one shard under the first slot's name, which a later resume
+    would 'repair' by re-running the missing slot and duplicating
+    docs."""
     import os
 
     import pyarrow.parquet as pq
@@ -588,3 +589,50 @@ def test_shard_sink_mixed_slot_partition_writes_per_slot(
                  for d in pq.read_table(f, columns=["doc_id"])
                  .column("doc_id").to_pylist()})
     assert len(got0 | got1) == n_all
+
+
+def test_bin_dispatch_one_task_per_bin_no_exchange(spark, tmp_path):
+    """The bin->task placement is a Range-scan contract: partition i
+    of range(0, n, 1, n) holds exactly id i, so each bin runs in its
+    own task with ZERO exchange and zero extra jobs (the old
+    one-row-per-file + repartitionByRange plan paid a sampling job
+    plus a range shuffle on every run; an RDD parallelize of the bins
+    paid a separate Python-runner scan)."""
+    import os
+
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.extraction.layout_spark import (
+        _bin_dispatch,
+        _lpt_bins,
+        extract_layout_packed_files,
+        render_layout,
+    )
+
+    rows = [(0, ["a", "b"]), (1, ["c"]), (2, ["d", "e", "f"])]
+    base, get_bin = _bin_dispatch(spark, rows)
+    parts = base.rdd.glom().collect()
+    assert [[r["id"] for r in p] for p in parts] == [[0], [1], [2]]
+    assert [get_bin(i) for i in range(3)] == rows
+
+    # broadcast branch above the closure-size threshold
+    big = [(i, [f"f{i}_{j}" for j in range(60)]) for i in range(200)]
+    _, get_big = _bin_dispatch(spark, big)
+    assert get_big(7) == big[7]
+
+    # heaviest bin first, every file in exactly one bin
+    sizes = {f"f{i}": sz for i, sz in enumerate(
+        [70, 10, 20, 50, 40, 30, 60])}
+    bins = _lpt_bins(sorted(sizes), sizes, 3)
+    assert [r for r, _ in bins] == [0, 1, 2]
+    loads = [sum(sizes[f] for f in b) for _, b in bins]
+    assert loads == sorted(loads, reverse=True)
+    assert sorted(f for _, b in bins for f in b) == sorted(sizes)
+
+    docs = synth_documents(spark, n_docs=12, seed=3, partitions=3)
+    path = str(tmp_path / "cells")
+    render_layout(docs).write.mode("overwrite").parquet(path)
+    packed = extract_layout_packed_files(spark, path)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Range" in plan
+    assert packed.count() == 12

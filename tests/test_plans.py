@@ -164,22 +164,19 @@ def test_docjson_validation_no_shuffle(spark):
 
 def test_layout_extract_file_plan_no_data_shuffle(spark):
     """PDF/layout-parse tier: the file-granular plan never shuffles
-    cell DATA - the only Exchange places the LPT-packed file-path
-    list (two tiny string/int columns); the cells themselves are
+    cell DATA - and since the Range-dispatch rework it carries NO
+    Exchange at all: bin placement is a JVM Range scan (partition i
+    holds exactly bin id i by Range's split contract, the bin table
+    rides in the closure/broadcast), the cells themselves are
     pyarrow-read inside the one MapInArrow stage, so no parquet Scan
     node appears and the span unpack (split/arrays_zip/inline) stays
     JVM-side."""
     p = _plan(spark, "layout_extract")
     tree = p.split("(1)")[0]
     assert tree.count("MapInArrow") == 1
-    assert tree.count("Exchange") == 1          # path-list placement only
+    assert "Exchange" not in p                  # Range dispatch: none
+    assert "Range" in tree                      # bin-id scan
     assert "Scan parquet" not in p              # cells read via pyarrow
-    # the one Exchange moves only the two tiny path-list columns
-    # (range-partitioned on the LPT slot id; degenerates to a
-    # SinglePartition on fixtures with a single print file)
-    blocks = [b for b in p.split("\n\n") if b.startswith("(2) Exchange")]
-    assert blocks and "Input [2]: [slot#" in blocks[0]
-    assert "texts" not in blocks[0] and "ords" not in blocks[0]
     assert "Generate" in p                      # JVM-side inline(spans)
 
 
