@@ -165,8 +165,10 @@ else:
         return extract_layout_packed_files(spark, path).count()
 
 def job_flat():
-    return (extract_layout_docs_files(spark, path)
-            .select("doc_id", F.inline("spans")).count())
+    from docling_core_spark.extraction.layout_spark import (
+        extract_layout_packed_files, unpack_spans_flat)
+    return unpack_spans_flat(
+        extract_layout_packed_files(spark, path)).count()
 
 job()  # full warm pass (worker pool + JIT)
 best = None

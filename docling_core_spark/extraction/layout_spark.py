@@ -209,14 +209,13 @@ def _parse_cell_batches(batches: Iterator) -> Iterator:
         yield to_batch()
 
 
-def extract_layout_docs(cells: DataFrame) -> DataFrame:
-    """Cell table -> per-document span rows (geometry-only parse),
-    nested ``DOC_SPANS_SCHEMA`` shape, from an arbitrary cells
-    DataFrame.
+def extract_layout_packed(cells: DataFrame) -> DataFrame:
+    """Cell table -> packed per-document span rows
+    (``PACKED_SPANS_SCHEMA``) from an arbitrary cells DataFrame.
 
     One repartition co-locates each document's pages; the sorted
     partition streams through :func:`_parse_cell_batches`. Prefer
-    :func:`extract_layout_docs_files` when the input is a
+    :func:`extract_layout_packed_files` when the input is a
     doc-grouped print table - it skips this exchange entirely."""
     # pin the reduce-side partition count: a bare repartition("doc_id")
     # is REPARTITION_BY_COL, which AQE's coalescer shrinks to its
@@ -231,8 +230,14 @@ def extract_layout_docs(cells: DataFrame) -> DataFrame:
         n_parts = cells.sparkSession.sparkContext.defaultParallelism
     co = (cells.repartition(n_parts, "doc_id")
           .sortWithinPartitions("doc_id"))
-    return _unpack_spans(
-        co.mapInArrow(_parse_cell_batches, PACKED_SPANS_SCHEMA))
+    return co.mapInArrow(_parse_cell_batches, PACKED_SPANS_SCHEMA)
+
+
+def extract_layout_docs(cells: DataFrame) -> DataFrame:
+    """Cell table -> per-document span rows (geometry-only parse),
+    nested ``DOC_SPANS_SCHEMA`` shape, from an arbitrary cells
+    DataFrame (see :func:`extract_layout_packed`)."""
+    return _unpack_spans(extract_layout_packed(cells))
 
 
 def _unpack_spans(packed: DataFrame) -> DataFrame:
@@ -260,6 +265,42 @@ def _unpack_spans(packed: DataFrame) -> DataFrame:
     ).cast("array<struct<ord:int,kind:string,text:string,"
            "media_ref:string>>")
     return packed.select("doc_id", spans.alias("spans"))
+
+
+def unpack_spans_flat(packed: DataFrame) -> DataFrame:
+    """PACKED_SPANS_SCHEMA -> flat ``SPANS_SCHEMA`` rows, entirely
+    JVM-side - the flat twin of :func:`_unpack_spans`.
+
+    Do NOT spell this ``_unpack_spans(...)`` + ``inline(spans)``: that
+    puts the whole computed ``cast(arrays_zip(split, split, split))``
+    expression under the Generate, and Catalyst's
+    InferFiltersFromGenerate clones it textually into an inferred
+    ``size(e) > 0 AND isnotnull(e)`` Filter - every split/zip/cast then
+    runs TWICE per document (same landmine family as the interpreted
+    HOF-lambda duplication documented in docops.py). Here the generator
+    child is the plain ``ords`` ATTRIBUTE straight off the Python
+    stage, so the inferred filter is a constant-time length check, the
+    split arrays are computed once in a Project below the Generate
+    (whole-stage codegen evaluates them once per input row), and each
+    output field is a direct array index - no array-of-structs is ever
+    built at all."""
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.extraction.layout import TEXT_SEP
+
+    arrs = packed.select(
+        "doc_id",
+        F.split("kinds", TEXT_SEP, -1).alias("ks"),
+        F.split("texts", TEXT_SEP, -1).alias("ts"),
+        F.split("refs", TEXT_SEP, -1).alias("rs"),
+        "ords")
+    return (arrs.select(
+        "doc_id", "ks", "ts", "rs",
+        F.posexplode("ords").alias("pos", "ord"))
+        .select("doc_id", "ord",
+                F.col("ks")[F.col("pos")].alias("kind"),
+                F.col("ts")[F.col("pos")].alias("text"),
+                F.col("rs")[F.col("pos")].alias("media_ref")))
 
 
 def extract_layout_docs_files(spark: SparkSession,
@@ -537,13 +578,12 @@ def extract_layout_shards(spark: SparkSession, path: str,
 def extract_layout(cells: DataFrame) -> DataFrame:
     """Cell table -> flat extracted span rows (``SPANS_SCHEMA``).
 
-    The flat view of :func:`extract_layout_docs`: the explode runs
-    JVM-side (whole-stage codegen ``inline``), so the expensive
-    Python->JVM crossing stays in the nested doc-row shape."""
-    from pyspark.sql import functions as F
-
-    return (extract_layout_docs(cells)
-            .select("doc_id", F.inline("spans")))
+    The flat view of :func:`extract_layout_docs`: the unpack runs
+    JVM-side (:func:`unpack_spans_flat` - posexplode on the packed
+    attribute, never inline over a computed array-of-structs), so the
+    expensive Python->JVM crossing stays in the packed doc-row
+    shape."""
+    return unpack_spans_flat(extract_layout_packed(cells))
 
 
 def layout_stats(docs: DataFrame) -> DataFrame:
@@ -620,11 +660,8 @@ def q_layout_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry parse and span normalization are independent code paths.
     Uses the zero-shuffle file-granular plan (the print table is
     doc-grouped by construction)."""
-    from pyspark.sql import functions as F
-
     path = layout_cells_ensure(spark, sf_dir)
-    return (extract_layout_docs_files(spark, path)
-            .select("doc_id", F.inline("spans")))
+    return unpack_spans_flat(extract_layout_packed_files(spark, path))
 
 
 def q_layout_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

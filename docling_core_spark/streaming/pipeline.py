@@ -210,7 +210,7 @@ def stream_extract_cells_once(
 
     from docling_core_spark.extraction.layout_spark import (
         CELLS_SCHEMA,
-        extract_layout_docs,
+        extract_layout,
     )
 
     reader = spark.readStream.schema(CELLS_SCHEMA).format("parquet")
@@ -220,8 +220,7 @@ def stream_extract_cells_once(
     cells = reader.load(input_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        (extract_layout_docs(batch_df)
-         .select("doc_id", F.inline("spans"))
+        (extract_layout(batch_df)
          .write.mode("overwrite")
          .parquet(os.path.join(output_dir, f"batch={batch_id}")))
 

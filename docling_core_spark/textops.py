@@ -317,9 +317,23 @@ def _shingle_rows_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
     expressions)."""
     from pyspark.sql import Window
 
-    w = docs.select(
-        "doc_id", F.size(F.expr(words_spark(text_col))).alias("n"),
-        F.posexplode(F.expr(words_spark(text_col))).alias("pos", "w"))
+    # word regexp ONCE per doc: alias it to an attribute, then
+    # posexplode_OUTER that attribute. Three Catalyst landmines hide
+    # here (all observed in 4.1.x optimized plans): (a) putting
+    # size(expr) next to posexplode(expr) plants the size Project
+    # ABOVE the Generate, re-running the regexp once per exploded
+    # WORD; (b) a non-outer explode of an attribute gets an
+    # InferFiltersFromGenerate size()>0 filter that PushDownPredicate
+    # re-substitutes through the alias - the regexp runs twice per
+    # doc; (c) referencing the expr twice duplicates it textually.
+    # outer explode fires none of them (the rule only matches
+    # outer=false); its extra null row for word-less docs carries
+    # n=0 and the n >= 3 filter drops it.
+    arrs = docs.select(
+        "doc_id", F.expr(words_spark(text_col)).alias("ws"))
+    w = arrs.select(
+        "doc_id", F.size("ws").alias("n"),
+        F.posexplode_outer("ws").alias("pos", "w"))
     win = Window.partitionBy("doc_id").orderBy("pos")
     tri = (w.filter(F.col("n") >= 3)
            .select("doc_id", "w",
@@ -328,9 +342,7 @@ def _shingle_rows_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
            .filter(F.col("w2").isNotNull())
            .select("doc_id",
                    F.concat_ws(" ", "w", "w1", "w2").alias("sh")))
-    short = (docs.select("doc_id",
-                         F.expr(words_spark(text_col)).alias("ws"))
-             .filter(F.size("ws") < 3)
+    short = (arrs.filter(F.size("ws") < 3)
              .select("doc_id", F.concat_ws(" ", "ws").alias("sh")))
     return tri.unionByName(short).distinct()
 
