@@ -120,9 +120,14 @@ def extract_spans_range(docs: DataFrame, start: int, stop: int
                         ) -> DataFrame:
     """Sub-document extraction by span-offset range [start, stop):
     filter + re-offset, purely columnar."""
-    kept = F.expr(
-        f"filter(spans, s -> s.offset >= {start} AND s.offset < {stop})")
-    return docs.select(
+    # the emptiness guard runs BEFORE the projection, as exists() on
+    # the raw spans ATTRIBUTE: filtering on the transformed alias
+    # would be pushed back through the projection and duplicate the
+    # whole filter+transform per raw row (tools/plan_audit.py class);
+    # exists() short-circuits and builds no array
+    guard = F.expr(
+        f"exists(spans, s -> s.offset >= {start} AND s.offset < {stop})")
+    return docs.filter(guard).select(
         "doc_id",
         F.expr(
             "transform(filter(spans, s -> s.offset >= {0} AND "
@@ -130,7 +135,7 @@ def extract_spans_range(docs: DataFrame, start: int, stop: int
             "'text', s.text, 'media_ref', s.media_ref, "
             "'offset', CAST(s.offset - {0} AS INT)))".format(start, stop))
         .alias("spans"),
-    ).filter(F.size(kept) > 0)
+    )
 
 
 def redact_spans(docs: DataFrame, kinds,

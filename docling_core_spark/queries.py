@@ -233,13 +233,7 @@ def q_redact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus_df(spark, sf_dir)
     red = redact_spans(docs, REDACT_KINDS, drop_orphan_captions=True)
-    return (red.select("doc_id", F.explode("spans").alias("s"))
-            .select("doc_id",
-                    F.col("s.offset").alias("ord"),
-                    F.col("s.kind").alias("kind"),
-                    F.col("s.text").alias("text"),
-                    F.col("s.media_ref").alias("media_ref"))
-            .orderBy("doc_id", "ord"))
+    return _exploded_span_rows(red)
 
 
 def _sql_redact_spans(sf_dir: str) -> str:
@@ -267,7 +261,21 @@ ORDER BY doc_id, ord
 
 
 def _exploded_span_rows(docs: DataFrame) -> DataFrame:
-    return (docs.select("doc_id", F.explode("spans").alias("s"))
+    """Flatten (doc_id, spans) to one row per span.
+
+    explode_OUTER + isNotNull, NOT a plain explode: when ``spans`` is a
+    computed expression (the splice/redact folds), a plain explode
+    triggers InferFiltersFromGenerate and its inferred ``size(e) > 0``
+    filter is pushed through the Project that computes ``spans``,
+    textually duplicating the whole fold - measured: the splice ran 3x
+    per document (1x Project + 2x pushed Filter). The infer rule only
+    matches outer=false generates, and the isNotNull runs on the
+    GENERATED attribute (a per-output-row null check), so the fold
+    runs exactly once per document. The only semantic delta of outer -
+    a null row for a doc whose array is empty - is removed by that
+    same filter, restoring plain-explode output exactly."""
+    return (docs.select("doc_id", F.explode_outer("spans").alias("s"))
+            .filter(F.col("s").isNotNull())
             .select("doc_id",
                     F.col("s.offset").alias("ord"),
                     F.col("s.kind").alias("kind"),

@@ -87,6 +87,17 @@ def _data_fingerprint(sf_dir: str, name: str) -> tuple:
 # dialect templates
 # ----------------------------------------------------------------------
 
+def _let_col(expr, fn):
+    """Column-API let-binding (the docops._sql_let idiom): ``expr`` is
+    evaluated exactly ONCE per row and ``fn`` receives it as a lambda
+    variable. Unlike a column alias, a lambda variable survives every
+    optimizer rewrite - PushDownPredicate and CollapseProject
+    re-substitute aliases textually (each pushed predicate then carries
+    a full copy of the defining expression down to the scan), but a
+    NamedLambdaVariable is a bound VALUE and cannot be duplicated."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def words_spark(col: str = "text") -> str:
     return f"regexp_extract_all(lower({col}), '{WORD_RE}', 0)"
 
@@ -364,9 +375,12 @@ def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (shingle_index_df(spark, sf_dir)
               .withColumnRenamed("sh", "w")
               .select("doc_id", F.expr(WORDHASH_SPARK).alias("h")))
+    # persist: the banded self-join below consumes the signature table
+    # on both sides; unpersisted, the shingle scan + 16-way min
+    # aggregation re-runs per side (same shape as _simhash_table)
     sig = hashed.groupBy("doc_id").agg(*[
         F.min((F.lit(2 * j + 31) * F.col("h") + F.lit(17 * j + 7)) % P)
-        .alias(f"s{j}") for j in range(N_MINHASH)])
+        .alias(f"s{j}") for j in range(N_MINHASH)]).persist()
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[
@@ -655,9 +669,14 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd aggregation (see minhash note on why not nested lambdas).
     """
     docs = _t(spark, sf_dir, "documents")
+    # explode_OUTER + null-drop, not plain explode: the inferred
+    # size(ws)>0 filter of a non-outer explode is pushed through the
+    # ws projection and re-runs the word regexp per raw row (see
+    # _shingle_rows_of); the isNotNull here tests the GENERATED column
     hashed = (docs
               .withColumn("ws", F.expr(words_spark()))
-              .select("doc_id", F.explode("ws").alias("w"))
+              .select("doc_id", F.explode_outer("ws").alias("w"))
+              .filter(F.col("w").isNotNull())
               .select("doc_id", F.expr(WORDHASH_SPARK).alias("h")))
     votes = hashed.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1)
@@ -670,11 +689,17 @@ def _simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = total + b
     sig = votes.select("doc_id", total.cast("long").alias("simhash"))
     # explode drops wordless docs, but the oracle's CASE len(hs)=0
-    # branch gives them simhash 0 — keep every doc on both sides
+    # branch gives them simhash 0 — keep every doc on both sides.
+    # persist: the banded LSH self-join consumes this table on BOTH
+    # sides and Spark re-executes shared subplans per consumer — the
+    # whole tokenize+hash+vote pipeline ran twice (plan-audited). The
+    # signature table is 2 scalars per doc, the standard materialized
+    # artifact of a simhash pass at any scale.
     return (docs.select("doc_id").join(sig, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("simhash", F.lit(0)).cast("long")
-                    .alias("simhash")))
+                    .alias("simhash"))
+            .persist())
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1887,45 +1912,93 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lpad((F.col("doc_id") % 10000).cast("string"),
                         4, "0"),
                  F.lit("."))).otherwise(F.col("text"))
-    scr = (docs.select("doc_id", aug.alias("t"))
-           .select(
-               "doc_id",
-               (F.regexp_count("t", F.lit(EMAIL_RE))
-                + F.regexp_count("t", F.lit(PHONE_RE)))
-               .cast("long").alias("n_pii"),
-               F.regexp_replace(
-                   F.regexp_replace("t", EMAIL_RE, "[EMAIL]"),
-                   PHONE_RE, "[PHONE]").alias("clean_text")))
-    base = scr.withColumn("ws", F.expr(words_spark("clean_text")))
-    for lang in STOPWORDS:
-        base = base.withColumn(f"c_{lang}", F.expr(_stop_count_spark(lang)))
-    base = base.select(
-        "doc_id", "n_pii", "clean_text", "ws",
-        F.size("ws").cast("long").alias("n_words"),
-        F.expr(LANG_PRED_CASE).alias("pred_lang"))
+    # the whole scrub -> words -> stop-counts -> lang/keep derivation
+    # as ONE nested-let expression (see _let_col): spelling it as a
+    # withColumn chain let PushDownPredicate substitute the aliases
+    # through every derivation Project, planting the scrub regexp
+    # chain ~98 TIMES in the optimized plan (audited by
+    # tools/plan_audit.py). Inside lambda variables nothing can be
+    # re-substituted, so the chain runs at most twice per raw row
+    # (the pushed keep-filter + the surviving row's projection).
+    def _pred(c):
+        # LANG_PRED_CASE over let-bound counts (same argmax + tie order)
+        return (F.when((c["c_en"] > 0) & (c["c_en"] >= c["c_de"])
+                       & (c["c_en"] >= c["c_es"])
+                       & (c["c_en"] >= c["c_fr"]), "en")
+                .when((c["c_de"] > 0) & (c["c_de"] >= c["c_es"])
+                      & (c["c_de"] >= c["c_fr"]), "de")
+                .when((c["c_es"] > 0) & (c["c_es"] >= c["c_fr"]), "es")
+                .when(c["c_fr"] > 0, "fr")
+                .otherwise("und"))
+
+    def _stops(lang):
+        return F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+
+    m = _let_col(aug, lambda t: _let_col(
+        F.struct(
+            (F.regexp_count(t, F.lit(EMAIL_RE))
+             + F.regexp_count(t, F.lit(PHONE_RE)))
+            .cast("long").alias("n_pii"),
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "[EMAIL]"),
+                PHONE_RE, "[PHONE]").alias("ct")),
+        lambda s: _let_col(
+            F.regexp_extract_all(F.lower(s["ct"]), F.lit(WORD_RE),
+                                 F.lit(0)),
+            lambda ws: _let_col(
+                F.struct(
+                    *[F.size(F.filter(
+                        ws, lambda w: F.array_contains(_stops(lg), w)))
+                      .alias(f"c_{lg}") for lg in STOPWORDS],
+                    F.size(ws).cast("long").alias("nw")),
+                lambda c: F.struct(
+                    s["n_pii"].alias("n_pii"),
+                    s["ct"].alias("clean_text"),
+                    c["nw"].alias("n_words"),
+                    _pred(c).alias("pred_lang"),
+                    ((_pred(c) != "und")
+                     & (c["nw"] >= CLEAN_MIN_WORDS)
+                     & (c["nw"] <= CLEAN_MAX_WORDS)).alias("keep"))))))
+    base = (docs.select("doc_id", m.alias("m"))
+            .select("doc_id",
+                    F.col("m.n_pii").alias("n_pii"),
+                    F.col("m.clean_text").alias("clean_text"),
+                    F.col("m.n_words").alias("n_words"),
+                    F.col("m.pred_lang").alias("pred_lang"),
+                    F.col("m.keep").alias("keep")))
     surv = (base.filter(
-                (F.col("pred_lang") != "und")
-                & (F.col("n_words") >= CLEAN_MIN_WORDS)
-                & (F.col("n_words") <= CLEAN_MAX_WORDS)
+                F.col("keep")
                 & (F.col("doc_id") % CONTAM_BENCH_MOD != 0))
             .withColumn("content_md5", F.md5("clean_text")))
+    # ded feeds TWO consumers (the contamination shingles and the
+    # final anti-join) and Spark re-executes a DAG-shared subplan per
+    # consumer - unpersisted, the scrub + dedup-window shuffle ran 5x
+    # (plan-audited: 7 scans, 8 windows, 0 ReusedExchange). Persisting
+    # the statistic-per-doc survivor slice runs them once; at cluster
+    # scale this is the cleaned-corpus intermediate a real pipeline
+    # materializes as a table anyway.
     ded = (surv.withColumn(
                "min_id",
                F.min("doc_id").over(Window.partitionBy("content_md5")))
            .filter(F.col("doc_id") == F.col("min_id"))
-           .drop("min_id"))
+           .drop("min_id")
+           .persist())
     bench_sh = (_shingle_rows_of(
         base.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
         .select("doc_id", F.col("clean_text").alias("text")))
         .select(F.col("sh").alias("bsh")).distinct())
     corp_sh = _shingle_rows_of(
         ded.select("doc_id", F.col("clean_text").alias("text")))
-    tot = corp_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    shr = (corp_sh.join(F.broadcast(bench_sh),
-                        corp_sh.sh == bench_sh.bsh)
-           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
-    contam = (tot.join(shr, "doc_id", "left")
-              .filter(F.coalesce("n_shared", F.lit(0)) / F.col("n_sh")
+    # ONE pass for total + shared shingle counts: a left broadcast
+    # join against the (distinct) benchmark set, count(1) = n_sh and
+    # count(bsh) = matches - the previous tot/shr two-branch shape
+    # re-derived the corpus shingles twice more
+    contam = (corp_sh.join(F.broadcast(bench_sh),
+                           corp_sh.sh == bench_sh.bsh, "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_sh"),
+                   F.count("bsh").alias("n_shared"))
+              .filter(F.col("n_shared") / F.col("n_sh")
                       >= F.lit(CONTAM_MIN_SHARE))
               .select("doc_id"))
     return (ded.join(contam, "doc_id", "left_anti")

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Audit every registry query's optimized plan for TEXTUALLY
+DUPLICATED expensive expressions.
+
+Catalyst duplicates expression trees instead of let-binding them, so
+one logical computation can silently run 2-N times per row. Three
+repo-documented variants:
+
+  * InferFiltersFromGenerate clones the whole generator child into an
+    inferred ``size(e) > 0 AND isnotnull(e)`` Filter
+    (extraction/layout_spark.unpack_spans_flat docstring);
+  * PushDownPredicate re-substitutes an aliased expression through the
+    Project it was bound in (textops._shingle_rows_of docstring);
+  * interpreted higher-order-function lambdas re-evaluate referenced
+    array expressions per element (docops._sql_let docstring).
+
+This sweep catches the first two classes mechanically: for each query
+in the registry it renders the optimized plan, extracts every call to
+an expensive function (regexps, hashes, splits, HOFs, arrays_zip),
+normalizes expression ids (``#123`` -> ``#``), and reports any exact
+call text appearing more than once. Run:
+
+    PYTHONPATH=/root/repo python tools/plan_audit.py [sf_dir] [name ...]
+
+Exit code 1 if any NEW duplication (not in ALLOWED) is found, so it
+can gate in CI/pytest. Findings are judgement calls, not always bugs:
+a cheap expression duplicated across a Filter + Project costs little -
+the report orders by (cost class, count) so the expensive ones surface
+first.
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+# function heads whose re-evaluation is expensive per row. Order =
+# report priority.
+EXPENSIVE = (
+    "regexp_extract_all(", "regexp_replace(", "regexp_extract(",
+    "aggregate(", "transform(", "filter(", "zip_with(",
+    "arrays_zip(", "split(", "sentences(",
+    "sha2(", "md5(", "xxhash64(", "crc32(",
+    "from_json(", "to_json(", "array_sort(", "sort_array(",
+)
+
+# known-acceptable duplications: (query, normalized head) pairs.
+# Each entry documents WHY it is allowed.
+ALLOWED: dict = {
+    # chunks/export queries pay a doc-level split twice when a filter
+    # on the split result is pushed below the project that binds it -
+    # both evaluations are per-DOC (not per-span) and the alternative
+    # (a barrier) costs a shuffle. Revisit if a per-span case appears.
+}
+
+
+def _balanced(s: str, start: int) -> str:
+    """The full call text starting at ``start`` (head through its
+    closing paren), cut off at 400 chars to keep keys stable."""
+    depth = 0
+    for i in range(start, min(len(s), start + 4000)):
+        c = s[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start:i + 1][:400]
+    return s[start:start + 400]
+
+
+def _norm(expr: str) -> str:
+    return re.sub(r"#\d+L?", "#", expr)
+
+
+def audit_plan(plan: str):
+    """-> [(head, normalized_call, count)] for calls seen >1 time."""
+    calls: Counter = Counter()
+    for head in EXPENSIVE:
+        for m in re.finditer(re.escape(head), plan):
+            # skip ids like `regexp_extract_all(...)` inside an
+            # already-captured OUTER duplicate: counting every
+            # occurrence independently is exactly what we want -
+            # nested dupes surface through their outermost call.
+            calls[(head, _norm(_balanced(plan, m.start() + len(head) - 1)))] += 1
+    return [(h, c, n) for (h, c), n in calls.items() if n > 1]
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.showConsoleProgress", "false")
+             .appName("plan-audit").getOrCreate())
+    qs = entry.queries()
+    bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().optimizedPlan().toString()
+        except Exception as exc:  # pragma: no cover - report and move on
+            print(f"{name:28s} PLAN-ERROR {type(exc).__name__}: {exc}")
+            bad += 1
+            continue
+        dupes = [d for d in audit_plan(plan)
+                 if (name, d[1]) not in ALLOWED]
+        if not dupes:
+            print(f"{name:28s} clean")
+            continue
+        dupes.sort(key=lambda d: (EXPENSIVE.index(d[0]), -d[2]))
+        bad += 1
+        print(f"{name:28s} {len(dupes)} duplicated expression(s):")
+        for head, callt, n in dupes[:6]:
+            print(f"    x{n}  {callt[:160]}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
