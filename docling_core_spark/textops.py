@@ -98,6 +98,25 @@ def _let_col(expr, fn):
     return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
+def _gen_bind(df, key_cols, expr, name):
+    """Projection BARRIER: bind ``expr`` as a generated attribute.
+
+    A plain ``select(expr.alias(name))`` is porous - CollapseProject
+    and PushDownPredicate re-substitute the alias textually, so N
+    downstream field accesses / pushed predicates plant N copies of
+    the whole defining expression (clean_corpus measured x10 even with
+    the _let_col interior). A Generate node is not collapsible:
+    downstream references resolve to the GENERATED attribute, which is
+    evaluated exactly once per row. explode_outer, not explode - the
+    non-outer form triggers InferFiltersFromGenerate, which clones the
+    generator child into an inferred size()>0 filter. ``expr`` must
+    never be null (structs are not), so outer adds no rows and the
+    isNotNull is a no-op guard on the generated column."""
+    return (df.select(*key_cols,
+                      F.explode_outer(F.array(expr)).alias(name))
+            .filter(F.col(name).isNotNull()))
+
+
 def words_spark(col: str = "text") -> str:
     return f"regexp_extract_all(lower({col}), '{WORD_RE}', 0)"
 
@@ -1959,7 +1978,10 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((_pred(c) != "und")
                      & (c["nw"] >= CLEAN_MIN_WORDS)
                      & (c["nw"] <= CLEAN_MAX_WORDS)).alias("keep"))))))
-    base = (docs.select("doc_id", m.alias("m"))
+    # _gen_bind: the five field accesses below (and the pushed keep /
+    # bench-mod filters) must reference a generated ATTRIBUTE - a plain
+    # alias would be re-substituted per consumer, x10 measured
+    base = (_gen_bind(docs, ["doc_id"], m, "m")
             .select("doc_id",
                     F.col("m.n_pii").alias("n_pii"),
                     F.col("m.clean_text").alias("clean_text"),

@@ -74,8 +74,38 @@ def _norm(expr: str) -> str:
     return re.sub(r"#\d+L?", "#", expr)
 
 
+def _dedupe_cached(plan: str) -> str:
+    """Keep ONE copy of each distinct InMemoryRelation subtree.
+
+    A persisted DataFrame referenced from N places prints its full
+    cached lineage N times in the optimized plan, but the lineage runs
+    once (into the cache) - counting those copies as duplicated work is
+    a false positive. The cached block is the InMemoryRelation line
+    plus every following line indented deeper than it."""
+    out, seen, i = [], set(), 0
+    lines = plan.splitlines()
+    while i < len(lines):
+        line = lines[i]
+        if "InMemoryRelation" not in line:
+            out.append(line)
+            i += 1
+            continue
+        indent = len(line) - len(line.lstrip())
+        j = i + 1
+        while (j < len(lines)
+               and (len(lines[j]) - len(lines[j].lstrip())) > indent):
+            j += 1
+        block = _norm("\n".join(lines[i:j]))
+        if block not in seen:
+            seen.add(block)
+            out.extend(lines[i:j])
+        i = j
+    return "\n".join(out)
+
+
 def audit_plan(plan: str):
     """-> [(head, normalized_call, count)] for calls seen >1 time."""
+    plan = _dedupe_cached(plan)
     calls: Counter = Counter()
     for head in EXPENSIVE:
         for m in re.finditer(re.escape(head), plan):
