@@ -67,6 +67,97 @@ def _is_control(ch: str) -> bool:
     return unicodedata.category(ch).startswith("C")
 
 
+# count_tokens fast path: the per-char clean/CJK/space walk of
+# basic_tokenize re-expressed as three compiled-regex passes (C speed),
+# plus a raw-token -> piece-count memo that also absorbs the NFD
+# normalization and punctuation split on repeats. tokenize() keeps the
+# literal per-char reference walk; test_wordpiece pins fast == slow.
+_CTRL_RE_C: Optional["re.Pattern[str]"] = None
+# anything outside printable ASCII + tab/LF/CR needs the full clean
+# path (C0/C1 controls, DEL, and every non-ASCII char incl. CJK)
+_NON_PLAIN_RE = re.compile(r"[^\x20-\x7E\t\n\r]")
+_CJK_RE = re.compile(
+    "([一-鿿㐀-䶿"
+    "\U00020000-\U0002a6df\U0002a700-\U0002b73f"
+    "\U0002b740-\U0002b81f\U0002b820-\U0002ceaf"
+    "豈-﫿\U0002f800-\U0002fa1f])")
+
+
+def _ctrl_re() -> "re.Pattern[str]":
+    """Matches exactly what basic_tokenize's clean loop drops: NUL,
+    U+FFFD, and category C minus {tab, LF, CR} (built once per
+    process by full-codepoint scan, same policy as _nlno_class)."""
+    global _CTRL_RE_C
+    if _CTRL_RE_C is None:
+        import sys
+
+        keep = {0x09, 0x0A, 0x0D}
+        cps = [c for c in range(sys.maxunicode + 1)
+               if c not in keep
+               and (c == 0 or c == 0xFFFD
+                    or unicodedata.category(chr(c)).startswith("C"))]
+        parts: List[str] = []
+        i = 0
+        while i < len(cps):
+            j = i
+            while j + 1 < len(cps) and cps[j + 1] == cps[j] + 1:
+                j += 1
+            a, b = cps[i], cps[j]
+            parts.append(f"\\U{a:08X}"
+                         + (f"-\\U{b:08X}" if b > a else ""))
+            i = j + 1
+        _CTRL_RE_C = re.compile("[" + "".join(parts) + "]")
+    return _CTRL_RE_C
+
+
+# the only chars that are BOTH category C (deleted by the clean loop,
+# checked first) and Unicode isspace (a split boundary if left in):
+# VT FF FS GS RS US NEL. Stripping them up front makes split-then-
+# clean-per-token equal to the reference's clean-then-split: every
+# other deleted char is not a split boundary, and every other boundary
+# char is not deleted.
+_WS_CTRL_RE = re.compile("[\x0b\x0c\x1c-\x1f\x85]")
+
+
+def _token_pieces(tok: str, vocab: Dict[str, int], unk: str,
+                  lowercase: bool) -> int:
+    """Piece count of one raw whitespace token (clean -> CJK-space ->
+    lower/NFD -> punct split -> WordPiece). Pure function of the
+    token; memoized by count_tokens. The giant category-C class costs
+    ~85ns/char, so it runs only on tokens that are not printable
+    ASCII - i.e. only on cache-missed non-plain tokens."""
+    if _NON_PLAIN_RE.search(tok) is None:
+        return _lower_punct_pieces(tok, vocab, unk, lowercase)
+    return sum(
+        _lower_punct_pieces(sub, vocab, unk, lowercase)
+        for sub in _CJK_RE.sub(r" \g<0> ",
+                               _ctrl_re().sub("", tok)).split())
+
+
+def _lower_punct_pieces(token: str, vocab: Dict[str, int], unk: str,
+                        lowercase: bool) -> int:
+    """Piece count of one whitespace token: (lower + strip accents) ->
+    punctuation split -> greedy WordPiece. Pure function of the token;
+    memoized by the caller."""
+    if lowercase:
+        token = token.lower()
+        token = "".join(c for c in unicodedata.normalize("NFD", token)
+                        if unicodedata.category(c) != "Mn")
+    n = 0
+    cur: List[str] = []
+    for ch in token:
+        if _is_punctuation(ch):
+            if cur:
+                n += len(wordpiece_split("".join(cur), vocab, unk))
+                cur = []
+            n += len(wordpiece_split(ch, vocab, unk))
+        else:
+            cur.append(ch)
+    if cur:
+        n += len(wordpiece_split("".join(cur), vocab, unk))
+    return n
+
+
 def basic_tokenize(text: str, lowercase: bool = True) -> List[str]:
     """BERT BasicTokenizer: clean -> CJK-space -> whitespace split ->
     (lower + strip accents) -> punctuation split."""
@@ -147,6 +238,14 @@ class WordPieceCounter:
         self.lowercase = lowercase
         self.max_tokens = max_tokens
         self.unk = unk
+        # word -> piece count memo: wordpiece_split is a pure function
+        # of the word, and corpus word frequency is Zipfian, so the
+        # distinct-word working set is tiny next to the token stream.
+        # Capped + wholesale-cleared to bound worker memory on
+        # adversarial (all-unique-words) input.
+        self._wc: Dict[str, int] = {}
+
+    _WC_CAP = 1 << 20
 
     @classmethod
     def from_vocab_file(cls, path: str, **kw) -> "WordPieceCounter":
@@ -160,7 +259,20 @@ class WordPieceCounter:
         return out
 
     def count_tokens(self, text: str) -> int:
-        return len(self.tokenize(text))
+        wc = self._wc
+        if len(wc) > self._WC_CAP:
+            wc.clear()
+        if _WS_CTRL_RE.search(text) is not None:
+            text = _WS_CTRL_RE.sub("", text)
+        n = 0
+        for tok in text.split():
+            c = wc.get(tok)
+            if c is None:
+                c = _token_pieces(tok, self.vocab, self.unk,
+                                  self.lowercase)
+                wc[tok] = c
+            n += c
+        return n
 
     def get_max_tokens(self) -> int:
         return self.max_tokens
@@ -257,6 +369,12 @@ class BytePairCounter:
                  max_tokens: int = 128 * 1024) -> None:
         self.ranks = ranks
         self.max_tokens = max_tokens
+        # pre-token -> merge count memo (bpe_merge_count is a pure
+        # function of the piece); same cap/clear policy as
+        # WordPieceCounter._wc.
+        self._pc: Dict[str, int] = {}
+
+    _PC_CAP = 1 << 20
 
     @classmethod
     def from_tiktoken_file(cls, path: str, **kw) -> "BytePairCounter":
@@ -272,9 +390,17 @@ class BytePairCounter:
         return cls(ranks, **kw)
 
     def count_tokens(self, text: str) -> int:
+        pc = self._pc
+        if len(pc) > self._PC_CAP:
+            pc.clear()
         n = 0
         for m in _bpe_split_re().finditer(text):
-            n += bpe_merge_count(m.group().encode("utf-8"), self.ranks)
+            g = m.group()
+            c = pc.get(g)
+            if c is None:
+                c = bpe_merge_count(g.encode("utf-8"), self.ranks)
+                pc[g] = c
+            n += c
         return n
 
     def get_max_tokens(self) -> int:

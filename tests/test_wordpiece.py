@@ -238,3 +238,54 @@ def test_hybrid_parity_reference_with_wordpiece():
                                                    max_tokens=48))]
         assert got == want, f"doc {i}"
         assert want  # non-degenerate
+
+
+# -- count_tokens fast path == tokenize slow path ----------------------
+
+def test_count_fast_path_equals_tokenize(wp):
+    """count_tokens takes the memoized regex-vectorized clean path;
+    tokenize keeps the reference's literal per-char walk. They must
+    agree everywhere, including the clean-order traps: whitespace-like
+    controls (NEL/VT/FF/FS..US) are DELETIONS not boundaries, CJK pads
+    to isolated tokens, NUL/U+FFFD/other controls vanish in-token."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pool = st.sampled_from(
+        ["hello", "Wörld", "naïve", "\x00", "�", "\x85", "\x07",
+         "中文漢字", "a,b.c!", "x²y", "  ", "\t\n\r", "ＡＢ", "👍",
+         "étude", "[UNK]", "$3.14", "a" * 150, "​", " ",
+         "plain words", "\x7f", "\x1b[0m", "\x0b", "\x0c", "\x1c",
+         "a\x85b", "中x中", "cats", "unbelievable", "1", "pipeline"])
+
+    @given(st.lists(pool, max_size=12), st.text(max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(parts, rand):
+        for t in ("".join(parts), rand, "".join(parts) + rand):
+            assert wp.count_tokens(t) == len(wp.tokenize(t))
+
+    check()
+
+
+def test_count_cache_cap_clears(wp):
+    wp._wc.clear()
+    old_cap = WordPieceCounter._WC_CAP
+    try:
+        WordPieceCounter._WC_CAP = 4
+        for w in ["aa", "bb", "cc", "dd", "ee", "ff"]:
+            wp.count_tokens(w)
+        assert len(wp._wc) <= 5  # cleared when over cap, then refilled
+        assert wp.count_tokens("cats") == 2  # still correct after clear
+    finally:
+        WordPieceCounter._WC_CAP = old_cap
+        wp._wc.clear()
+
+
+def test_bpe_count_cache_consistent():
+    ranks = {b"a": 0, b"b": 1, b"ab": 2, b" ": 3, b" a": 4}
+    c = BytePairCounter(ranks)
+    t = "ab ab ab"
+    first = c.count_tokens(t)
+    assert c.count_tokens(t) == first  # memo hit path
+    c2 = BytePairCounter(ranks)
+    assert c2.count_tokens(t) == first  # cold instance agrees
