@@ -1201,17 +1201,20 @@ def _q_rehome_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rehome_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S9 reference pass: data URIs -> image_{count}_{hash}.png refs."""
+    """S9 reference pass: data URIs -> image_{count}_{hash}.png refs.
+    Fused embed>>reference Arrow stage (the two-stage chain ships the
+    payload-sized embedded arrays across the Python<->JVM boundary
+    twice more; same per-doc functions - see
+    rehome.embed_then_reference_pictures)."""
     from docling_core_spark.rehome import (
         attached_corpus_df,
-        embed_pictures,
+        embed_then_reference_pictures,
         media_df,
-        reference_pictures,
     )
 
     docs = attached_corpus_df(spark, sf_dir)
-    embedded = embed_pictures(docs, media_df(spark, sf_dir))
-    return reference_pictures(embedded, "artifacts", emit="witness")
+    return embed_then_reference_pictures(
+        docs, media_df(spark, sf_dir), "artifacts", emit="witness")
 
 
 def _q_viz_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1279,14 +1282,9 @@ def _q_docjson_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic subset (bad version / broken parent ref / truncated
     payload), and report quarantine rows instead of throwing
     (reference validators: document.py:5541-5569, 4045-4060)."""
-    from docling_core_spark.validation import (
-        corrupt_docjson_df,
-        validate_docjson,
-    )
+    from docling_core_spark.validation import export_corrupt_validate
 
-    js = (export_documents(corpus_df(spark, sf_dir), fmt="json")
-          .withColumnRenamed("text", "doc_json"))
-    return validate_docjson(corrupt_docjson_df(js))
+    return export_corrupt_validate(corpus_df(spark, sf_dir))
 
 
 def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -292,6 +292,50 @@ def reference_pictures(docs: DataFrame, image_dir: str = "artifacts",
         run_docs, f"doc_id string, spans {out_type}")
 
 
+def embed_then_reference_pictures(docs: DataFrame, media: DataFrame,
+                                  image_dir: str = "artifacts",
+                                  emit: str = "witness") -> DataFrame:
+    """embed_pictures >> reference_pictures fused into ONE Arrow stage.
+
+    Chaining the two operators as separate mapInArrow stages is
+    semantically identical but ships the payload-sized embedded span
+    arrays across the Python<->JVM boundary twice more than needed
+    (JVM->py embed ->JVM->py reference ->JVM); both stages are narrow,
+    so the fusion is pure crossing elimination - the per-doc
+    embed_spans/reference_spans functions (the parity-tested units)
+    are byte-identical. This is what a Photon/Gandiva-style operator
+    fuser would do automatically; PySpark's planner does not fuse
+    adjacent MapInArrow nodes, so the pipeline-shaped API does it
+    explicitly."""
+    import pyarrow as pa
+
+    joined = docs.join(_doc_payloads(docs, media), "doc_id", "left")
+    out_type = docs.schema["spans"].dataType.simpleString()
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            tbl = batch.to_pydict()
+            new_spans = []
+            for spans, pmap in zip(tbl["spans"], tbl["_payloads"]):
+                payloads = dict(pmap) if pmap else {}
+                new_spans.append(
+                    reference_spans(embed_spans(spans, payloads),
+                                    image_dir)[0])
+            if emit == "witness":
+                yield _witness_batch(pa, tbl["doc_id"], new_spans)
+            else:
+                yield pa.RecordBatch.from_pydict(
+                    {"doc_id": tbl["doc_id"], "spans": new_spans},
+                    schema=pa.schema([
+                        ("doc_id", pa.string()),
+                        ("spans", batch.schema.field("spans").type)]))
+
+    sel = joined.select("doc_id", "spans", "_payloads")
+    if emit == "witness":
+        return sel.mapInArrow(run, _WITNESS_SCHEMA)
+    return sel.mapInArrow(run, f"doc_id string, spans {out_type}")
+
+
 def attach_images(docs: DataFrame,
                   dir_prefix: str = "artifacts") -> DataFrame:
     """Synthetic ingestion step: file-URI ImageRefs on every picture."""

@@ -156,6 +156,19 @@ def validate_docjson_dict(doc: dict) -> List[str]:
 # Spark operator
 # ----------------------------------------------------------------------
 
+def _payload_errors(payload: str) -> List[str]:
+    """Validation errors for one raw docjson payload string (the
+    per-doc unit both the staged and fused Spark operators share)."""
+    import json as _json
+
+    try:
+        doc = _json.loads(payload or "")
+        return (validate_docjson_dict(doc) if isinstance(doc, dict)
+                else ["schema: not a JSON object"])
+    except ValueError as exc:
+        return [f"json: {exc}"]
+
+
 def validate_docjson(df: DataFrame, json_col: str = "doc_json"
                      ) -> DataFrame:
     """(doc_id, doc_json) -> (doc_id, is_valid, n_errors, errors):
@@ -163,20 +176,12 @@ def validate_docjson(df: DataFrame, json_col: str = "doc_json"
     import pyarrow as pa
 
     def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        import json as _json
-
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             payloads = batch.column(json_col).to_pylist()
             valid, n_err, errs = [], [], []
             for payload in payloads:
-                try:
-                    doc = _json.loads(payload or "")
-                    es = (validate_docjson_dict(doc)
-                          if isinstance(doc, dict)
-                          else ["schema: not a JSON object"])
-                except ValueError as exc:
-                    es = [f"json: {exc}"]
+                es = _payload_errors(payload)
                 valid.append(not es)
                 n_err.append(len(es))
                 errs.append("; ".join(es))
@@ -211,6 +216,51 @@ def corrupt_docjson_df(df: DataFrame, json_col: str = "doc_json"
 
     return df.select("doc_id", json_col).mapInArrow(
         run, f"doc_id string, {json_col} string")
+
+
+def export_corrupt_validate(docs: DataFrame) -> DataFrame:
+    """export_documents(fmt='json') >> corrupt_docjson_df >>
+    validate_docjson fused into ONE Arrow stage over spans.
+
+    The staged chain is semantically identical but ships every
+    full-document JSON payload across the Python<->JVM Arrow boundary
+    four extra times (py->JVM after export, JVM->py->JVM around the
+    corruption stage, JVM->py into validation); the payloads are the
+    bulk of the bytes, and all three stages are narrow, so the fusion
+    is pure crossing elimination. Per-doc units
+    (export_to_docjson_str, corrupt_docjson, _payload_errors) are
+    byte-identical to the staged path — pinned by
+    test_fused_export_corrupt_validate_matches_chained."""
+    import pyarrow as pa
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        from docling_core_spark.engine import _iter_span_tuples
+        from docling_core_spark.model.spans import doc_from_spans
+        from docling_core_spark.serializers.docjson import (
+            export_to_docjson_str,
+        )
+
+        for batch in batches:
+            ids, valid, n_err, errs = [], [], [], []
+            for doc_id, tuples in _iter_span_tuples(batch):
+                js = corrupt_docjson(
+                    doc_id,
+                    export_to_docjson_str(doc_from_spans(doc_id, tuples)))
+                es = _payload_errors(js)
+                ids.append(doc_id)
+                valid.append(not es)
+                n_err.append(len(es))
+                errs.append("; ".join(es))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.string()),
+                 pa.array(valid, pa.bool_()),
+                 pa.array(n_err, pa.int32()),
+                 pa.array(errs, pa.string())],
+                names=["doc_id", "is_valid", "n_errors", "errors"])
+
+    return docs.select("doc_id", "spans").mapInArrow(
+        run, "doc_id string, is_valid boolean, n_errors int, "
+             "errors string")
 
 
 # deterministic corruption for the validation query's test input: a

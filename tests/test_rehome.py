@@ -262,3 +262,38 @@ def test_spark_rehome_matches_oracle(spark):
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype({"dpi": "int64"}), want.astype({"dpi": "int64"}))
+
+
+def test_spark_fused_embed_reference_matches_chained(spark):
+    """embed_then_reference_pictures (one Arrow stage) must emit the
+    exact rows of the two-stage embed_pictures >> reference_pictures
+    chain, in both witness and spans emit modes."""
+    import pandas as pd
+
+    from docling_core_spark.engine import synth_documents
+    from docling_core_spark.mediaops import media_table
+    from docling_core_spark.rehome import (
+        attach_images,
+        embed_pictures,
+        embed_then_reference_pictures,
+        reference_pictures,
+    )
+
+    docs = attach_images(synth_documents(spark, 30, seed=42))
+    media = media_table(docs)
+
+    def canon(df):
+        pdf = df.toPandas()
+        if "spans" in pdf.columns:
+            pdf["spans"] = pdf["spans"].map(
+                lambda ss: json.dumps([list(s) for s in ss]))
+        cols = sorted(pdf.columns)
+        return (pdf[cols].sort_values(cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    for emit in ("witness", "spans"):
+        chained = reference_pictures(
+            embed_pictures(docs, media), "artifacts", emit=emit)
+        fused = embed_then_reference_pictures(
+            docs, media, "artifacts", emit=emit)
+        pd.testing.assert_frame_equal(canon(fused), canon(chained))

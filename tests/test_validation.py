@@ -203,3 +203,25 @@ def test_spark_validation_matches_oracle(spark):
     pd.testing.assert_frame_equal(
         got.astype({"n_errors": "int64"}),
         want.astype({"n_errors": "int64"}))
+
+
+def test_fused_export_corrupt_validate_matches_chained(spark):
+    """export_corrupt_validate (one Arrow stage) must emit the exact
+    rows of the staged export >> corrupt >> validate chain."""
+    import pandas as pd
+
+    from docling_core_spark.engine import export_documents, synth_documents
+    from docling_core_spark.validation import (
+        corrupt_docjson_df,
+        export_corrupt_validate,
+        validate_docjson,
+    )
+
+    docs = synth_documents(spark, 40, seed=42)
+    js = (export_documents(docs, fmt="json")
+          .withColumnRenamed("text", "doc_json"))
+    chained = (validate_docjson(corrupt_docjson_df(js))
+               .toPandas().sort_values("doc_id").reset_index(drop=True))
+    fused = (export_corrupt_validate(docs)
+             .toPandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fused, chained)
