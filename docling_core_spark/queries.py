@@ -438,29 +438,6 @@ FROM p GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def q_span_kind_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus profile: span counts/chars by base kind (exploded scan +
-    partial aggregation; the shuffle carries one row per kind)."""
-    docs = corpus_df(spark, sf_dir)
-    s = docs.select(F.explode("spans").alias("s"))
-    return (s.groupBy(F.split(F.col("s.kind"), ":").getItem(0)
-                      .alias("base_kind"))
-            .agg(F.count(F.lit(1)).alias("n_spans"),
-                 F.sum(F.length(F.col("s.text"))).cast("long")
-                 .alias("total_chars"))
-            .orderBy("base_kind"))
-
-
-def _sql_span_kind_stats(sf_dir: str) -> str:
-    path = ensure_corpus_local(sf_dir)
-    return f"""
-WITH s AS (SELECT unnest(spans) AS sp
-           FROM read_parquet('{path}/*.parquet'))
-SELECT string_split(sp.kind, ':')[1] AS base_kind,
-       COUNT(*) AS n_spans,
-       CAST(SUM(length(sp.text)) AS BIGINT) AS total_chars
-FROM s GROUP BY 1 ORDER BY base_kind
-"""
 
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,34 +649,6 @@ FROM m WHERE max_depth > 0 GROUP BY max_depth ORDER BY max_depth
 """
 
 
-def q_page_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pages-per-document histogram from page_break:P markers (P is the
-    next page number, so pages = max P; no markers = single page)."""
-    docs = corpus_df(spark, sf_dir)
-    s = docs.select("doc_id", F.explode("spans").alias("s"))
-    per = (s.filter(F.col("s.kind").startswith("page_break:"))
-           .groupBy("doc_id")
-           .agg(F.max(F.split(F.col("s.kind"), ":").getItem(1)
-                      .cast("int")).alias("last_page")))
-    joined = (docs.select("doc_id").join(per, "doc_id", "left")
-              .select(F.coalesce("last_page", F.lit(1)).alias("n_pages")))
-    return (joined.groupBy("n_pages")
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy("n_pages"))
-
-
-def _sql_page_counts(sf_dir: str) -> str:
-    path = ensure_corpus_local(sf_dir)
-    return f"""
-WITH s AS (SELECT doc_id, unnest(spans) AS sp
-           FROM read_parquet('{path}/*.parquet')),
-per AS (SELECT doc_id,
-               MAX(CAST(string_split(sp.kind, ':')[2] AS INTEGER)) AS last_page
-        FROM s WHERE sp.kind LIKE 'page_break:%' GROUP BY doc_id),
-j AS (SELECT COALESCE(per.last_page, 1) AS n_pages
-      FROM (SELECT DISTINCT doc_id FROM s) d LEFT JOIN per USING (doc_id))
-SELECT n_pages, COUNT(*) AS n_docs FROM j GROUP BY n_pages ORDER BY n_pages
-"""
 
 
 def q_doc_span_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,8 +1350,10 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-stats rows (simple relational plans over documents)
         ("lang_stats", q_lang_stats),
         ("heading_outline", q_heading_outline),
-        ("page_counts", q_page_counts),
-        ("span_kind_stats", q_span_kind_stats),
+        # page_counts / span_kind_stats retired in r4 session 9 (the
+        # r3 VERDICT called them redundant stats filler): their two
+        # pool slots now carry the session-9 hygiene ops so the
+        # 2x25-window rotation still covers the pool exactly
         ("bbox_overlap_stats", q_bbox_overlap_stats),
         ("list_depth_stats", q_list_depth_stats),
         ("doc_span_skew", q_doc_span_skew),
@@ -1430,6 +1381,11 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (canonical tail: the r4 reversed window row-checks them)
         ("repetition_signals", textops.q_repetition_signals),
         ("strip_boilerplate", textops.q_strip_boilerplate),
+        # round-4 session-9 hygiene ops (canonical tail: the r4
+        # reversed window row-checks them): corpus-trained bigram-LM
+        # perplexity scoring (CCNet-style) + per-source retention caps
+        ("lm_perplexity", textops.q_lm_perplexity),
+        ("source_caps", textops.q_source_caps),
     ]
     if _rotation_state() % 2:
         pool.reverse()
@@ -1474,11 +1430,9 @@ def oracles() -> Dict[str, str]:
     out["search_meta_validation"] = sql_search_validation(sf)
     out["caption_resolution"] = _sql_caption_resolution(sf)
     out["redact_spans"] = _sql_redact_spans(sf)
-    out["span_kind_stats"] = _sql_span_kind_stats(sf)
     out["bbox_overlap_stats"] = _sql_bbox_overlap_stats(sf)
     out["heading_outline"] = _sql_heading_outline(sf)
     out["list_depth_stats"] = _sql_list_depth_stats(sf)
-    out["page_counts"] = _sql_page_counts(sf)
     out["doc_span_skew"] = _sql_doc_span_skew(sf)
     from docling_core_spark.pdfpage import (
         sql_pdf_cells_in_bbox,

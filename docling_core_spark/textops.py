@@ -2366,6 +2366,150 @@ ORDER BY b.doc_id
 
 
 # ----------------------------------------------------------------------
+# Corpus-trained bigram-LM scoring (CCNet-style perplexity filtering,
+# Wenzek et al. 2020 §3.3) and per-source retention caps (RefinedWeb /
+# C4-style domain hygiene)
+# ----------------------------------------------------------------------
+
+LM_BIGRAMS_SPARK = (
+    "IF(size(ws) < 2, array(), transform(sequence(0, size(ws)-2), "
+    "i -> named_struct('w1', element_at(ws, i+1), "
+    "'w2', element_at(ws, i+2))))")
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram language-model score - the perplexity
+    filter of a CCNet-style pipeline (Wenzek et al. 2020 train a
+    KenLM n-gram model and keep the low-perplexity tercile; here the
+    model is the corpus's own add-one-smoothed bigram LM, trained and
+    applied in one job, which is the self-scoring variant used for
+    outlier detection). ``avg_bits`` is the mean -log2 P(w2|w1) over
+    the document's bigrams (= log2 of the per-token perplexity);
+    higher = less like the corpus. P(w2|w1) = (c12+1)/(c1+V) with c12
+    the corpus bigram count, c1 the bigram-context count and V the
+    unigram vocabulary size. Quantized to 1e-4 bits exactly like the
+    cosine queries (FLOOR(x*10000+0.5)/10000): last-ulp libm/
+    summation-order differences sit ~9 orders below the grid.
+
+    100 TB design: training IS aggregation - per-doc (w1,w2,n_occ)
+    groups first (one shuffle on (doc_id,w1,w2), map-side partial
+    aggs), the model then derives from those groups (vocabulary^2-
+    bounded, NOT corpus-bounded, shuffle), so the raw bigram stream
+    is never shuffled twice; `occ` is persisted because it feeds both
+    the model build and the scoring join (a real pipeline writes the
+    LM table once and scores many corpora against it). The scoring
+    joins shuffle on (w1,w2) / w1 - hot heads ('the', 'of') are
+    exactly the AQE skew-join case, noted here because at corpus
+    scale the ctx join MUST run with skew splitting on. V is a 1-row
+    broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    # _gen_bind + explode_outer: a plain alias/explode would let
+    # CollapseProject and InferFiltersFromGenerate replant the word
+    # regexp and the bigram transform per consumer (x6/x3 audited)
+    base = _gen_bind(docs, ["doc_id"], F.expr(words_spark()), "ws")
+    bg = (base.select(
+              "doc_id",
+              F.explode_outer(F.expr(LM_BIGRAMS_SPARK)).alias("b"))
+          .filter(F.col("b").isNotNull())
+          .select("doc_id", F.col("b.w1").alias("w1"),
+                  F.col("b.w2").alias("w2")))
+    occ = (bg.groupBy("doc_id", "w1", "w2")
+           .agg(F.count(F.lit(1)).alias("n_occ"))
+           .persist())
+    model = occ.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (base.select(F.explode("ws").alias("w"))
+             .agg(F.countDistinct("w").cast("double").alias("v")))
+    bits = -F.log2((F.col("c12") + F.lit(1.0))
+                   / (F.col("c1") + F.col("v")))
+    scored = (occ.join(model, ["w1", "w2"])
+              .join(ctx, "w1")
+              .crossJoin(F.broadcast(vocab)))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("long").alias("n_bigrams"),
+        (F.sum(F.col("n_occ") * bits) / F.sum("n_occ")).alias("raw"))
+    return (per_doc.select(
+                "doc_id", "n_bigrams",
+                (F.floor(F.col("raw") * 10000 + F.lit(0.5)) / 10000.0)
+                .alias("avg_bits"))
+            .orderBy("doc_id"))
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH t AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS bg
+      FROM t WHERE len(ws) >= 2),
+o AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2, COUNT(*) AS n_occ
+      FROM b GROUP BY ALL),
+m AS (SELECT w1, w2, SUM(n_occ) AS c12 FROM o GROUP BY ALL),
+cx AS (SELECT w1, SUM(c12) AS c1 FROM m GROUP BY w1),
+v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(ws) AS w FROM t)),
+s AS (SELECT doc_id, SUM(n_occ) AS nb,
+             SUM(n_occ * -log2((c12 + 1.0) / (c1 + v))) / SUM(n_occ)
+                 AS raw
+      FROM o JOIN m USING (w1, w2) JOIN cx USING (w1), v
+      GROUP BY doc_id)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+       FLOOR(raw * 10000 + 0.5) / 10000.0 AS avg_bits
+FROM s ORDER BY doc_id
+"""
+
+
+SOURCE_CAP_K = 10      # keep at most K docs per source
+SOURCE_CAP_SALT = 16   # stage-1 salt buckets (skew bound: salt*K rows
+                       # per source reach the final single-key shuffle)
+
+
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source retention cap - the domain-level hygiene pass of a
+    crawl pipeline (C4 / RefinedWeb cap how much any one host may
+    contribute): keep the top-``SOURCE_CAP_K`` documents per source
+    by (n_chars DESC, doc_id ASC), a deterministic total order.
+
+    100 TB design: a single row_number() over source would shuffle
+    the WHOLE corpus onto one partition per source - a mega-domain
+    (the crawl reality) breaks that. Two-phase top-K instead: stage 1
+    ranks within (source, salt = pmod(hash(doc_id), SALT)) and keeps
+    <= K per salt bucket, so at most SALT*K statistic-sized rows per
+    source reach stage 2's per-source ranking. Correct because the
+    global top-K under a total order is contained in the union of
+    per-bucket top-Ks; deterministic because the order key
+    (n_chars, doc_id) is unique per row. Both stages are window
+    functions over exact keys - same plan shape Spark uses for AQE
+    skew-join splitting, expressed manually because windows get no
+    AQE help."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    salted = docs.select(
+        "doc_id", "source", "n_chars",
+        F.pmod(F.hash("doc_id"), F.lit(SOURCE_CAP_SALT)).alias("salt"))
+    w1 = Window.partitionBy("source", "salt").orderBy(*order)
+    pre = (salted
+           .withColumn("pre_rnk", F.row_number().over(w1))
+           .filter(F.col("pre_rnk") <= SOURCE_CAP_K))
+    w2 = Window.partitionBy("source").orderBy(*order)
+    return (pre
+            .withColumn("rnk", F.row_number().over(w2).cast("long"))
+            .filter(F.col("rnk") <= SOURCE_CAP_K)
+            .select("source", "rnk", "doc_id", "n_chars")
+            .orderBy("source", "rnk"))
+
+
+SQL_SOURCE_CAPS = f"""
+WITH r AS (SELECT source, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY source
+                      ORDER BY n_chars DESC, doc_id ASC) AS rnk
+           FROM documents)
+SELECT source, rnk, doc_id, n_chars
+FROM r WHERE rnk <= {SOURCE_CAP_K} ORDER BY source, rnk
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -2402,4 +2546,6 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
+    "source_caps": SQL_SOURCE_CAPS,
 }

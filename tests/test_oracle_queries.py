@@ -14,7 +14,7 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
-# corpus-backed oracles (caption_resolution, span_kind_stats) read the
+# corpus-backed oracles (caption_resolution, redact_spans) read the
 # sf-specific corpus parquet - pin the oracle sf to the test sf
 os.environ["TEST_SF_DIR"] = SF_DIR
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

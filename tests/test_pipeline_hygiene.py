@@ -330,3 +330,134 @@ def test_new_ops_match_python_reference_on_random_corpus(spark, tmp_path):
                           r["clean_text"])
             for r in q_strip_boilerplate(spark, sf).collect()}
     assert got2 == exp2
+
+
+# ----------------------------------------------------------------------
+# session-9 ops: corpus-trained bigram-LM scoring + per-source caps
+# ----------------------------------------------------------------------
+
+def test_lm_perplexity_handcrafted(spark, tmp_path):
+    """Hand-checkable add-one bigram LM: corpus {a b a b, b a, solo,
+    a a} has model c(a,b)=2 c(b,a)=2 c(a,a)=1, contexts c1(a)=3
+    c1(b)=2, V=3, so P(b|a)=3/6, P(a|b)=3/5, P(a|a)=2/6."""
+    import math
+
+    from docling_core_spark.textops import q_lm_perplexity
+
+    sf = _write_docs(spark, tmp_path, [
+        (1, "a b a b"), (2, "b a"), (3, "solo"), (4, "a a"),
+    ])
+    out = {r["doc_id"]: r for r in q_lm_perplexity(spark, sf).collect()}
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    b_ab = -math.log2(3 / 6)   # 1.0
+    b_ba = -math.log2(3 / 5)
+    b_aa = -math.log2(2 / 6)
+    assert set(out) == {1, 2, 4}          # no-bigram docs excluded
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_bits"] == r4((2 * b_ab + b_ba) / 3)
+    assert (out[2]["n_bigrams"], out[2]["avg_bits"]) == (1, r4(b_ba))
+    assert (out[4]["n_bigrams"], out[4]["avg_bits"]) == (1, r4(b_aa))
+
+
+def test_lm_perplexity_matches_python_reference(spark, tmp_path):
+    """Third formulation (on top of the DuckDB oracle): a seeded
+    small-vocab random corpus vs an independent pure-Python add-one
+    bigram LM."""
+    import math
+    import random
+    import re as _re
+    from collections import Counter
+
+    from docling_core_spark.textops import q_lm_perplexity
+
+    rng = random.Random(937)
+    vocab = ["ab", "cd", "ef", "gh", "ij"]
+    rows = [(0, ""), (1, "one"), (2, "ab ab")]
+    for d in range(3, 150):
+        rows.append((d, " ".join(rng.choice(vocab)
+                                 for _ in range(rng.randint(0, 30)))))
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def words(t):
+        return _re.findall("[a-z0-9]+", t.lower())
+
+    model: Counter = Counter()
+    per = {}
+    voc = set()
+    for d, t in rows:
+        ws = words(t)
+        voc.update(ws)
+        bgs = list(zip(ws, ws[1:]))
+        per[d] = Counter(bgs)
+        model.update(bgs)
+    ctx: Counter = Counter()
+    for (w1, _), c in model.items():
+        ctx[w1] += c
+    v = float(len(voc))
+    exp = {}
+    for d, cnt in per.items():
+        if not cnt:
+            continue
+        n = sum(cnt.values())
+        bits = sum(c * -math.log2((model[bg] + 1.0) / (ctx[bg[0]] + v))
+                   for bg, c in cnt.items())
+        exp[d] = (n, math.floor(bits / n * 10000 + 0.5) / 10000)
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_bits"])
+           for r in q_lm_perplexity(spark, sf).collect()}
+    assert got == exp
+
+
+def test_lm_perplexity_plan_no_python(spark):
+    """Training + scoring stay JVM-side end to end."""
+    from docling_core_spark.textops import q_lm_perplexity
+
+    plan = _plan(q_lm_perplexity(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+
+
+def test_source_caps_equals_unsalted_ranking(spark):
+    """The salted two-phase top-K returns EXACTLY the rows a single
+    per-source window would (global top-K under a total order is
+    contained in the union of per-salt-bucket top-Ks)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.textops import SOURCE_CAP_K, q_source_caps
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    naive = {(r["source"], r["rnk"], r["doc_id"], r["n_chars"])
+             for r in docs.select(
+                 "source", "doc_id", "n_chars",
+                 F.row_number().over(w).cast("long").alias("rnk"))
+             .filter(F.col("rnk") <= SOURCE_CAP_K).collect()}
+    got = {(r["source"], r["rnk"], r["doc_id"], r["n_chars"])
+           for r in q_source_caps(spark, SF_DIR).collect()}
+    assert got == naive
+
+
+def test_source_caps_skewed_source(spark, tmp_path):
+    """A mega-source (the crawl reality the salt exists for) still
+    caps at K with the right members, across every salt bucket."""
+    import os as _os
+
+    from docling_core_spark.textops import SOURCE_CAP_K, q_source_caps
+
+    rows = [(d, "megasite", 1000 - d) for d in range(500)]
+    rows += [(1000 + d, "tiny", 10 + d) for d in range(3)]
+    p = _os.path.join(str(tmp_path), "documents.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long") \
+        .coalesce(1).write.parquet(p)
+    out = q_source_caps(spark, str(tmp_path)).collect()
+    mega = [r for r in out if r["source"] == "megasite"]
+    tiny = [r for r in out if r["source"] == "tiny"]
+    # top-K of megasite = doc_ids 0..K-1 (n_chars = 1000 - doc_id)
+    assert [r["doc_id"] for r in mega] == list(range(SOURCE_CAP_K))
+    assert [r["rnk"] for r in mega] == list(range(1, SOURCE_CAP_K + 1))
+    # sources under the cap keep everything, ranked
+    assert [r["doc_id"] for r in tiny] == [1002, 1001, 1000]

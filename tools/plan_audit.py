@@ -52,6 +52,14 @@ ALLOWED: dict = {
     # on the split result is pushed below the project that binds it -
     # both evaluations are per-DOC (not per-span) and the alternative
     # (a barrier) costs a shuffle. Revisit if a per-span case appears.
+
+    # lm_perplexity scans the corpus twice BY DESIGN: once into the
+    # persisted (doc,w1,w2,n_occ) table that trains and scores the
+    # LM, once for the vocabulary-size aggregate (V counts doc-final
+    # words the bigram table cannot see). Each copy runs once per its
+    # own branch, never per row of the other.
+    ("lm_perplexity", "(lower(text#), [a-z0-9]+, 0)"):
+        "two-scan train+vocab design",
 }
 
 
@@ -81,21 +89,35 @@ def _dedupe_cached(plan: str) -> str:
     cached lineage N times in the optimized plan, but the lineage runs
     once (into the cache) - counting those copies as duplicated work is
     a false positive. The cached block is the InMemoryRelation line
-    plus every following line indented deeper than it."""
+    plus every following line indented deeper than it. The block key
+    strips the tree-drawing prefix (spaces, ``:``, ``+-``, ``|``) of
+    every line: the same cached subtree prints at a different depth
+    under each consumer, so raw text never matches."""
     out, seen, i = [], set(), 0
     lines = plan.splitlines()
+
+    def depth(ln):
+        # tree-glyph prefix length (spaces AND ':  +- |' drawing
+        # chars): a plain lstrip() sees ':' as content, so an IMR
+        # nested under joins would end its own block immediately and
+        # leave the cached lineage to be double-counted
+        return len(re.match(r"^[\s:+\-|]*", ln).group(0))
+
+    def key(blk):
+        return _norm("\n".join(
+            re.sub(r"^[\s:+\-|]*", "", ln) for ln in blk))
+
     while i < len(lines):
         line = lines[i]
         if "InMemoryRelation" not in line:
             out.append(line)
             i += 1
             continue
-        indent = len(line) - len(line.lstrip())
+        d = depth(line)
         j = i + 1
-        while (j < len(lines)
-               and (len(lines[j]) - len(lines[j].lstrip())) > indent):
+        while j < len(lines) and depth(lines[j]) > d:
             j += 1
-        block = _norm("\n".join(lines[i:j]))
+        block = key(lines[i:j])
         if block not in seen:
             seen.add(block)
             out.extend(lines[i:j])
