@@ -338,43 +338,36 @@ FROM h ORDER BY doc_id
 # MinHash + LSH near-dup candidate pairs (verified Jaccard)
 # ----------------------------------------------------------------------
 
-def _shingle_rows_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, sh) distinct shingles of ``docs[text_col]`` - the
-    relational build: posexplode words once, 3-grams via window lead()
-    within the doc partition. Same shingle set as SHINGLES_DUCK, but
-    the word regexp runs once per doc instead of once per indexed
-    reference (interpreted lambdas re-evaluate referenced array
-    expressions)."""
-    from pyspark.sql import Window
+_SHINGLES_SPARK = (
+    "IF(size(ws) >= 3, "
+    "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', "
+    "element_at(ws, i+1), element_at(ws, i+2), element_at(ws, i+3))), "
+    "array(concat_ws(' ', ws)))")
 
-    # word regexp ONCE per doc: alias it to an attribute, then
-    # posexplode_OUTER that attribute. Three Catalyst landmines hide
-    # here (all observed in 4.1.x optimized plans): (a) putting
-    # size(expr) next to posexplode(expr) plants the size Project
-    # ABOVE the Generate, re-running the regexp once per exploded
-    # WORD; (b) a non-outer explode of an attribute gets an
-    # InferFiltersFromGenerate size()>0 filter that PushDownPredicate
-    # re-substitutes through the alias - the regexp runs twice per
-    # doc; (c) referencing the expr twice duplicates it textually.
-    # outer explode fires none of them (the rule only matches
-    # outer=false); its extra null row for word-less docs carries
-    # n=0 and the n >= 3 filter drops it.
-    arrs = docs.select(
-        "doc_id", F.expr(words_spark(text_col)).alias("ws"))
-    w = arrs.select(
-        "doc_id", F.size("ws").alias("n"),
-        F.posexplode_outer("ws").alias("pos", "w"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (w.filter(F.col("n") >= 3)
-           .select("doc_id", "w",
-                   F.lead("w", 1).over(win).alias("w1"),
-                   F.lead("w", 2).over(win).alias("w2"))
-           .filter(F.col("w2").isNotNull())
-           .select("doc_id",
-                   F.concat_ws(" ", "w", "w1", "w2").alias("sh")))
-    short = (arrs.filter(F.size("ws") < 3)
-             .select("doc_id", F.concat_ws(" ", "ws").alias("sh")))
-    return tri.unionByName(short).distinct()
+
+def _shingle_rows_of(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh) distinct shingles of ``docs[text_col]``. Same
+    shingle set as SHINGLES_DUCK: word 3-grams, or the whole-words
+    string for docs under 3 words.
+
+    ZERO shuffle before the distinct: the word regexp binds once per
+    doc behind a Generate barrier (_gen_bind - a plain alias is
+    re-substituted per consumer), the 3-grams are an array transform
+    over that bound ATTRIBUTE (lambda references to attributes are
+    values; only referenced EXPRESSIONS get re-evaluated per element,
+    the Catalyst trap the repetition_signals fold documents), and
+    explode_outer avoids the InferFiltersFromGenerate clone. The
+    previous formulation built 3-grams with window lead() - correct,
+    but it cost a full corpus hash-shuffle + per-doc sort and scanned
+    the corpus twice (union of the tri/short branches); this one
+    explodes ready-made shingles off the scan in one pass."""
+    arrs = _gen_bind(docs, ["doc_id"],
+                     F.expr(words_spark(text_col)), "ws")
+    return (arrs.select(
+                "doc_id",
+                F.explode_outer(F.expr(_SHINGLES_SPARK)).alias("sh"))
+            .filter(F.col("sh").isNotNull())
+            .distinct())
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1704,28 +1697,29 @@ def q_contamination_screen(spark: SparkSession, sf_dir: str
     97th document) above CONTAM_MIN_SHARE - the standard pre-training
     decontamination pass (n-gram collision against eval sets).
 
-    100 TB design: shingles are built relationally (posexplode + lead,
-    no per-row lambda re-evaluation); the screen is ONE equi-join on
-    the shingle string shuffling only (shingle, doc_id) pairs - never
-    document payloads - then a partial-agg count. Broadcast the
-    benchmark side when it is statistic-sized; at eval-set scale
-    (millions of n-grams) that is the default."""
+    100 TB design: the screen is ONE broadcast left-join on the
+    shingle string shuffling only (shingle, doc_id) pairs - never
+    document payloads - then ONE partial-agg pass computing total and
+    shared counts together (count(bsh) counts join hits). The corpus
+    shingle stream is built and scanned exactly once; the benchmark
+    branch's doc_id filter pushes to its own scan, so that branch
+    touches ~1/MOD of the corpus. Broadcast the benchmark side when
+    it is statistic-sized; at eval-set scale (millions of n-grams)
+    that is the default."""
     sh = _shingle_rows(spark, sf_dir)
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
     bench = (sh.filter(is_bench)
              .select(F.col("sh").alias("bsh")).distinct())
     corpus = sh.filter(~is_bench)
-    totals = corpus.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"))
-    shared = (corpus.join(F.broadcast(bench),
-                          corpus.sh == bench.bsh)
-              .groupBy("doc_id")
-              .agg(F.count(F.lit(1)).alias("n_shared")))
-    return (totals.join(shared, "doc_id", "left")
+    per_doc = (corpus.join(F.broadcast(bench),
+                           corpus.sh == bench.bsh, "left")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.count("bsh").alias("n_shared")))
+    return (per_doc
             .select(
-                "doc_id", "n_shingles",
-                F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-                _r4(F.coalesce("n_shared", F.lit(0))
+                "doc_id", "n_shingles", "n_shared",
+                _r4(F.col("n_shared")
                     / F.col("n_shingles")).alias("shared_ratio"))
             .withColumn(
                 "contaminated",
