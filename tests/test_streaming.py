@@ -323,3 +323,60 @@ def test_stream_dedup_ttl_readmits_after_expiry(spark, tmp_path):
     stream_dedup_once(spark, in_dir, out_dir, ckpt, ttl_ms=TTL)
     got3 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     assert got3 == {"t01", "t03", "t04"}
+
+
+def test_stream_doc_rate_drops_late_events(spark, tmp_path):
+    """Event-time watermark contract: a window emits once the stream's
+    event time passes window_end + delay, and events arriving after
+    that (late data) are dropped instead of mutating emitted windows -
+    judged ACROSS runs because the checkpoint carries the watermark."""
+    import datetime as dt
+    import os
+
+    from docling_core_spark.streaming import stream_doc_rate_once
+
+    in_dir = os.path.join(str(tmp_path), "in")
+    out_dir = os.path.join(str(tmp_path), "out")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    os.makedirs(in_dir)
+
+    def ts(sec):
+        return dt.datetime(2026, 1, 1, 0, 0, sec)
+
+    def put(name, rows):
+        # one FLAT file per batch (the file-stream source does not
+        # recurse into subdirectories)
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        df = pd.DataFrame(rows, columns=["doc_id", "event_ts"])
+        df["event_ts"] = pd.to_datetime(df["event_ts"])
+        pq.write_table(pa.Table.from_pandas(df),
+                       os.path.join(in_dir, name + ".parquet"),
+                       coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+
+    # run 1: window [0,10) gets 3 docs; an event at t=23 pushes the
+    # watermark to 18 so [0,10) finalizes
+    put("b0", [(1, ts(1)), (2, ts(2)), (3, ts(3)), (4, ts(23))])
+    stream_doc_rate_once(spark, in_dir, out_dir, ckpt)
+
+    # run 2: doc 99 is LATE (t=2 < watermark 18; its window already
+    # emitted) and must be dropped; t=41 advances the watermark to 36
+    # so [20,30) finalizes at n=1
+    put("b1", [(99, ts(2)), (5, ts(41))])
+    stream_doc_rate_once(spark, in_dir, out_dir, ckpt)
+
+    # run 3: fresh events flush any watermark-only final batch
+    put("b2", [(6, ts(55))])
+    stream_doc_rate_once(spark, in_dir, out_dir, ckpt)
+
+    got = {(r["window_start"].second,
+            r["window_end"].second if r["window_end"].minute == 0
+            else 60): r["n_docs"]
+           for r in spark.read.parquet(out_dir).collect()}
+    # [0,10) finalized at 3 - late doc 99 was dropped, not added; the
+    # late event also created no window of its own; run 3's t=55
+    # finalized [40,50) and left [50,60) open (not in the sink)
+    assert got == {(0, 10): 3, (20, 30): 1, (40, 50): 1}
