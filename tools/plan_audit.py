@@ -62,6 +62,15 @@ ALLOWED: dict = {
         "two-scan train+vocab design",
 }
 
+# Assessed-not-allowed (left visible in the report on purpose): the
+# docops splice/redact folds show the base-kind regexp x5-x12 - those
+# are CASE branches inside ONE fold lambda, so per span only the
+# branches on its path evaluate (<=3). Measured (r4 session 9,
+# sf0.1 = 374k spans): the whole redact fold runs 0.60s warm and
+# binding the regexp once per span saves ~0.04s total - not worth
+# restructuring parity-locked folds. Revisit only if span payloads
+# grow 100x relative to doc count.
+
 
 def _balanced(s: str, start: int) -> str:
     """The full call text starting at ``start`` (head through its
