@@ -808,30 +808,6 @@ ORDER BY n_name
 """
 
 
-def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.sum("value"), 2).alias("sum_value"),
-             F.round(F.avg("value"), 4).alias("avg_value"),
-             F.countDistinct("user_id").alias("n_users"))
-        .orderBy("event_type")
-    )
-
-
-SQL_EVENTS_BY_TYPE = """
-SELECT event_type,
-       COUNT(*)                       AS n_events,
-       ROUND(SUM(value), 2)           AS sum_value,
-       ROUND(AVG(value), 4)           AS avg_value,
-       COUNT(DISTINCT user_id)        AS n_users
-FROM events
-GROUP BY event_type
-ORDER BY event_type
-"""
-
-
 def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rollup; at scale this is the canonical map-side-combine
     aggregation keyed on a high-cardinality column."""
@@ -878,28 +854,6 @@ FROM documents
 GROUP BY md5(text)
 HAVING COUNT(*) > 1
 ORDER BY text_hash
-"""
-
-
-def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-             F.sum("n_chars").cast("long").alias("total_chars"))
-        .orderBy("lang")
-    )
-
-
-SQL_LANG_STATS = """
-SELECT lang,
-       COUNT(*)                       AS n_docs,
-       ROUND(AVG(n_chars), 2)         AS avg_chars,
-       CAST(SUM(n_chars) AS BIGINT)   AS total_chars
-FROM documents
-GROUP BY lang
-ORDER BY lang
 """
 
 
@@ -1341,19 +1295,20 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("shipping_priority", q_shipping_priority),
         ("regional_revenue", q_regional_revenue),
         ("user_sessions", q_user_sessions),
-        ("events_by_type", q_events_by_type),
         ("user_activity", q_user_activity),
         ("exact_dup_groups", q_exact_dup_groups),
         ("token_counts", q_token_counts),
         ("token_counts_real", q_token_counts_real),
         ("knn_cosine", q_knn_cosine),
         # span-stats rows (simple relational plans over documents)
-        ("lang_stats", q_lang_stats),
         ("heading_outline", q_heading_outline),
-        # page_counts / span_kind_stats retired in r4 session 9 (the
-        # r3 VERDICT called them redundant stats filler): their two
-        # pool slots now carry the session-9 hygiene ops so the
-        # 2x25-window rotation still covers the pool exactly
+        # page_counts / span_kind_stats retired in r4 session 9, then
+        # lang_stats / events_by_type in session 10 (the r3 VERDICT
+        # called the stats rows redundant filler; lang coverage stays
+        # via lang_id/stratified_sample/tfidf, events via
+        # user_sessions/user_activity): each retired slot now carries
+        # a training-data op so the 2x25-window rotation still covers
+        # the pool exactly
         ("bbox_overlap_stats", q_bbox_overlap_stats),
         ("list_depth_stats", q_list_depth_stats),
         ("doc_span_skew", q_doc_span_skew),
@@ -1386,6 +1341,12 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perplexity scoring (CCNet-style) + per-source retention caps
         ("lm_perplexity", textops.q_lm_perplexity),
         ("source_caps", textops.q_source_caps),
+        # round-4 session-10 ops (canonical tail: the r4 reversed
+        # window row-checks them): GPT-style concat-and-chunk sequence
+        # packing (two-phase distributed cumsum vs the oracle's naive
+        # global window) + dedup-aware incremental batch ingest
+        ("pack_sequences", textops.q_pack_sequences),
+        ("incremental_ingest", textops.q_incremental_ingest),
     ]
     if _rotation_state() % 2:
         pool.reverse()
@@ -1401,10 +1362,8 @@ def oracles() -> Dict[str, str]:
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "regional_revenue": SQL_REGIONAL_REVENUE,
         "user_sessions": SQL_USER_SESSIONS,
-        "events_by_type": SQL_EVENTS_BY_TYPE,
         "user_activity": SQL_USER_ACTIVITY,
         "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
-        "lang_stats": SQL_LANG_STATS,
         "token_counts": SQL_TOKEN_COUNTS,
         "knn_cosine": SQL_KNN_COSINE,
     }

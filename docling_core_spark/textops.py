@@ -374,30 +374,41 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shingle_rows_of(_t(spark, sf_dir, "documents"))
 
 
-def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH plan, relational formulation: explode shingles (one
-    row each, hashed once), groupBy(doc_id) with one MIN aggregate per
-    signature slot - whole-stage-codegen hash aggregation with map-side
-    partials, instead of per-row lambda towers (Catalyst re-evaluates a
-    referenced array expression inside interpreted higher-order
-    functions, which makes the nested form quadratic). Bands explode to
-    (band, band_hash) keys -> candidate pairs -> Jaccard verification
-    join on the candidate set only. At 100 TB the shuffles carry
-    (doc_id, h) and ~8 band rows per doc."""
+def minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s{k-1}) minhash signature table: explode shingles
+    (one row each, hashed once), groupBy(doc_id) with one MIN aggregate
+    per signature slot - whole-stage-codegen hash aggregation with
+    map-side partials, instead of per-row lambda towers (Catalyst
+    re-evaluates a referenced array expression inside interpreted
+    higher-order functions, which makes the nested form quadratic)."""
     hashed = (shingle_index_df(spark, sf_dir)
               .withColumnRenamed("sh", "w")
               .select("doc_id", F.expr(WORDHASH_SPARK).alias("h")))
-    # persist: the banded self-join below consumes the signature table
-    # on both sides; unpersisted, the shingle scan + 16-way min
-    # aggregation re-runs per side (same shape as _simhash_table)
-    sig = hashed.groupBy("doc_id").agg(*[
+    return hashed.groupBy("doc_id").agg(*[
         F.min((F.lit(2 * j + 31) * F.col("h") + F.lit(17 * j + 7)) % P)
-        .alias(f"s{j}") for j in range(N_MINHASH)]).persist()
-    bands = sig.select(
+        .alias(f"s{j}") for j in range(N_MINHASH)])
+
+
+def minhash_bands_df(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) LSH band keys off a signature table: r=2
+    rows per band, ~MINHASH_BANDS rows per doc cross the shuffle."""
+    return sig.select(
         "doc_id",
         F.posexplode(F.array(*[
             ((F.col(f"s{2 * b}") * 31 + F.col(f"s{2 * b + 1}")) % P)
             for b in range(MINHASH_BANDS)])).alias("band", "bh"))
+
+
+def q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH plan, relational formulation (minhash_sig_df).
+    Bands explode to (band, band_hash) keys -> candidate pairs ->
+    Jaccard verification join on the candidate set only. At 100 TB the
+    shuffles carry (doc_id, h) and ~8 band rows per doc."""
+    # persist: the banded self-join below consumes the signature table
+    # on both sides; unpersisted, the shingle scan + 16-way min
+    # aggregation re-runs per side (same shape as _simhash_table)
+    sig = minhash_sig_df(spark, sf_dir).persist()
+    bands = minhash_bands_df(sig)
     cand = (bands.alias("a").join(
         bands.alias("b"),
         (F.col("a.band") == F.col("b.band"))
@@ -2504,6 +2515,202 @@ FROM r WHERE rnk <= {SOURCE_CAP_K} ORDER BY source, rnk
 
 
 # ----------------------------------------------------------------------
+# sequence packing (GPT-style concat-and-chunk over the token stream)
+# ----------------------------------------------------------------------
+
+SEQ_LEN = 512          # context-window length in whitespace tokens
+PACK_BUCKET = 64       # doc_id range per distributed-cumsum bucket
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing, concat-and-chunk form: all docs'
+    whitespace tokens are concatenated in doc_id order into one global
+    stream and cut every SEQ_LEN tokens; each doc reports the sequence
+    range it lands in and whether it straddles a cut.
+
+    The global prefix sum is the scale hazard: a single
+    ``Window.orderBy(doc_id)`` puts the whole corpus in ONE task. This
+    plan is the textbook two-phase decomposition instead:
+
+    1. per-bucket token totals (``floor(doc_id / PACK_BUCKET)`` is
+       monotone in doc_id, so bucket boundaries respect the stream
+       order) - a map-side-combined groupBy whose result is
+       STATISTIC-sized (corpus_size / PACK_BUCKET rows);
+    2. bucket prefix offsets via a window over that tiny aggregate
+       (the single-partition exchange holds n_buckets rows, never
+       corpus rows), broadcast-joined back; within-bucket prefix sums
+       run in bounded partitions of <= PACK_BUCKET docs.
+
+    The DuckDB oracle deliberately uses the opposite formulation - one
+    naive global window cumsum - so agreement certifies the
+    decomposition, not a shared plan."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.floor(F.col("doc_id") / PACK_BUCKET))
+    bsum = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("b_tok"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1)
+    boff = bsum.select(
+        "bucket",
+        F.coalesce(F.sum("b_tok").over(wb), F.lit(0)).alias("b_off"))
+    wi = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1)
+    start = F.col("b_off") + F.coalesce(F.sum("n_tokens").over(wi),
+                                        F.lit(0))
+    out = (toks.join(F.broadcast(boff), "bucket")
+           .withColumn("tok_start", start.cast("long"))
+           .withColumn("seq_first", F.floor(F.col("tok_start") / SEQ_LEN))
+           .withColumn("seq_last", F.floor(
+               (F.col("tok_start") + F.col("n_tokens") - 1) / SEQ_LEN))
+           .withColumn("n_seqs", (F.col("seq_last") - F.col("seq_first")
+                                  + F.lit(1)).cast("long")))
+    return (out.select(
+        "doc_id", "n_tokens", "tok_start", "seq_first", "seq_last",
+        "n_seqs", (F.col("n_seqs") > 1).alias("crosses_boundary"))
+        .orderBy("doc_id"))
+
+
+SQL_PACK_SEQUENCES = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+  FROM t)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {SEQ_LEN} AS seq_first,
+       (tok_start + n_tokens - 1) // {SEQ_LEN} AS seq_last,
+       CAST((tok_start + n_tokens - 1) // {SEQ_LEN}
+            - tok_start // {SEQ_LEN} + 1 AS BIGINT) AS n_seqs,
+       ((tok_start + n_tokens - 1) // {SEQ_LEN}
+            - tok_start // {SEQ_LEN} + 1) > 1 AS crosses_boundary
+FROM c ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
+# incremental ingest (dedup-aware batch admission)
+# ----------------------------------------------------------------------
+
+INGEST_BATCH_MOD = 5   # doc_id % MOD == 0 -> incoming batch, else corpus
+
+
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware incremental ingest: admit an incoming batch doc
+    (doc_id % INGEST_BATCH_MOD == 0) against the existing corpus (the
+    rest) unless it is (precedence order) an exact duplicate of an
+    existing doc, an exact duplicate of an earlier batch doc
+    (first-doc_id-wins within the batch), or a verified minhash-LSH
+    near-duplicate (jaccard >= JACCARD_MIN) of an existing doc.
+
+    Scale shape (the standard snapshot-ingest pass): the exact check
+    is a hash join on md5 fingerprints - perfectly key-balanced, never
+    a broadcast (the existing side is the full corpus); within-batch
+    first-wins is one groupBy on the batch only; the near-dup check
+    reuses the banded minhash plan (minhash_sig_df), batch bands
+    against corpus bands on (band, bh), Jaccard verification on the
+    candidate set only. Nothing all-pairs, nothing collected."""
+    docs = _t(spark, sf_dir, "documents")
+    bm = (docs.filter(F.col("doc_id") % INGEST_BATCH_MOD == 0)
+          .select("doc_id", F.md5("text").alias("h")))
+    em = (docs.filter(F.col("doc_id") % INGEST_BATCH_MOD != 0)
+          .select(F.md5("text").alias("h")).distinct()
+          .withColumn("is_exact", F.lit(True)))
+    firsts = bm.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+
+    sig = minhash_sig_df(spark, sf_dir).persist()
+    bands = minhash_bands_df(sig)
+    bb = bands.filter(F.col("doc_id") % INGEST_BATCH_MOD == 0)
+    eb = bands.filter(F.col("doc_id") % INGEST_BATCH_MOD != 0)
+    cand = (bb.alias("a").join(
+        eb.alias("e"),
+        (F.col("a.band") == F.col("e.band"))
+        & (F.col("a.bh") == F.col("e.bh")))
+        .select(F.col("a.doc_id").alias("bid"),
+                F.col("e.doc_id").alias("eid"))
+        .distinct())
+    sh = (shingle_index_df(spark, sf_dir)
+          .groupBy("doc_id").agg(F.collect_list("sh").alias("sh")))
+    near = (cand
+            .join(sh.select(F.col("doc_id").alias("bid"),
+                            F.col("sh").alias("sh_a")), "bid")
+            .join(sh.select(F.col("doc_id").alias("eid"),
+                            F.col("sh").alias("sh_b")), "eid")
+            .withColumn("jaccard", _r4(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))))
+            .filter(F.col("jaccard") >= JACCARD_MIN)
+            .groupBy(F.col("bid").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_near")))
+
+    verdict = (
+        F.when(F.col("is_exact"), F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("first_id"), F.lit("batch_dup"))
+        .when(F.coalesce(F.col("n_near"), F.lit(0)) > 0,
+              F.lit("near_dup"))
+        .otherwise(F.lit("admitted")))
+    return (bm.join(em, "h", "left")
+            .join(firsts, "h")
+            .join(near, "doc_id", "left")
+            .select("doc_id", verdict.alias("verdict"),
+                    F.coalesce(F.col("n_near"), F.lit(0))
+                    .cast("long").alias("n_near"))
+            .orderBy("doc_id"))
+
+
+SQL_INCREMENTAL_INGEST = f"""
+WITH t AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+s AS (SELECT doc_id, {SHINGLES_DUCK} AS sh FROM t),
+g AS (SELECT doc_id, sh, {SHASH_DUCK} AS hs FROM s),
+sig AS (SELECT doc_id, sh, {MINSIG_DUCK} AS sig FROM g),
+bands AS (
+  SELECT doc_id, b.band, (sig[2*b.band + 1]*31 + sig[2*b.band + 2]) % {P}
+         AS bh
+  FROM sig, (SELECT unnest(range(0, {MINHASH_BANDS})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.doc_id AS bid, e.doc_id AS eid
+  FROM bands a JOIN bands e ON a.band = e.band AND a.bh = e.bh
+  WHERE a.doc_id % {INGEST_BATCH_MOD} = 0
+    AND e.doc_id % {INGEST_BATCH_MOD} != 0),
+near AS (
+  SELECT c.bid AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_near
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.bid
+  JOIN sig y ON y.doc_id = c.eid
+  WHERE {_sql_r("CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)"
+                " / len(list_distinct(list_concat(x.sh, y.sh)))", 4)}
+        >= {JACCARD_MIN}
+  GROUP BY c.bid),
+bm AS (SELECT doc_id, md5(text) AS h FROM documents
+       WHERE doc_id % {INGEST_BATCH_MOD} = 0),
+em AS (SELECT DISTINCT md5(text) AS h FROM documents
+       WHERE doc_id % {INGEST_BATCH_MOD} != 0),
+firsts AS (SELECT h, MIN(doc_id) AS first_id FROM bm GROUP BY h)
+SELECT bm.doc_id,
+       CASE WHEN em.h IS NOT NULL THEN 'exact_dup'
+            WHEN bm.doc_id != f.first_id THEN 'batch_dup'
+            WHEN COALESCE(n.n_near, 0) > 0 THEN 'near_dup'
+            ELSE 'admitted' END AS verdict,
+       CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near
+FROM bm
+LEFT JOIN em USING (h)
+JOIN firsts f USING (h)
+LEFT JOIN near n USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -2542,4 +2749,6 @@ ORACLES = {
     "strip_boilerplate": SQL_STRIP_BOILERPLATE,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "source_caps": SQL_SOURCE_CAPS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "incremental_ingest": SQL_INCREMENTAL_INGEST,
 }

@@ -48,10 +48,10 @@ def test_nation_revenue_broadcasts_dims(spark):
 def test_relational_queries_stay_jvm_side(spark):
     """No Python evaluation anywhere in the relational/training-data
     plans - everything compiles to JVM expressions."""
-    for name in ("pricing_summary", "events_by_type", "exact_dup_groups",
+    for name in ("pricing_summary", "exact_dup_groups",
                  "token_counts", "quality_scores", "lang_id",
                  "doc_fingerprints", "simhash_dups", "knn_cosine",
-                 "ann_lsh_topk"):
+                 "ann_lsh_topk", "pack_sequences", "incremental_ingest"):
         p = _plan(spark, name)
         assert "Python" not in p and "ArrowEval" not in p, name
 
