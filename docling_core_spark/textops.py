@@ -2620,13 +2620,21 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the banded minhash plan (minhash_sig_df), batch bands
     against corpus bands on (band, bh), Jaccard verification on the
     candidate set only. Nothing all-pairs, nothing collected."""
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
+    # within-batch first-wins as a window over the fingerprint key:
+    # one shuffle on h, md5 computed once per batch row (a groupBy +
+    # self-join recomputes the scan - plan_audit caught md5 x6)
     bm = (docs.filter(F.col("doc_id") % INGEST_BATCH_MOD == 0)
-          .select("doc_id", F.md5("text").alias("h")))
-    em = (docs.filter(F.col("doc_id") % INGEST_BATCH_MOD != 0)
-          .select(F.md5("text").alias("h")).distinct()
-          .withColumn("is_exact", F.lit(True)))
-    firsts = bm.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+          .select("doc_id", F.md5("text").alias("h"))
+          .withColumn("first_id",
+                      F.min("doc_id").over(Window.partitionBy("h"))))
+    # _gen_bind: the join's derived isnotnull(h) would otherwise be
+    # pushed below the projection and recompute md5 per corpus row
+    em = (_gen_bind(docs.filter(F.col("doc_id") % INGEST_BATCH_MOD != 0),
+                    [], F.md5("text"), "h")
+          .distinct().withColumn("is_exact", F.lit(True)))
 
     sig = minhash_sig_df(spark, sf_dir).persist()
     bands = minhash_bands_df(sig)
@@ -2660,7 +2668,6 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.lit("near_dup"))
         .otherwise(F.lit("admitted")))
     return (bm.join(em, "h", "left")
-            .join(firsts, "h")
             .join(near, "doc_id", "left")
             .select("doc_id", verdict.alias("verdict"),
                     F.coalesce(F.col("n_near"), F.lit(0))

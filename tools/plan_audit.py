@@ -60,6 +60,22 @@ ALLOWED: dict = {
     # own branch, never per row of the other.
     ("lm_perplexity", "(lower(text#), [a-z0-9]+, 0)"):
         "two-scan train+vocab design",
+
+    # pack_sequences scans the corpus twice BY DESIGN (the two-phase
+    # distributed cumsum): once for the statistic-sized bucket totals,
+    # once for the per-doc rows. Each scan computes the whitespace
+    # token count once per its own rows; caching the token table to
+    # save the second cheap parquet scan would pin corpus-sized state
+    # in executor memory.
+    ("pack_sequences", "(trim(text#, None), \\s+, -1)"):
+        "two-phase cumsum scans",
+
+    # incremental_ingest fingerprints two DISJOINT corpus slices
+    # (batch rows and existing rows); each md5 runs once per its own
+    # scan's rows. The audit counts textual occurrences across the
+    # whole tree, not per-row re-evaluation.
+    ("incremental_ingest", "(cast(text# as binary))"):
+        "one md5 per disjoint scan branch",
 }
 
 # Assessed-not-allowed (left visible in the report on purpose): the
