@@ -1907,35 +1907,21 @@ CLEAN_MIN_WORDS = 5
 CLEAN_MAX_WORDS = 100000
 
 
-def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data hygiene pipeline, end to end in ONE
-    plan: plant-and-scrub PII -> language ID -> quality gate -> exact
-    dedup retention -> benchmark-decontamination -> surviving clean
-    documents. Each stage reuses the standalone operator's exact
-    definition (q_pii_scrub, q_lang_id, q_quality_scores,
-    q_contamination_screen), so this query certifies the COMPOSITION -
-    the order-sensitive part a real pipeline gets wrong (scrub before
-    analysis; held-out set excluded from the output but never
-    quality-filtered; dedup before the contamination join).
+def hygiene_over(docs: DataFrame, text=None) -> DataFrame:
+    """Per-document hygiene projection over any (doc_id, text) frame:
+    PII scrub -> language ID -> quality gate, all in one zero-shuffle
+    whole-stage-codegen pass. Returns
+    (doc_id, n_pii, clean_text, n_words, pred_lang, keep).
 
-    100 TB design: stages 1-3 are whole-stage-codegen projections over
-    the scan (zero shuffle); dedup adds one shuffle on content_md5
-    (min-doc_id retention inside each hash partition); decontamination
-    is one broadcast join on shingles of the SURVIVORS only (the
-    filters run before the explode, so the shingle volume is the clean
-    corpus, not the raw scan). Nothing materializes more than
-    (doc_id, shingle) pairs post-filter."""
-    from pyspark.sql import Window
-
-    docs = _t(spark, sf_dir, "documents")
-    aug = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(F.col("text"), F.lit(" Contact user"),
-                 F.col("doc_id").cast("string"),
-                 F.lit("@example.com or +1-555-"),
-                 F.lpad((F.col("doc_id") % 10000).cast("string"),
-                        4, "0"),
-                 F.lit("."))).otherwise(F.col("text"))
+    ``text`` is a Column (default ``F.col("text")``) so callers can
+    feed a derived expression without an intermediate Project — the
+    driver query q_clean_corpus passes its planted-PII augmentation
+    straight through, keeping the audited plan bit-identical. This is
+    the production surface jobs/build_training_corpus.py runs as its
+    embarrassingly-parallel stage 1 (per-doc only — safe inside a
+    resumable doc_id-hash bucket)."""
+    if text is None:
+        text = F.col("text")
     # the whole scrub -> words -> stop-counts -> lang/keep derivation
     # as ONE nested-let expression (see _let_col): spelling it as a
     # withColumn chain let PushDownPredicate substitute the aliases
@@ -1958,7 +1944,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _stops(lang):
         return F.array(*[F.lit(w) for w in STOPWORDS[lang]])
 
-    m = _let_col(aug, lambda t: _let_col(
+    m = _let_col(text, lambda t: _let_col(
         F.struct(
             (F.regexp_count(t, F.lit(EMAIL_RE))
              + F.regexp_count(t, F.lit(PHONE_RE)))
@@ -1986,13 +1972,86 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _gen_bind: the five field accesses below (and the pushed keep /
     # bench-mod filters) must reference a generated ATTRIBUTE - a plain
     # alias would be re-substituted per consumer, x10 measured
-    base = (_gen_bind(docs, ["doc_id"], m, "m")
+    return (_gen_bind(docs, ["doc_id"], m, "m")
             .select("doc_id",
                     F.col("m.n_pii").alias("n_pii"),
                     F.col("m.clean_text").alias("clean_text"),
                     F.col("m.n_words").alias("n_words"),
                     F.col("m.pred_lang").alias("pred_lang"),
                     F.col("m.keep").alias("keep")))
+
+
+def dedup_retain_over(clean: DataFrame) -> DataFrame:
+    """Exact-dedup retention over a hygiene frame: keep the min-doc_id
+    representative per content_md5. Adds content_md5 if absent. ONE
+    shuffle on the content hash; the window never sees more rows per
+    partition than one hash bucket's worth — scale-safe."""
+    from pyspark.sql import Window
+
+    if "content_md5" not in clean.columns:
+        clean = clean.withColumn("content_md5", F.md5("clean_text"))
+    return (clean.withColumn(
+                "min_id",
+                F.min("doc_id").over(Window.partitionBy("content_md5")))
+            .filter(F.col("doc_id") == F.col("min_id"))
+            .drop("min_id"))
+
+
+def decontaminate_over(clean: DataFrame, bench: DataFrame,
+                       bench_text_col: str = "text") -> DataFrame:
+    """Drop documents whose word-3-gram shingle share against the
+    held-out benchmark frame (doc_id, <bench_text_col>) reaches
+    CONTAM_MIN_SHARE. ``clean`` must carry (doc_id, clean_text). One
+    broadcast left-join on shingles (the benchmark set is
+    statistic-sized by construction) + one anti-join back."""
+    bench_sh = (_shingle_rows_of(
+        bench.select("doc_id",
+                     F.col(bench_text_col).alias("text")))
+        .select(F.col("sh").alias("bsh")).distinct())
+    corp_sh = _shingle_rows_of(
+        clean.select("doc_id", F.col("clean_text").alias("text")))
+    contam = (corp_sh.join(F.broadcast(bench_sh),
+                           corp_sh.sh == bench_sh.bsh, "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_sh"),
+                   F.count("bsh").alias("n_shared"))
+              .filter(F.col("n_shared") / F.col("n_sh")
+                      >= F.lit(CONTAM_MIN_SHARE))
+              .select("doc_id"))
+    return clean.join(contam, "doc_id", "left_anti")
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data hygiene pipeline, end to end in ONE
+    plan: plant-and-scrub PII -> language ID -> quality gate -> exact
+    dedup retention -> benchmark-decontamination -> surviving clean
+    documents. Each stage reuses the standalone operator's exact
+    definition (q_pii_scrub, q_lang_id, q_quality_scores,
+    q_contamination_screen), so this query certifies the COMPOSITION -
+    the order-sensitive part a real pipeline gets wrong (scrub before
+    analysis; held-out set excluded from the output but never
+    quality-filtered; dedup before the contamination join). The df
+    stages themselves are the production surfaces hygiene_over /
+    dedup_retain_over / decontaminate_over that
+    jobs/build_training_corpus.py composes.
+
+    100 TB design: stages 1-3 are whole-stage-codegen projections over
+    the scan (zero shuffle); dedup adds one shuffle on content_md5
+    (min-doc_id retention inside each hash partition); decontamination
+    is one broadcast join on shingles of the SURVIVORS only (the
+    filters run before the explode, so the shingle volume is the clean
+    corpus, not the raw scan). Nothing materializes more than
+    (doc_id, shingle) pairs post-filter."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" Contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.com or +1-555-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"),
+                        4, "0"),
+                 F.lit("."))).otherwise(F.col("text"))
+    base = hygiene_over(docs, text=aug)
     surv = (base.filter(
                 F.col("keep")
                 & (F.col("doc_id") % CONTAM_BENCH_MOD != 0))
@@ -2004,31 +2063,13 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the statistic-per-doc survivor slice runs them once; at cluster
     # scale this is the cleaned-corpus intermediate a real pipeline
     # materializes as a table anyway.
-    ded = (surv.withColumn(
-               "min_id",
-               F.min("doc_id").over(Window.partitionBy("content_md5")))
-           .filter(F.col("doc_id") == F.col("min_id"))
-           .drop("min_id")
-           .persist())
-    bench_sh = (_shingle_rows_of(
-        base.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
-        .select("doc_id", F.col("clean_text").alias("text")))
-        .select(F.col("sh").alias("bsh")).distinct())
-    corp_sh = _shingle_rows_of(
-        ded.select("doc_id", F.col("clean_text").alias("text")))
-    # ONE pass for total + shared shingle counts: a left broadcast
-    # join against the (distinct) benchmark set, count(1) = n_sh and
-    # count(bsh) = matches - the previous tot/shr two-branch shape
-    # re-derived the corpus shingles twice more
-    contam = (corp_sh.join(F.broadcast(bench_sh),
-                           corp_sh.sh == bench_sh.bsh, "left")
-              .groupBy("doc_id")
-              .agg(F.count(F.lit(1)).alias("n_sh"),
-                   F.count("bsh").alias("n_shared"))
-              .filter(F.col("n_shared") / F.col("n_sh")
-                      >= F.lit(CONTAM_MIN_SHARE))
-              .select("doc_id"))
-    return (ded.join(contam, "doc_id", "left_anti")
+    ded = dedup_retain_over(surv).persist()
+    bench = (base.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+             .select("doc_id", F.col("clean_text").alias("text")))
+    # decontaminate_over folds total + shared shingle counts into ONE
+    # broadcast left-join pass - the previous tot/shr two-branch shape
+    # re-derived the corpus shingles twice more (plan-audited)
+    return (decontaminate_over(ded, bench)
             .select("doc_id", "pred_lang", "n_words", "n_pii",
                     "content_md5", "clean_text")
             .orderBy("doc_id"))
@@ -2544,12 +2585,20 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle deliberately uses the opposite formulation - one
     naive global window cumsum - so agreement certifies the
     decomposition, not a shared plan."""
+    return pack_over(_t(spark, sf_dir, "documents"))
+
+
+def pack_over(docs: DataFrame, text_col: str = "text",
+              seq_len: int = SEQ_LEN) -> DataFrame:
+    """df-level packing plan over any (doc_id, <text_col>) frame -
+    the production surface jobs/build_training_corpus.py composes
+    after its hygiene/dedup gates. See q_pack_sequences for the
+    two-phase-cumsum scale design."""
     from pyspark.sql import Window
 
-    docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
         .cast("long").alias("n_tokens"),
     ).withColumn("bucket", F.floor(F.col("doc_id") / PACK_BUCKET))
     bsum = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("b_tok"))
@@ -2564,9 +2613,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         F.lit(0))
     out = (toks.join(F.broadcast(boff), "bucket")
            .withColumn("tok_start", start.cast("long"))
-           .withColumn("seq_first", F.floor(F.col("tok_start") / SEQ_LEN))
+           .withColumn("seq_first", F.floor(F.col("tok_start") / seq_len))
            .withColumn("seq_last", F.floor(
-               (F.col("tok_start") + F.col("n_tokens") - 1) / SEQ_LEN))
+               (F.col("tok_start") + F.col("n_tokens") - 1) / seq_len))
            .withColumn("n_seqs", (F.col("seq_last") - F.col("seq_first")
                                   + F.lit(1)).cast("long")))
     return (out.select(

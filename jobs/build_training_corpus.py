@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build a packed training corpus, resumably.
+
+The end-to-end training-data assembly pipeline over a span/document
+table, composed from the engine's df-level surfaces (each one also
+driver-oracle-checked as a standalone query):
+
+    stage1/  hygiene     hygiene_over: PII scrub -> language ID ->
+                         quality gate (+ content_md5) - per-doc only,
+                         so it runs inside resumable doc_id-hash
+                         buckets (io/checkpoint.py): kill/resubmit
+                         continues from the last committed bucket and
+                         per-partition lineage rows land in
+                         stage1/lineage.
+    stage2/  dedup       dedup_retain_over (min-doc_id per content
+                         hash) + optional decontaminate_over against
+                         --bench (held-out eval set). Global by
+                         nature (one shuffle on the hash); committed
+                         atomically via parquet _SUCCESS - rerun
+                         skips it when committed.
+    stage3/  pack        pack_over: GPT-style concat-and-chunk
+                         sequence packing (two-phase distributed
+                         cumsum) of the clean text stream into
+                         --seq-len token sequences. Also _SUCCESS
+                         committed.
+
+Build the code archive once, then submit (local or cluster master):
+
+    python package.py
+    spark-submit --master local[8] \
+        --py-files dist/docling_core_spark.zip \
+        jobs/build_training_corpus.py \
+        --input /path/to/documents_parquet --output /path/to/out \
+        [--bench /path/to/benchmark_parquet] \
+        [--seq-len 512] [--n-buckets 8]
+
+On a real cluster the same command runs with ``--master yarn``/k8s at
+N or 4N executors. 100 TB design: stage 1 is a zero-shuffle codegen
+projection sharded into n-buckets exactly-once commits (size buckets
+so one is a few executors' worth - e.g. 4096 over 10^12 docs); stage 2
+is the pipeline's single unavoidable content-hash shuffle plus one
+broadcast join (the benchmark set is statistic-sized); stage 3
+shuffles only (doc_id, n_tokens) pairs - never text - and broadcasts
+the statistic-sized bucket-offset table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def _committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", required=True,
+                   help="parquet dir of documents(doc_id, text)")
+    p.add_argument("--output", required=True,
+                   help="output root (stage1/ stage2/ stage3/)")
+    p.add_argument("--bench", default=None,
+                   help="optional parquet dir of held-out benchmark "
+                        "docs (doc_id, text) to decontaminate against")
+    p.add_argument("--seq-len", type=int, default=512,
+                   help="packed sequence length in whitespace tokens")
+    p.add_argument("--n-buckets", type=int, default=8,
+                   help="stage-1 resume granularity (doc_id hash)")
+    args = p.parse_args()
+
+    # imports resolved from --py-files on executors; deferred past
+    # argparse so --help works without a Spark distribution
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.io.checkpoint import (read_output,
+                                                  run_resumable)
+    from docling_core_spark.textops import (decontaminate_over,
+                                            dedup_retain_over,
+                                            hygiene_over, pack_over)
+
+    spark = SparkSession.builder.appName(
+        "docling-build-training-corpus").getOrCreate()
+    docs = spark.read.parquet(args.input)
+
+    # ---- stage 1: per-doc hygiene, resumable hash buckets ----------
+    s1_dir = os.path.join(args.output, "stage1")
+    run_resumable(
+        docs, s1_dir,
+        lambda d: (hygiene_over(d)
+                   .filter(F.col("keep")).drop("keep")
+                   .withColumn("content_md5", F.md5("clean_text"))),
+        n_buckets=args.n_buckets)
+    clean = read_output(spark, s1_dir)
+    n_clean = clean.count()
+
+    # ---- stage 2: global dedup (+ decontamination), one commit -----
+    s2_dir = os.path.join(args.output, "stage2")
+    if not _committed(s2_dir):
+        ded = dedup_retain_over(clean)
+        if args.bench:
+            bench = spark.read.parquet(args.bench)
+            ded = decontaminate_over(ded, bench)
+        # overwrite is idempotent; _SUCCESS is the commit point
+        ded.drop("partition_id").write.mode("overwrite").parquet(s2_dir)
+    retained = spark.read.parquet(s2_dir)
+    n_retained = retained.count()
+
+    # ---- stage 3: sequence packing, one commit ---------------------
+    s3_dir = os.path.join(args.output, "stage3")
+    if not _committed(s3_dir):
+        packed = pack_over(retained, text_col="clean_text",
+                           seq_len=args.seq_len)
+        packed.write.mode("overwrite").parquet(s3_dir)
+    packed = spark.read.parquet(s3_dir)
+    stats = packed.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        (F.max("seq_last") + 1).alias("seqs")).collect()[0]
+
+    print(f"DONE raw={docs.count()} hygiene={n_clean} "
+          f"retained={n_retained} packed_docs={stats['docs']} "
+          f"tokens={stats['tokens']} sequences={stats['seqs']}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

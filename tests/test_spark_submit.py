@@ -180,3 +180,93 @@ def test_spark_submit_layout_job(tmp_path):
     want = sum(len(project_for_layout(gen_doc_spans(i, seed=42)))
                for i in range(20))
     assert n_spans == want
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit in PATH")
+def test_spark_submit_training_corpus_job(tmp_path):
+    """The end-to-end training-corpus assembly job: hygiene buckets ->
+    global dedup + decontamination -> sequence packing, each stage
+    committed; a second submit is a resume no-op with the same totals,
+    and the stage outputs equal the in-process df-level surfaces."""
+    sys.path.insert(0, ROOT)
+    import package
+
+    package.build()
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.session import get_spark
+
+    spark = get_spark(app_name="submit-t", master="local[4]",
+                      shuffle_partitions=8)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant exact duplicates (dedup must drop them) and carve a
+    # benchmark slice out of the corpus (decontamination must drop
+    # the overlapping originals)
+    dup = (docs.filter(F.col("doc_id") % 7 == 3)
+           .withColumn("doc_id", F.col("doc_id") + 100000))
+    in_dir = str(tmp_path / "docs")
+    docs.unionByName(dup).write.mode("overwrite").parquet(in_dir)
+    bench_dir = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") % 11 == 5).select("doc_id", "text") \
+        .write.mode("overwrite").parquet(bench_dir)
+
+    out_dir = str(tmp_path / "tout")
+
+    def submit():
+        env = dict(os.environ)
+        env["PYSPARK_PYTHON"] = sys.executable
+        return subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--py-files", os.path.join(ROOT, "dist",
+                                        "docling_core_spark.zip"),
+             os.path.join(ROOT, "jobs", "build_training_corpus.py"),
+             "--input", in_dir, "--output", out_dir,
+             "--bench", bench_dir, "--seq-len", "64",
+             "--n-buckets", "4"],
+            cwd=str(tmp_path), env=env, capture_output=True,
+            text=True, timeout=300)
+
+    r = submit()
+    assert r.returncode == 0, r.stderr[-2000:]
+    done = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("DONE")][-1]
+
+    def field(line, key):
+        return int(line.split(f"{key}=")[1].split()[0])
+
+    n_raw, n_hyg = field(done, "raw"), field(done, "hygiene")
+    n_ret, n_seq = field(done, "retained"), field(done, "sequences")
+    assert n_raw == docs.count() + dup.count()
+    assert n_raw >= n_hyg > n_ret > 0
+    assert n_seq > 0
+
+    # planted duplicates all dropped; benchmark docs decontaminated
+    from docling_core_spark.textops import (decontaminate_over,
+                                            dedup_retain_over,
+                                            hygiene_over)
+    retained = spark.read.parquet(os.path.join(out_dir, "stage2"))
+    assert retained.filter(F.col("doc_id") >= 100000).count() == 0
+    want = decontaminate_over(
+        dedup_retain_over(
+            hygiene_over(spark.read.parquet(in_dir))
+            .filter(F.col("keep")).drop("keep")),
+        spark.read.parquet(bench_dir))
+    assert ({r.doc_id for r in retained.select("doc_id").collect()}
+            == {r.doc_id for r in want.select("doc_id").collect()})
+    # the benchmark's own source docs fell to the shingle overlap
+    bench_ids = {r.doc_id for r in
+                 spark.read.parquet(bench_dir).select("doc_id").collect()}
+    hyg_kept = {r.doc_id for r in
+                hygiene_over(spark.read.parquet(in_dir))
+                .filter(F.col("keep")).select("doc_id").collect()}
+    assert not (bench_ids & hyg_kept
+                & {r.doc_id for r in retained.select("doc_id").collect()})
+
+    # resume: second submit recomputes nothing, reports same totals
+    r2 = submit()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    done2 = [ln for ln in r2.stdout.splitlines()
+             if ln.startswith("DONE")][-1]
+    for key in ("hygiene", "retained", "sequences", "tokens"):
+        assert field(done2, key) == field(done, key)
