@@ -2767,6 +2767,207 @@ ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540)
+# ----------------------------------------------------------------------
+# Embedding-space near-duplicate removal: cluster the corpus with the
+# trained k-means quantizer, then drop any vector that has a
+# smaller-id neighbor above SEMDEDUP_TAU cosine INSIDE ITS CLUSTER.
+# The cluster blocking is the paper's core trick: all-pairs cosine is
+# O(n^2/k) instead of O(n^2), and at production scale k grows with n
+# (k ~ n / target_cell_size) so per-cell work stays bounded.
+#
+# The synthetic corpus has no natural near-dup embeddings (max real
+# pair cosine ~0.51), so the query PLANTS them: every vec_id % 5 == 3
+# vector gets a copy at vec_id + 100000 with a tiny deterministic
+# per-dimension perturbation (+0.001 * (d % 3 - 1), exact IEEE double
+# on both engines). Planted copies sit at cosine ~0.9999 vs their
+# original - far above TAU and far above every real pair, so the
+# 4-decimal rounding both sides apply can never flip a verdict.
+
+SEMDEDUP_TAU = 0.99
+SEMDEDUP_PLANT_MOD = 5
+SEMDEDUP_PLANT_OFFSET = 100000
+
+_PERTURB_SPARK = (
+    "transform(sequence(0, 63), d -> CAST(element_at(embedding, d + 1) "
+    "AS DOUBLE) + 0.001D * CAST(d % 3 - 1 AS DOUBLE))")
+
+_TO_DOUBLE_SPARK = "transform({c}, x -> CAST(x AS DOUBLE))"
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: trained-k-means cluster
+    assignment (the exact integer Lloyd fit shared with
+    q_ann_ivf_kmeans_topk - same memoized centroids), within-cluster
+    pairwise cosine, drop-the-larger-id retention. Returns one row
+    per vector: (vec_id, cell, is_dup).
+
+    100 TB plan: the centroid MODEL broadcasts (k x dims ints); the
+    assignment is one broadcast join + map-side min_by partial agg;
+    the pair join shuffles each vector once per side keyed on cell
+    and never materializes cross-cell pairs. The cosine is pure
+    JVM-side array math (zip_with/aggregate) - zero Python."""
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding",
+                   F.expr(_QINT.format(c="embedding")).alias("qa")))
+    key = (sf_dir, _data_fingerprint(sf_dir, "embeddings"),
+           N_CELLS, N_KMEANS_ITERS)
+    cent_rows = _IVF_CENT_CACHE.get(key)
+    if cent_rows is None:
+        cent_rows = _IVF_CENT_CACHE[key] = ivf_kmeans_fit(emb)
+    cent = F.broadcast(spark.createDataFrame(
+        cent_rows, "cid long, qb array<long>"))
+    base = emb.select(
+        "vec_id",
+        F.expr(_TO_DOUBLE_SPARK.format(c="embedding")).alias("emb"))
+    plant = (emb.filter(F.col("vec_id") % SEMDEDUP_PLANT_MOD == 3)
+             .select((F.col("vec_id") + SEMDEDUP_PLANT_OFFSET)
+                     .alias("vec_id"),
+                     F.expr(_PERTURB_SPARK).alias("emb")))
+    allv = (base.unionByName(plant)
+            .withColumn("qa", F.expr(_QINT.format(c="emb"))))
+    d = allv.crossJoin(cent).withColumn("d2", F.expr(_L2Q))
+    # the assignment feeds THREE consumers (both pair-join sides and
+    # the final output join); unpersisted, Spark re-runs the
+    # quantize+assign subplan per consumer (plan-audited x3-x4).
+    # Materializing the cluster assignment is also what the SemDeDup
+    # pipeline does at scale - it IS the clustered-corpus table.
+    asg = (d.groupBy("vec_id").agg(
+        F.expr("min_by(cid, struct(d2, cid))").alias("cell"),
+        F.expr("any_value(emb)").alias("emb"))
+        .persist())
+    a = asg.select("cell", F.col("vec_id").alias("va"),
+                   F.col("emb").alias("ea"))
+    b = asg.select("cell", F.col("vec_id").alias("vb"),
+                   F.col("emb").alias("eb"))
+    cos = (F.expr(_DOT_SPARK)
+           / (F.expr(_NORM_SPARK.format(c="ea"))
+              * F.expr(_NORM_SPARK.format(c="eb"))))
+    dups = (a.join(b, "cell")
+            .filter(F.col("va") < F.col("vb"))
+            .filter(_r4(cos) >= F.lit(SEMDEDUP_TAU))
+            .select(F.col("vb").alias("vec_id")).distinct()
+            .withColumn("is_dup", F.lit(True)))
+    return (asg.join(dups, "vec_id", "left")
+            .select("vec_id", F.col("cell").cast("long").alias("cell"),
+                    F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+            .orderBy("vec_id"))
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qa
+  FROM embeddings),
+{_SQL_KPP_SEEDING},
+{_SQL_KMEANS_ROUNDS},
+av AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_PLANT_OFFSET},
+         list_transform(range(0, 64), d ->
+             CAST(embedding[d+1] AS DOUBLE)
+             + 0.001 * CAST(d % 3 - 1 AS DOUBLE))
+  FROM embeddings WHERE vec_id % {SEMDEDUP_PLANT_MOD} = 3),
+aq AS (
+  SELECT vec_id, emb,
+         list_transform(emb,
+             x -> CAST(ROUND(x * 1000, 0) AS BIGINT)) AS qa
+  FROM av),
+ad AS (
+  SELECT a.vec_id, a.emb, c.cid,
+         list_sum(list_transform(range(0, 64),
+             i -> (a.qa[i+1] - c.qb[i+1]) * (a.qa[i+1] - c.qb[i+1])))
+             AS d2
+  FROM aq a, {_SQL_KMEANS_FINAL} c),
+asg AS (
+  SELECT vec_id, emb, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cid) AS rn FROM ad)
+  WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_sql_r('list_cosine_similarity(a.emb, b.emb)', 4)}
+        >= {SEMDEDUP_TAU})
+SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM asg s LEFT JOIN dup d ON s.vec_id = d.vec_id
+ORDER BY s.vec_id
+"""
+
+
+# ----------------------------------------------------------------------
+# token-budget source mixing (training-data mixture control)
+# ----------------------------------------------------------------------
+# The data-mixing step every pre-training pipeline runs (The Pile /
+# DoReMi style): each source gets a token BUDGET; sources over budget
+# are downsampled to it, sources under budget keep everything. The
+# keep decision is the exact-BIGINT hash-threshold rule
+#     keep  iff  bucket(doc_id) * tot_tokens(source)
+#                < target_tokens(source) * SAMPLE_MOD
+# so the expected kept-token mass per source is min(tot, target) with
+# no per-stratum ordering (rank-based quota sampling needs a total
+# order inside each source - a straggler at web scale; this is one
+# codegen filter against a broadcast statistic). Demo targets derive
+# deterministically from the source name; production passes a real
+# weight table through the same join.
+
+MIX_BASE_TOKENS = 400  # target_s = BASE * (1 + src_index % 4)
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling per source. Two phases: (1) one
+    partial-aggregated groupBy for per-source token totals (the
+    statistic - #sources rows, broadcast back); (2) one codegen
+    filter over the scan. Shuffles only the statistic; at 100 TB the
+    totals table is KBs regardless of corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long").alias("n_tokens"))
+    tot = toks.groupBy("source").agg(
+        F.sum("n_tokens").alias("tot_tokens"))
+    target = (F.lit(MIX_BASE_TOKENS)
+              * (1 + F.substring("source", 4, 10).cast("long") % 4)
+              ).cast("long")
+    return (toks.join(F.broadcast(tot), "source")
+            .withColumn("target_tokens", target)
+            .withColumn("bucket", F.expr(_sample_bucket_sql()))
+            .filter(F.col("bucket") * F.col("tot_tokens")
+                    < F.col("target_tokens") * F.lit(SAMPLE_MOD))
+            .select("doc_id", "source", "n_tokens", "tot_tokens",
+                    "target_tokens")
+            .orderBy("doc_id"))
+
+
+SQL_MIX_SOURCES = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents),
+tot AS (
+  SELECT source, SUM(n_tokens) AS tot_tokens FROM t GROUP BY source)
+SELECT doc_id, t.source, n_tokens, tot_tokens,
+       CAST({MIX_BASE_TOKENS}
+            * (1 + CAST(substr(t.source, 4, 10) AS BIGINT) % 4)
+            AS BIGINT) AS target_tokens
+FROM t JOIN tot ON t.source = tot.source
+WHERE CAST((doc_id * 1103515245 + 12345) % 2147483648
+           % {SAMPLE_MOD} AS BIGINT) * tot_tokens
+      < {MIX_BASE_TOKENS}
+        * (1 + CAST(substr(t.source, 4, 10) AS BIGINT) % 4)
+        * {SAMPLE_MOD}
+ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -2807,4 +3008,6 @@ ORACLES = {
     "source_caps": SQL_SOURCE_CAPS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "incremental_ingest": SQL_INCREMENTAL_INGEST,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "mix_sources": SQL_MIX_SOURCES,
 }

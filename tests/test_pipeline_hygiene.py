@@ -461,3 +461,98 @@ def test_source_caps_skewed_source(spark, tmp_path):
     assert [r["rnk"] for r in mega] == list(range(1, SOURCE_CAP_K + 1))
     # sources under the cap keep everything, ranked
     assert [r["doc_id"] for r in tiny] == [1002, 1001, 1000]
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """Every planted near-copy whose cluster matches its original's is
+    flagged; no original is flagged (real pair cosine tops out ~0.51,
+    far under TAU). Cluster-boundary splits are possible in principle
+    (the copy's quantized ints differ by ~1 unit) - assert the flag
+    set EXACTLY equals the within-cell >= TAU relation computed
+    independently in numpy over the query's own assignment."""
+    import numpy as np
+
+    from docling_core_spark.textops import (SEMDEDUP_PLANT_MOD,
+                                            SEMDEDUP_PLANT_OFFSET,
+                                            SEMDEDUP_TAU,
+                                            q_semantic_dedup)
+
+    out = q_semantic_dedup(spark, SF_DIR).collect()
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(
+               f"{SF_DIR}/embeddings.parquet").collect()}
+    vecs = {}
+    for vid, e in emb.items():
+        vecs[vid] = e
+        if vid % SEMDEDUP_PLANT_MOD == 3:
+            d = np.arange(64)
+            vecs[vid + SEMDEDUP_PLANT_OFFSET] = e + 0.001 * (d % 3 - 1)
+    assert {r["vec_id"] for r in out} == set(vecs)
+
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+
+    def cos(a, b):
+        v = float(np.dot(a, b)
+                  / (np.linalg.norm(a) * np.linalg.norm(b)))
+        import math
+        return math.floor(v * 10000 + 0.5) / 10000.0
+
+    want_dup = set()
+    for cell, ids in by_cell.items():
+        ids = sorted(ids)
+        for i, va in enumerate(ids):
+            for vb in ids[i + 1:]:
+                if cos(vecs[va], vecs[vb]) >= SEMDEDUP_TAU:
+                    want_dup.add(vb)
+    got_dup = {r["vec_id"] for r in out if r["is_dup"]}
+    assert got_dup == want_dup
+    # the planted family is actually exercised: most copies caught,
+    # and never an original
+    planted = {v for v in vecs if v >= SEMDEDUP_PLANT_OFFSET}
+    assert len(got_dup & planted) >= 0.9 * len(planted)
+    assert not (got_dup - planted)
+
+
+def test_mix_sources_budget_and_determinism(spark):
+    """Kept token mass per source lands near min(total, target); an
+    under-budget source keeps every document; the keep set is exactly
+    the LCG-threshold rule replayed in python."""
+    from docling_core_spark.textops import (MIX_BASE_TOKENS, SAMPLE_MOD,
+                                            q_mix_sources)
+
+    out = q_mix_sources(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    toks = {r["doc_id"]: (r["source"], len(r["text"].strip().split()))
+            for r in docs}
+    tot = {}
+    for _, (s, n) in toks.items():
+        tot[s] = tot.get(s, 0) + n
+
+    def target(src):
+        return MIX_BASE_TOKENS * (1 + int(src[3:]) % 4)
+
+    want = set()
+    for did, (s, n) in toks.items():
+        bucket = (did * 1103515245 + 12345) % 2147483648 % SAMPLE_MOD
+        if bucket * tot[s] < target(s) * SAMPLE_MOD:
+            want.add(did)
+    assert {r["doc_id"] for r in out} == want
+
+    kept = {}
+    for r in out:
+        kept[r["source"]] = kept.get(r["source"], 0) + r["n_tokens"]
+    over = {s: t for s, t in tot.items() if target(s) < t}
+    assert over  # the demo targets do cap some sources
+    for s, t in tot.items():
+        if target(s) >= t:
+            # under budget: every doc of the source kept
+            assert kept.get(s, 0) == t, s
+    # the capped sources are downsampled toward their budgets in
+    # aggregate (a single source can dodge the cut by binomial luck
+    # when rate is near 1, so assert over the group)
+    kept_over = sum(kept.get(s, 0) for s in over)
+    tgt_over = sum(target(s) for s in over)
+    assert kept_over < sum(over.values())
+    assert kept_over < 1.5 * tgt_over

@@ -92,17 +92,6 @@ def test_embedding_top_pairs_is_grouped_map(spark):
     assert tree.count("Exchange") <= 3
 
 
-def test_list_depth_stats_reuses_window_partitioning(spark):
-    """groupBy(doc_id) after the window must reuse the window's doc_id
-    Exchange; only the tiny histogram re-shuffles."""
-    p = _plan(spark, "list_depth_stats")
-    tree = p.split("(1)")[0]
-    assert tree.count("Window") == 1
-    # exchanges: one for the window's doc_id hash, one for the
-    # histogram groupBy, one for the final global sort - no more
-    assert tree.count("Exchange") <= 3
-
-
 def test_parse_doctags_is_two_arrow_stages(spark):
     """Fused extraction pipeline: export serializer stage + ONE fused
     parse+chunk stage (not parse -> chunk chained), zero shuffles."""

@@ -29,7 +29,6 @@ CAPTURE = {
     "quality_scores": "",
     "chunks_hybrid": "PythonUDF",
     "embedding_top_pairs": "FlatMapGroupsInPandas (grouped-map matmul)",
-    "list_depth_stats": "Window + agg reuse one doc_id Exchange",
     "parse_doctags": "two MapInArrow stages (export | fused parse+chunk)",
     "html_extract": "single MapInArrow over the page scan, zero shuffle",
     "rehome_embed": "payload join shuffles ids only; one fused rewrite+witness stage",

@@ -76,6 +76,22 @@ ALLOWED: dict = {
     # whole tree, not per-row re-evaluation.
     ("incremental_ingest", "(cast(text# as binary))"):
         "one md5 per disjoint scan branch",
+
+    # mix_sources scans the corpus twice BY DESIGN (the same
+    # statistic-then-filter decomposition as pack_sequences): once
+    # aggregating per-source token totals, once for the per-doc keep
+    # filter against the broadcast totals. Each split runs once per
+    # its own scan's rows.
+    ("mix_sources", "(trim(text#, None), \\s+, -1)"):
+        "statistic scan + filter scan",
+
+    # semantic_dedup quantizes the originals branch and the planted-
+    # copies branch of one UNION separately; each transform runs once
+    # per its own branch's rows (disjoint inputs, not re-evaluation).
+    ("semantic_dedup",
+     "(emb#, lambdafunction(cast(round((lambda x# * 1000.0), 0) as "
+     "bigint), lambda x#, false))"):
+        "one quantize per disjoint union branch",
 }
 
 # Assessed-not-allowed (left visible in the report on purpose): the
