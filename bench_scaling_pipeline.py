@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence for the TRAINING-ASSEMBLY pipeline
+(the composed hygiene -> dedup -> pack plan that
+jobs/build_training_corpus.py runs).
+
+Two measurements, same honest protocol as bench_scaling.py /
+bench_scaling_layout.py (pinned cpusets, per-round synchronized
+shards, box capacity probe):
+
+* single-JVM 8 vs 32 cores over the FULL pipeline - hygiene
+  projection + the content-md5 dedup shuffle + the two-phase pack
+  cumsum, i.e. the shuffles are measured;
+* 1 vs 4 executor-JVMs (local[8] each) over the hygiene stage - the
+  embarrassingly-parallel stage that dominates pipeline compute and
+  is the part that shards across executors without changing
+  semantics (dedup's hash shuffle crosses executors on a real
+  cluster; its cost is covered by the single-JVM pairing above).
+
+Corpus: the sf0.1 documents table replicated K times with
+deterministic text rewrites (so replicas are NOT exact dups) plus a
+~2% planted exact-dup slice so the dedup stage has real work.
+
+Usage: python bench_scaling_pipeline.py [n_copies]  (default 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+
+RUNNER = r"""
+import json, os, sys, time
+n_copies, cpus, mode = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+sys.path.insert(0, "/root/repo")
+from docling_core_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name=f"pscal-{cpus}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+from docling_core_spark.textops import (dedup_retain_over, hygiene_over,
+                                        pack_over)
+path = f"/tmp/docling_pipe_corpus_{n_copies}.parquet"
+if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet") \
+        .select("doc_id", "text", "source")
+    rep = (base.crossJoin(
+        spark.range(n_copies).select(F.col("id").alias("k")))
+        .select(
+            (F.col("doc_id") + F.col("k") * 10000000).alias("doc_id"),
+            # replicas rewritten per copy so they are NOT exact dups,
+            # except a planted ~2% slice that stays byte-identical
+            # across copies (the dedup stage's real work)
+            F.when(F.col("doc_id") % 43 == 0, F.col("text"))
+            .otherwise(F.concat(F.col("text"), F.lit(" rep"),
+                                F.col("k").cast("string")))
+            .alias("text"),
+            "source"))
+    rep.repartition(256).write.mode("overwrite").parquet(path)
+docs = spark.read.parquet(path)
+n_docs = docs.count()
+
+def full_pass():
+    clean = (hygiene_over(docs).filter(F.col("keep")).drop("keep"))
+    ded = dedup_retain_over(clean)
+    packed = pack_over(ded, text_col="clean_text")
+    return packed.agg(F.sum("n_seqs")).collect()[0][0]
+
+def hygiene_pass():
+    return (hygiene_over(docs).filter(F.col("keep"))
+            .agg(F.sum("n_words"), F.sum("n_pii")).collect()[0][0])
+
+fn = full_pass if mode == "full" else hygiene_pass
+fn()  # warm the worker pool + page cache with a complete pass
+best = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cpus": cpus, "mode": mode, "n_docs": n_docs,
+                  "secs": round(best, 3),
+                  "docs_per_sec": round(n_docs / best, 1)}))
+spark.stop()
+"""
+
+SHARD_RUNNER = r"""
+import heapq, json, os, shutil, sys, tempfile, time
+path, cpus, shard_id, n_shards, go = (sys.argv[1], int(sys.argv[2]),
+                                      int(sys.argv[3]), int(sys.argv[4]),
+                                      sys.argv[5])
+sys.path.insert(0, "/root/repo")
+from docling_core_spark.session import get_spark
+from pyspark.sql import functions as F
+spark = get_spark(app_name=f"pshard-{shard_id}", master=f"local[{cpus}]",
+                  shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+from docling_core_spark.textops import hygiene_over
+files = sorted(os.path.join(path, f) for f in os.listdir(path)
+               if f.endswith(".parquet"))
+sizes = sorted(((os.path.getsize(f), f) for f in files), reverse=True)
+heap = [(0, i) for i in range(n_shards)]
+heapq.heapify(heap)
+shards = [[] for _ in range(n_shards)]
+for sz, f in sizes:
+    load, i = heapq.heappop(heap)
+    shards[i].append(f)
+    heapq.heappush(heap, (load + sz, i))
+tmp = tempfile.mkdtemp(prefix=f"pshard{shard_id}_")
+for f in shards[shard_id]:
+    os.symlink(f, os.path.join(tmp, os.path.basename(f)))
+docs = spark.read.parquet(tmp)
+n_docs_shard = docs.count()
+
+def one_pass():
+    return (hygiene_over(docs).filter(F.col("keep"))
+            .agg(F.sum("n_words"), F.sum("n_pii")).collect()[0][0])
+
+one_pass()  # warm
+print("WARMED", flush=True)
+for r in range(3):
+    while not os.path.exists(f"{go}.{r}"):
+        time.sleep(0.02)
+    t0 = time.perf_counter()
+    one_pass()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"shard": shard_id, "round": r, "cpus": cpus,
+                      "secs": round(dt, 3), "docs": n_docs_shard}),
+          flush=True)
+shutil.rmtree(tmp)
+spark.stop()
+"""
+
+
+def run_one(n_copies: int, cpus: int, mode: str) -> dict:
+    from bench_scaling_layout import _pin
+
+    out = subprocess.run(
+        _pin(cpus) + [sys.executable, "-c", RUNNER, str(n_copies),
+                      str(cpus), mode],
+        capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    sys.path.insert(0, "/root/repo")
+    from bench_scaling_layout import cpu_capacity_ratio
+
+    import bench_scaling_layout as bsl
+
+    cap = cpu_capacity_ratio()
+    print(json.dumps({"box_cpu_capacity_8to32": round(cap, 3)}))
+    # materialize the corpus once (any run builds it if absent)
+    run_one(n_copies, 32, "hygiene")
+    summary = {}
+    # single-JVM full-pipeline pairing (shuffles measured)
+    full = {c: run_one(n_copies, c, "full") for c in (8, 32)}
+    for c, r in full.items():
+        print(json.dumps(r))
+    eff = full[32]["docs_per_sec"] / (4 * full[8]["docs_per_sec"])
+    summary["full_8->32"] = round(eff, 3)
+    print(f"full pipeline 8 -> 32 cores: "
+          f"{full[8]['docs_per_sec']:.0f} -> "
+          f"{full[32]['docs_per_sec']:.0f} docs/s, efficiency {eff:.2f}")
+    # executor pairing on the per-doc hygiene stage
+    hyg8 = run_one(n_copies, 8, "hygiene")
+    print(json.dumps(hyg8))
+    path = f"/tmp/docling_pipe_corpus_{n_copies}.parquet"
+    hi4 = bsl.run_shards(path, 4, 8, runner=SHARD_RUNNER)
+    print(json.dumps({k: hi4[k] for k in
+                      ("n_shards", "cpus", "docs_per_sec", "best_round")}
+                     | {"rounds": [
+                         {k: r[k] for k in ("round", "wall_secs",
+                                            "docs_per_sec")}
+                         for r in hi4["rounds"]]}))
+    xeff = hi4["docs_per_sec"] / (4 * hyg8["docs_per_sec"])
+    summary["hygiene_1x8->4x8"] = round(xeff, 3)
+    print(f"hygiene stage 1 -> 4 executors (local[8] each): "
+          f"{hyg8['docs_per_sec']:.0f} -> {hi4['docs_per_sec']:.0f} "
+          f"docs/s, efficiency {xeff:.2f}")
+    cap2 = cpu_capacity_ratio()
+    print(json.dumps({"metric": "pipeline_scaling_efficiency",
+                      "pairs": summary, "n_copies": n_copies,
+                      "box_cpu_capacity_8to32": [round(cap, 3),
+                                                 round(cap2, 3)]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1215,7 +1215,11 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("user_sessions", q_user_sessions),
         ("user_activity", q_user_activity),
         ("exact_dup_groups", q_exact_dup_groups),
-        ("token_counts", q_token_counts),
+        # token_counts (whitespace counting) retired r4 session 11:
+        # the identical split-size expression is driver-exercised
+        # inside pack_sequences and mix_sources every round, and the
+        # real-tokenizer row stays; its slot carries the NB quality
+        # classifier so the 2x25 rotation cover stays exact
         ("token_counts_real", q_token_counts_real),
         ("knn_cosine", q_knn_cosine),
         # span-stats rows (simple relational plans over documents;
@@ -1272,6 +1276,9 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # removal + token-budget source mixing
         ("semantic_dedup", textops.q_semantic_dedup),
         ("mix_sources", textops.q_mix_sources),
+        # model-based quality filtering (GPT-3-style trained filter;
+        # NB so training stays exact-BIGINT on both engines)
+        ("quality_classifier", textops.q_quality_classifier),
     ]
     if _rotation_state() % 2:
         pool.reverse()
@@ -1289,7 +1296,6 @@ def oracles() -> Dict[str, str]:
         "user_sessions": SQL_USER_SESSIONS,
         "user_activity": SQL_USER_ACTIVITY,
         "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
-        "token_counts": SQL_TOKEN_COUNTS,
         "knn_cosine": SQL_KNN_COSINE,
     }
     out.update(textops.ORACLES)

@@ -2968,6 +2968,140 @@ ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# model-based quality filtering (multinomial Naive Bayes)
+# ----------------------------------------------------------------------
+# The trained-classifier quality gate of a GPT-3/CCNet-style pipeline
+# (Brown et al. 2020 appendix A trains a logistic model over
+# high-vs-low-quality reference corpora and filters by score; the
+# same train-counts -> broadcast-model -> score-scan shape). Naive
+# Bayes instead of logistic regression keeps TRAINING exact: the
+# model is nothing but BIGINT token counts, so Spark and the DuckDB
+# oracle derive bit-identical weights, and only the per-doc log-sum
+# is float (quantized to 1e-4 like every cosine/perplexity query).
+#
+# Labels are planted deterministically: every doc_id % 7 == 0 text
+# gets a spam-vocabulary suffix (tokens outside the corpus vocab), so
+# the classes are separable and the held-out accuracy is checkable.
+# Docs with doc_id % 3 == 0 are HELD OUT of training and scored by
+# the trained model only - the train/serve split a real filter runs.
+
+QC_SPAM_MOD = 7     # doc_id % 7 == 0 -> planted low-quality class
+QC_HOLDOUT_MOD = 3  # doc_id % 3 == 0 -> scored, never trained on
+_QC_SPAM_SUFFIX = (" free prize click winner bonus offer free prize"
+                   " click winner")
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial NB spam/quality model on the non-held-out
+    slice, score EVERY document: per-doc add-one-smoothed log-odds
+    log(P1/P0) + sum_w n_w * [log((c1w+1)/(T1+V)) -
+    log((c0w+1)/(T0+V))], pred = log_odds > 0.
+
+    100 TB design: training IS aggregation (same as lm_perplexity) -
+    per-doc word occurrences aggregate once on (doc_id, w) with
+    map-side partials and persist (they feed BOTH the class-count
+    model and the scoring join); class counts are vocabulary-bounded,
+    priors/totals a 1-row broadcast. Scoring is one left join on w
+    (unseen-in-train words still carry the smoothing constant via
+    coalesce) + one per-doc sum - word heads are the AQE skew-join
+    case, same note as the LM query."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.when(F.col("doc_id") % QC_SPAM_MOD == 0,
+                 F.concat(F.col("text"), F.lit(_QC_SPAM_SUFFIX))
+                 ).otherwise(F.col("text"))
+    lab = (F.col("doc_id") % QC_SPAM_MOD == 0).cast("int")
+    base = (_gen_bind(docs.select("doc_id", aug.alias("text")),
+                      ["doc_id"], F.expr(words_spark()), "ws")
+            .withColumn("label", lab)
+            .withColumn("is_train",
+                        F.col("doc_id") % QC_HOLDOUT_MOD != 0))
+    wocc = (base.select("doc_id", "label", "is_train",
+                        F.explode_outer("ws").alias("w"))
+            .filter(F.col("w").isNotNull())
+            .groupBy("doc_id", "label", "is_train", "w")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist())
+    tr = wocc.filter(F.col("is_train"))
+    cw = tr.groupBy("w").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("n"))
+              .otherwise(F.lit(0))).alias("c1"),
+        F.sum(F.when(F.col("label") == 0, F.col("n"))
+              .otherwise(F.lit(0))).alias("c0"))
+    tots = (tr.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("n"))
+              .otherwise(F.lit(0))).cast("double").alias("t1"),
+        F.sum(F.when(F.col("label") == 0, F.col("n"))
+              .otherwise(F.lit(0))).cast("double").alias("t0"),
+        F.countDistinct("w").cast("double").alias("v"),
+        F.countDistinct(F.when(F.col("label") == 1, F.col("doc_id")))
+        .cast("double").alias("d1"),
+        F.countDistinct(F.when(F.col("label") == 0, F.col("doc_id")))
+        .cast("double").alias("d0")))
+    wt = (F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(1.0))
+          - F.log(F.col("t1") + F.col("v"))
+          - F.log(F.coalesce(F.col("c0"), F.lit(0)) + F.lit(1.0))
+          + F.log(F.col("t0") + F.col("v")))
+    scored = (wocc.join(cw, "w", "left")
+              .crossJoin(F.broadcast(tots)))
+    per_doc = scored.groupBy("doc_id", "label").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        (F.log(F.first("d1") / F.first("d0"))
+         + F.sum(F.col("n") * wt)).alias("raw"))
+    return (per_doc.select(
+                "doc_id", "label", "n_tokens",
+                _r4(F.col("raw")).alias("log_odds"),
+                (F.col("raw") > 0).cast("int").alias("pred"))
+            .orderBy("doc_id"))
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {QC_SPAM_MOD} = 0
+              THEN text || '{_QC_SPAM_SUFFIX}' ELSE text END AS t,
+         CAST(doc_id % {QC_SPAM_MOD} = 0 AS INTEGER) AS label,
+         doc_id % {QC_HOLDOUT_MOD} <> 0 AS is_train
+  FROM documents),
+w AS (
+  SELECT doc_id, label, is_train,
+         unnest(regexp_extract_all(lower(t), '{WORD_RE}')) AS w
+  FROM d),
+wocc AS (
+  SELECT doc_id, label, is_train, w, COUNT(*) AS n
+  FROM w GROUP BY ALL),
+cw AS (
+  SELECT w,
+         SUM(CASE WHEN label = 1 THEN n ELSE 0 END) AS c1,
+         SUM(CASE WHEN label = 0 THEN n ELSE 0 END) AS c0
+  FROM wocc WHERE is_train GROUP BY w),
+tots AS (
+  SELECT CAST(SUM(CASE WHEN label = 1 THEN n ELSE 0 END) AS DOUBLE)
+             AS t1,
+         CAST(SUM(CASE WHEN label = 0 THEN n ELSE 0 END) AS DOUBLE)
+             AS t0,
+         CAST(COUNT(DISTINCT w) AS DOUBLE) AS v,
+         CAST(COUNT(DISTINCT CASE WHEN label = 1 THEN doc_id END)
+              AS DOUBLE) AS d1,
+         CAST(COUNT(DISTINCT CASE WHEN label = 0 THEN doc_id END)
+              AS DOUBLE) AS d0
+  FROM wocc WHERE is_train),
+pd AS (
+  SELECT o.doc_id, o.label,
+         CAST(SUM(o.n) AS BIGINT) AS n_tokens,
+         ln(ANY_VALUE(t.d1) / ANY_VALUE(t.d0))
+         + SUM(o.n * (ln(COALESCE(c.c1, 0) + 1.0) - ln(t.t1 + t.v)
+                      - ln(COALESCE(c.c0, 0) + 1.0)
+                      + ln(t.t0 + t.v))) AS raw
+  FROM wocc o LEFT JOIN cw c ON o.w = c.w, tots t
+  GROUP BY o.doc_id, o.label)
+SELECT doc_id, label, n_tokens,
+       {_sql_r('raw', 4)} AS log_odds,
+       CAST(raw > 0 AS INTEGER) AS pred
+FROM pd ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -3010,4 +3144,5 @@ ORACLES = {
     "incremental_ingest": SQL_INCREMENTAL_INGEST,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "mix_sources": SQL_MIX_SOURCES,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }

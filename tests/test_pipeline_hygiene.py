@@ -556,3 +556,23 @@ def test_mix_sources_budget_and_determinism(spark):
     tgt_over = sum(target(s) for s in over)
     assert kept_over < sum(over.values())
     assert kept_over < 1.5 * tgt_over
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    """The planted spam vocabulary is outside the corpus vocab, so the
+    trained NB model must classify EVERY doc correctly - including
+    the held-out third it never trained on - and the label column
+    carries the ground truth for exactly the doc_id % 7 == 0 slice."""
+    from docling_core_spark.textops import (QC_HOLDOUT_MOD, QC_SPAM_MOD,
+                                            q_quality_classifier)
+
+    out = q_quality_classifier(spark, SF_DIR).collect()
+    assert len(out) == 500
+    for r in out:
+        assert r["label"] == (1 if r["doc_id"] % QC_SPAM_MOD == 0
+                              else 0)
+        assert r["pred"] == r["label"], (r["doc_id"], r["log_odds"])
+        # log-odds are decisively signed, not boundary noise
+        assert abs(r["log_odds"]) > 1.0
+    held = [r for r in out if r["doc_id"] % QC_HOLDOUT_MOD == 0]
+    assert held and any(r["label"] == 1 for r in held)

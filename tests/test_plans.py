@@ -49,9 +49,10 @@ def test_relational_queries_stay_jvm_side(spark):
     """No Python evaluation anywhere in the relational/training-data
     plans - everything compiles to JVM expressions."""
     for name in ("pricing_summary", "exact_dup_groups",
-                 "token_counts", "quality_scores", "lang_id",
+                 "quality_classifier", "quality_scores", "lang_id",
                  "doc_fingerprints", "simhash_dups", "knn_cosine",
-                 "ann_lsh_topk", "pack_sequences", "incremental_ingest"):
+                 "ann_lsh_topk", "pack_sequences", "incremental_ingest",
+                 "mix_sources"):
         p = _plan(spark, name)
         assert "Python" not in p and "ArrowEval" not in p, name
 

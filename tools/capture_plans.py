@@ -21,7 +21,6 @@ CAPTURE = {
     "pricing_summary": "PushedFilters",
     "nation_revenue": "PushedFilters, BroadcastHashJoin",
     "exact_dup_groups": "",
-    "token_counts": "",
     "knn_cosine": "PushedFilters",
     "minhash_lsh_dups": "PushedFilters, BroadcastHashJoin",
     "ngram_jaccard_pairs": "PushedFilters, BroadcastHashJoin",
