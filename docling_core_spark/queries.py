@@ -1213,7 +1213,10 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("shipping_priority", q_shipping_priority),
         ("regional_revenue", q_regional_revenue),
         ("user_sessions", q_user_sessions),
-        ("user_activity", q_user_activity),
+        # user_activity retired r4 session 11 (same events-table
+        # sessionization family as user_sessions, which stays; its
+        # slot carries the distributed BPE trainer so the 2x25
+        # rotation cover stays exact)
         ("exact_dup_groups", q_exact_dup_groups),
         # token_counts (whitespace counting) retired r4 session 11:
         # the identical split-size expression is driver-exercised
@@ -1279,6 +1282,9 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # model-based quality filtering (GPT-3-style trained filter;
         # NB so training stays exact-BIGINT on both engines)
         ("quality_classifier", textops.q_quality_classifier),
+        # distributed BPE tokenizer training (vocab-bounded rounds,
+        # statistic-sized argmax per round; serving side is C5)
+        ("bpe_train", textops.q_bpe_train),
     ]
     if _rotation_state() % 2:
         pool.reverse()
@@ -1294,7 +1300,6 @@ def oracles() -> Dict[str, str]:
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "regional_revenue": SQL_REGIONAL_REVENUE,
         "user_sessions": SQL_USER_SESSIONS,
-        "user_activity": SQL_USER_ACTIVITY,
         "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
         "knn_cosine": SQL_KNN_COSINE,
     }

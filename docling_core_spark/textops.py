@@ -3102,6 +3102,174 @@ FROM pd ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# distributed BPE training (Sennrich et al. 2016, arXiv:1508.07909)
+# ----------------------------------------------------------------------
+# Learn the first BPE_MERGES merge rules from the corpus - the
+# tokenizer-TRAINING step of a pre-training pipeline (the serving
+# side, count_tokens over trained ranks, is chunking/wordpiece.py).
+# The industrial-scale shape: all counting happens on the DISTINCT
+# WORD table (vocabulary-bounded after one corpus aggregation, never
+# corpus-bounded), each round reduces to a statistic-sized argmax,
+# and the chosen pair applies everywhere as a deterministic fold.
+#
+# Word symbols are kept as a '#'-joined string ('h#e#l#l#o#_', '_'
+# the end-of-word marker). A merge (a,b) applies via a left fold
+# with sentinel accumulator: append '#'+x normally, append x bare
+# when the accumulator ends with '#'+a and x = b - the '#' anchor
+# makes "ends with symbol a" exact (no partial-symbol matches), and
+# the fold is leftmost-non-overlapping exactly like reference BPE.
+# Spark (aggregate) and DuckDB (list_reduce over a prepended
+# sentinel) run the IDENTICAL step expression, so the learned merge
+# tables agree bit-for-bit.
+
+BPE_MERGES = 8
+
+_BPE_SYM0 = ("concat(substring(regexp_replace({w}, '(.)', '#$1'), 2), "
+             "'#_')")
+_BPE_SYM0_DUCK = ("substr(regexp_replace({w}, '(.)', '#\\1', 'g'), 2)"
+                  " || '#_'")
+
+# pairs array from a bound '#'-joined symbol string attribute {s}
+_BPE_PAIRS = (
+    "CASE WHEN size(split({s}, '#')) >= 2 THEN "
+    "transform(sequence(0, size(split({s}, '#')) - 2), "
+    "i -> struct(element_at(split({s}, '#'), i + 1) AS l, "
+    "element_at(split({s}, '#'), i + 2) AS r)) "
+    "ELSE array() END")
+
+
+def _bpe_fold_spark(a: str, b: str) -> str:
+    """One merge round as a SQL fold over the split symbols; returns
+    the new '#'-joined string. ``a``/``b`` are SQL-safe ([a-z0-9_])."""
+    return (
+        "substring(aggregate(split(sym, '#'), '§', (acc, x) -> "
+        f"IF(endswith(acc, '#{a}') AND x = '{b}', concat(acc, x), "
+        "concat(acc, '#', x))), 3)")
+
+
+def _bpe_fold_duck(a: str, b: str) -> str:
+    return (
+        "substr(list_reduce(list_prepend('§', "
+        "string_split(sym, '#')), (acc, x) -> "
+        f"CASE WHEN ends_with(acc, '#{a}') AND x = '{b}' "
+        "THEN acc || x ELSE acc || '#' || x END), 3)")
+
+
+_BPE_CACHE: dict = {}
+
+
+def bpe_train(wf: DataFrame, n_merges: int = BPE_MERGES) -> list:
+    """Train ``n_merges`` BPE merges over a (sym, freq) distinct-word
+    frame; returns [(rank, left, right, merged, pair_count)].
+
+    Each round: explode adjacent symbol pairs (vocab-bounded rows),
+    one partial-aggregated groupBy(pair) sum, deterministic argmax
+    (count DESC, pair ASC - pure-ASCII symbols so collation is
+    engine-independent), then the fold applies the 1-row MODEL as
+    literals. localCheckpoint per round truncates lineage (the
+    dup_clusters discipline) - without it the fold expression nests
+    into the next round's two consumers and doubles per round. The
+    merge table (the MODEL) is the only thing collected."""
+    rows = []
+    cur = wf.localCheckpoint(eager=True)
+    for r in range(1, n_merges + 1):
+        pairs = (_gen_bind(cur, ["sym", "freq"],
+                           F.expr(_BPE_PAIRS.format(s="sym")), "ps")
+                 .select("freq", F.explode_outer("ps").alias("p"))
+                 .filter(F.col("p").isNotNull()))
+        top = (pairs.groupBy(F.col("p.l").alias("l"),
+                             F.col("p.r").alias("r"))
+               .agg(F.sum("freq").alias("pair_count"))
+               .orderBy(F.desc("pair_count"), "l", "r")
+               .limit(1).collect())
+        if not top:
+            break
+        t = top[0]
+        rows.append((r, t["l"], t["r"], t["l"] + t["r"],
+                     int(t["pair_count"])))
+        cur = (cur.withColumn(
+                   "sym", F.expr(_bpe_fold_spark(t["l"], t["r"])))
+               .localCheckpoint(eager=True))
+    return rows
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE_MERGES corpus BPE merges as a DataFrame
+    (rank, left, right, merged, pair_count). Training is memoized per
+    corpus fingerprint like the IVF centroids (a tokenizer is trained
+    once, then serves every job).
+
+    100 TB design: ONE corpus-bounded shuffle (word -> freq, map-side
+    partial aggs); every round after that runs on the distinct-word
+    table (vocabulary-bounded - millions of rows regardless of corpus
+    size) with a statistic-sized argmax collect, the same
+    model-per-round loop as distributed k-means/MLlib."""
+    key = (sf_dir, _data_fingerprint(sf_dir, "documents"), BPE_MERGES)
+    rows = _BPE_CACHE.get(key)
+    if rows is None:
+        docs = _t(spark, sf_dir, "documents")
+        wf = (_gen_bind(docs, ["doc_id"], F.expr(words_spark()), "ws")
+              .select(F.explode_outer("ws").alias("w"))
+              .filter(F.col("w").isNotNull())
+              .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+              .select(F.expr(_BPE_SYM0.format(w="w")).alias("sym"),
+                      "freq"))
+        rows = _BPE_CACHE[key] = bpe_train(wf)
+    return (spark.createDataFrame(
+        rows, "rank long, left string, right string, merged string, "
+              "pair_count long")
+        .orderBy("rank"))
+
+
+def _sql_bpe_round(prev: str, r: int) -> str:
+    """One BPE round as CTE text: pair counts from w{r-1}, argmax
+    t{r}, merged word table w{r} (fold applied via the 1-row cross
+    join - the CTE twin of the Spark literal fold)."""
+    return f"""
+p{r} AS (
+  SELECT pr.l AS l, pr.r AS r, SUM(freq) AS pair_count FROM (
+    SELECT unnest(list_transform(range(1, len(string_split(sym, '#'))),
+               i -> struct_pack(l := string_split(sym, '#')[i],
+                                r := string_split(sym, '#')[i+1])))
+               AS pr,
+           freq
+    FROM {prev} WHERE len(string_split(sym, '#')) >= 2)
+  GROUP BY pr.l, pr.r),
+t{r} AS (
+  SELECT l, r, l || r AS merged, pair_count,
+         CAST({r} AS BIGINT) AS rank
+  FROM p{r} ORDER BY pair_count DESC, l, r LIMIT 1),
+w{r} AS (
+  SELECT substr(list_reduce(list_prepend('§',
+             string_split(w.sym, '#')), (acc, x) ->
+             CASE WHEN ends_with(acc, '#' || t.l) AND x = t.r
+                  THEN acc || x ELSE acc || '#' || x END), 3) AS sym,
+         w.freq
+  FROM {prev} w, t{r} t)"""
+
+
+def _sql_bpe_train() -> str:
+    rounds = ",".join(_sql_bpe_round(f"w{i - 1}", i)
+                      for i in range(1, BPE_MERGES + 1))
+    union = " UNION ALL ".join(
+        f'SELECT rank, l AS "left", r AS "right", merged, pair_count '
+        f"FROM t{i}" for i in range(1, BPE_MERGES + 1))
+    return f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS w
+    FROM documents)
+  GROUP BY w),
+w0 AS (SELECT {_BPE_SYM0_DUCK.format(w='w')} AS sym, freq FROM wf),
+{rounds}
+{union} ORDER BY rank
+"""
+
+
+SQL_BPE_TRAIN = _sql_bpe_train()
+
+
+# ----------------------------------------------------------------------
 REGISTRY = {
     "quality_scores": q_quality_scores,
     "lang_id": q_lang_id,
@@ -3145,4 +3313,5 @@ ORACLES = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "mix_sources": SQL_MIX_SOURCES,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "bpe_train": SQL_BPE_TRAIN,
 }

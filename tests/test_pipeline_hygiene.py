@@ -576,3 +576,51 @@ def test_quality_classifier_separates_planted_classes(spark):
         assert abs(r["log_odds"]) > 1.0
     held = [r for r in out if r["doc_id"] % QC_HOLDOUT_MOD == 0]
     assert held and any(r["label"] == 1 for r in held)
+
+
+def test_bpe_train_matches_reference_algorithm(spark):
+    """The distributed trainer's merge table equals a from-scratch
+    single-process Sennrich BPE (leftmost-non-overlapping merge,
+    count-desc / pair-asc tie-break) run over the same word
+    frequencies."""
+    import re as _re
+    from collections import Counter
+
+    from docling_core_spark.textops import BPE_MERGES, q_bpe_train
+
+    texts = [r["text"] for r in
+             spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()]
+    freq = Counter(w for t in texts
+                   for w in _re.findall("[a-z0-9]+", t.lower()))
+    words = {w: tuple(w) + ("_",) for w in freq}
+
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += freq[w]
+        if not pc:
+            break
+        # tie-break: count desc, then (l, r) ASC
+        top_cnt = max(pc.values())
+        cand = sorted(p for p, c in pc.items() if c == top_cnt)
+        a, b = cand[0]
+        merges.append((rank, a, b, a + b, top_cnt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+
+    got = [(r["rank"], r["left"], r["right"], r["merged"],
+            r["pair_count"])
+           for r in q_bpe_train(spark, SF_DIR).collect()]
+    assert got == merges
+    assert len(got) == BPE_MERGES
