@@ -1,0 +1,114 @@
+"""Materialized IVF index: build once, serve many (the operational
+half of the ANN tier).
+
+The registry query q_ann_ivf_kmeans_topk (textops.py) trains and
+serves in one session with memoized centroids. A production corpus
+instead BUILDS the index as tables and serves every later query from
+them (reference analogue: a vector store built from chunk embeddings;
+the engine's chunks feed one):
+
+    <out>/centroids.parquet      cid, qb          (the MODEL, k x dims)
+    <out>/assignments/cell=N/    vec_id, embedding
+
+``assignments`` is written partitionBy(cell), so a query's serving
+scan reads ONLY its probed cells' directories - Spark partition
+pruning makes the IVF promise (touch n_probes/k of the data) physical
+on disk. At 10^12 vectors the cell count is sized so one cell is a
+few files; probes then cost O(k/n_cells) of the corpus regardless of
+cluster size.
+
+Training reuses textops.ivf_kmeans_fit (deterministic k-means||
+seeding + exact integer Lloyd rounds, the driver-oracle-checked
+trainer); probe selection runs driver-side over the model with the
+same quantized-L2 + (d2, cid) tie-break arithmetic, so serving from
+the materialized index returns EXACTLY the rows the in-session query
+returns (pinned by tests/test_annindex.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_core_spark.textops import (
+    _DOT_SPARK,
+    _NORM_SPARK,
+    _QINT,
+    N_KMEANS_ITERS,
+    N_PROBES,
+    _r4,
+    ivf_kmeans_fit,
+)
+
+
+def build_ivf_index(emb: DataFrame, out_dir: str,
+                    n_iters: int = N_KMEANS_ITERS) -> dict:
+    """Train the quantizer on ``emb(vec_id, embedding)`` and write the
+    index tables. Returns {"n_cells": ..., "n_vectors": ...}.
+
+    One crossJoin against the broadcast model + map-side min_by
+    assignment; the partitioned write is the only corpus-sized I/O."""
+    spark = emb.sparkSession
+    q = emb.select("vec_id", "embedding",
+                   F.expr(_QINT.format(c="embedding")).alias("qa"))
+    cent_rows = ivf_kmeans_fit(q, n_iters=n_iters)
+    cent = spark.createDataFrame(cent_rows, "cid long, qb array<long>")
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet"))
+    d = q.crossJoin(F.broadcast(cent)).withColumn(
+        "d2", F.expr("aggregate(zip_with(qa, qb, (x, y) -> "
+                     "(x - y) * (x - y)), 0L, (a, v) -> a + v)"))
+    assigned = (d.groupBy("vec_id").agg(
+        F.expr("min_by(cid, struct(d2, cid))").alias("cell"),
+        F.expr("any_value(embedding)").alias("embedding")))
+    (assigned.select("cell", "vec_id", "embedding")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(os.path.join(out_dir, "assignments")))
+    n = assigned.count()
+    return {"n_cells": len(cent_rows), "n_vectors": n}
+
+
+def load_centroids(spark: SparkSession, out_dir: str
+                   ) -> List[Tuple[int, List[int]]]:
+    rows = spark.read.parquet(
+        os.path.join(out_dir, "centroids.parquet")).collect()
+    return sorted((int(r["cid"]), list(r["qb"])) for r in rows)
+
+
+def _probe_cells(cent: List[Tuple[int, List[int]]],
+                 qvec: Sequence[float], n_probes: int) -> List[int]:
+    """Driver-side probe selection over the MODEL - the identical
+    quantized-L2 + (d2, cid) tie-break the trainer/query use."""
+    qa = [int(round(float(x) * 1000)) for x in qvec]
+    scored = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qa, qb)), cid)
+        for cid, qb in cent)
+    return [cid for _, cid in scored[:n_probes]]
+
+
+def ivf_query_topk(spark: SparkSession, out_dir: str,
+                   qvec: Sequence[float], k: int = 10,
+                   n_probes: int = N_PROBES,
+                   exclude_vec_id: int = None) -> DataFrame:
+    """Serve one ANN query from the materialized index: driver-side
+    probe selection (model-sized), partition-pruned scan of the
+    probed cells only, exact-cosine re-rank of the candidates."""
+    cent = load_centroids(spark, out_dir)
+    probes = _probe_cells(cent, qvec, n_probes)
+    scan = spark.read.parquet(os.path.join(out_dir, "assignments"))
+    cand = scan.filter(F.col("cell").isin([int(c) for c in probes]))
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    cand = cand.withColumn("eb", qlit)
+    cos = (F.expr(_DOT_SPARK.replace("ea", "embedding"))
+           / (F.expr(_NORM_SPARK.format(c="embedding"))
+              * F.expr(_NORM_SPARK.format(c="eb"))))
+    return (cand.select("vec_id",
+                        F.col("cell").cast("long").alias("cell"),
+                        _r4(cos).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "vec_id")
+            .limit(k))
