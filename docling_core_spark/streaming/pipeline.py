@@ -481,3 +481,104 @@ def stream_doc_rate_once(
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+# ----------------------------------------------------------------------
+# Hygiene-gated streaming ingest (the streaming twin of the batch
+# incremental_ingest / clean_corpus admission path)
+# ----------------------------------------------------------------------
+
+TEXT_DOCS_SCHEMA = "doc_id long, text string, source string"
+
+INGEST_OUT_SCHEMA = ("fp string, doc_id string, pred_lang string, "
+                     "n_words long, n_pii long")
+INGEST_STATE_SCHEMA = "seen boolean, first_doc_id string"
+
+
+def _ingest_state_fn(key, pdfs, state):
+    """First-fingerprint-wins across batches AND restarts, carrying
+    the admitted doc's hygiene columns (statistic-sized - never
+    text)."""
+    import pandas as pd
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if state.exists:
+        return iter(())
+    best = rows.sort_values("doc_id").iloc[0]
+    state.update((True, str(best["doc_id"])))
+    out = pd.DataFrame({
+        "fp": [key[0]],
+        "doc_id": [str(best["doc_id"])],
+        "pred_lang": [best["pred_lang"]],
+        "n_words": [int(best["n_words"])],
+        "n_pii": [int(best["n_pii"])],
+    })
+    return iter((out,))
+
+
+def stream_ingest_documents(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Streaming corpus admission: hygiene gate -> stateful exact
+    dedup, over a (doc_id, text, source) document stream.
+
+    The hygiene stage is textops.hygiene_over - the SAME scrub ->
+    language-ID -> quality-gate projection the batch pipeline and
+    jobs/build_training_corpus.py run (stateless, so it streams
+    unchanged); documents failing the gate never reach the stateful
+    operator. Dedup keys on md5(clean_text) (the batch pipeline's
+    content identity); only (fp, doc_id, statistic columns) enter
+    the state shuffle, never text. Output is the ADMISSION LIST with
+    per-doc hygiene metadata - downstream joins it to payloads at
+    consumption, the same contract as stream_dedup_documents.
+
+    Scale shape: state is one row per distinct content hash; the
+    hygiene projection is whole-stage codegen per micro-batch with
+    zero extra shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from docling_core_spark.textops import hygiene_over
+
+    reader = (spark.readStream.schema(TEXT_DOCS_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    docs = reader.load(input_dir)
+    hyg = (hygiene_over(docs)
+           .filter(F.col("keep"))
+           .select(F.md5("clean_text").alias("fp"), "doc_id",
+                   "pred_lang", "n_words", "n_pii"))
+    return (hyg.groupBy("fp")
+            .applyInPandasWithState(
+                _ingest_state_fn,
+                outputStructType=INGEST_OUT_SCHEMA,
+                stateStructType=INGEST_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def stream_ingest_once(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> None:
+    """Drain available files through the hygiene-gated ingest into a
+    parquet sink; re-running with the same checkpoint resumes (state
+    carries admitted fingerprints across restarts, the sink's file
+    log keeps output exactly-once)."""
+    admitted = stream_ingest_documents(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger)
+    q = (admitted.writeStream
+         .format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

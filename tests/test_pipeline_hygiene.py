@@ -624,3 +624,41 @@ def test_bpe_train_matches_reference_algorithm(spark):
            for r in q_bpe_train(spark, SF_DIR).collect()]
     assert got == merges
     assert len(got) == BPE_MERGES
+
+
+def test_bpe_fold_property_matches_python_merge(spark):
+    """The sentinel-anchored SQL fold == the reference
+    leftmost-non-overlapping merge on adversarial symbol sequences
+    (tiny alphabet so chained/overlapping pair occurrences are
+    dense, multi-char symbols so partial-suffix matches would show)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.textops import _bpe_fold_spark
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "aa", "ab", "ba", "c"]
+    cases = [[rng.choice(alphabet) for _ in range(rng.randint(1, 12))]
+             for _ in range(120)]
+    merge_pairs = [("a", "a"), ("a", "b"), ("aa", "b"), ("b", "a"),
+                   ("ab", "c")]
+
+    def py_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    rows = [("#".join(c), i) for i, c in enumerate(cases)]
+    df = spark.createDataFrame(rows, "sym string, i long")
+    for a, b in merge_pairs:
+        got = {r["i"]: r["m"] for r in df.select(
+            "i", F.expr(_bpe_fold_spark(a, b)).alias("m")).collect()}
+        for i, c in enumerate(cases):
+            assert got[i] == "#".join(py_merge(c, a, b)), (c, a, b)

@@ -380,3 +380,66 @@ def test_stream_doc_rate_drops_late_events(spark, tmp_path):
     # late event also created no window of its own; run 3's t=55
     # finalized [40,50) and left [50,60) open (not in the sink)
     assert got == {(0, 10): 3, (20, 30): 1, (40, 50): 1}
+
+
+def test_stream_ingest_hygiene_gate_and_dedup(spark, tmp_path):
+    """The streaming twin of the batch admission path: documents
+    failing the hygiene gate never enter state; duplicates across
+    micro-batches and across RUNS admit exactly once; admitted rows
+    carry the hygiene metadata of the winning doc."""
+    from docling_core_spark.streaming.pipeline import (
+        TEXT_DOCS_SCHEMA,
+        stream_ingest_once,
+    )
+
+    tmp = str(tmp_path)
+    in_dir = os.path.join(tmp, "in")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+
+    good = ("the analysis of the data pipeline is a document "
+            "with plenty of english stopword mass")
+    # file 1: a good doc, an identical duplicate (higher id), a
+    # too-short doc (quality gate), a no-stopword doc (lang gate)
+    spark.createDataFrame(
+        [(1, good, "srcA"), (9, good, "srcA"),
+         (2, "tiny text", "srcA"),
+         (3, "zzz qqq xxx vvv kkk mmm nnn ppp", "srcB")],
+        TEXT_DOCS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    # file 2 (second micro-batch): cross-batch duplicate + a doc with
+    # PII that scrubs to a NEW clean text
+    spark.createDataFrame(
+        [(5, good, "srcB"),
+         (6, "please contact me for the data at bob@example.com "
+             "before the end of the week", "srcB")],
+        TEXT_DOCS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream_ingest_once(spark, in_dir, out_dir, ckpt,
+                       max_files_per_trigger=1)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {"1", "6"}
+    assert got["1"]["pred_lang"] == "en" and got["1"]["n_pii"] == 0
+    assert got["6"]["n_pii"] == 1  # the email was counted + scrubbed
+
+    # restart run: re-delivered duplicate stays out, new doc admits
+    spark.createDataFrame(
+        [(7, good, "srcC"),
+         (8, "a completely different document about the spark engine "
+             "and the table of data", "srcC")],
+        TEXT_DOCS_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    stream_ingest_once(spark, in_dir, out_dir, ckpt,
+                       max_files_per_trigger=1)
+    got2 = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in got2.collect()} == {"1", "6", "8"}
+    assert got2.count() == got2.select("fp").distinct().count()
+
+    # the gate is the BATCH hygiene definition: same keep set
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.textops import hygiene_over
+
+    batch_keep = (hygiene_over(spark.read.parquet(in_dir))
+                  .filter(F.col("keep"))
+                  .select(F.md5("clean_text").alias("fp"))
+                  .distinct().count())
+    assert batch_keep == got2.count()
