@@ -270,3 +270,59 @@ def test_spark_submit_training_corpus_job(tmp_path):
              if ln.startswith("DONE")][-1]
     for key in ("hygiene", "retained", "sequences", "tokens"):
         assert field(done2, key) == field(done, key)
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit in PATH")
+def test_spark_submit_stream_ingest_job(tmp_path):
+    """The streaming admission path as an operational job: drain,
+    then a second submit with new files resumes from the checkpoint
+    (duplicates stay out, the new doc admits)."""
+    sys.path.insert(0, ROOT)
+    import package
+
+    package.build()
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from docling_core_spark.session import get_spark
+
+    spark = get_spark(app_name="submit-si", master="local[4]",
+                      shuffle_partitions=8)
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    good = ("the analysis of the data pipeline is a document "
+            "with plenty of english stopword mass")
+    spark.createDataFrame(
+        [(1, good, "srcA"), (9, good, "srcA"), (2, "tiny", "srcA")],
+        "doc_id long, text string, source string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    def submit():
+        env = dict(os.environ)
+        env["PYSPARK_PYTHON"] = sys.executable
+        return subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]",
+             "--conf", "spark.sql.shuffle.partitions=8",
+             "--py-files", os.path.join(ROOT, "dist",
+                                        "docling_core_spark.zip"),
+             os.path.join(ROOT, "jobs", "stream_ingest.py"),
+             "--input", in_dir, "--output", out_dir,
+             "--checkpoint", ckpt],
+            cwd=str(tmp_path), env=env, capture_output=True,
+            text=True, timeout=300)
+
+    r = submit()
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "DONE admitted=1" in r.stdout
+
+    spark.createDataFrame(
+        [(5, good, "srcB"),
+         (8, "a completely different document about the spark engine "
+             "and the table of data", "srcC")],
+        "doc_id long, text string, source string") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    r2 = submit()
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "DONE admitted=2" in r2.stdout
+    got = {row["doc_id"] for row in spark.read.parquet(out_dir).collect()}
+    assert got == {"1", "8"}
