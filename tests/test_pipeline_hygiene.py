@@ -662,3 +662,14 @@ def test_bpe_fold_property_matches_python_merge(spark):
             "i", F.expr(_bpe_fold_spark(a, b)).alias("m")).collect()}
         for i, c in enumerate(cases):
             assert got[i] == "#".join(py_merge(c, a, b)), (c, a, b)
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The only nested-loop join is the broadcast centroid MODEL;
+    no cartesian product, no Python in the plan."""
+    from docling_core_spark.textops import q_semantic_dedup
+
+    plan = _plan(q_semantic_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

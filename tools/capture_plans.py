@@ -81,6 +81,19 @@ CAPTURE = {
                           "segment key (two-phase partial aggs, NOT "
                           "window+collect_set); heavy-hitter build "
                           "side broadcast; one doc_id restitch agg"),
+    "semantic_dedup": ("SemDeDup: centroid MODEL broadcast (the only "
+                       "nested-loop join), map-side min_by "
+                       "assignment, pair join shuffles on cell only, "
+                       "cosine pure JVM array math, no Python"),
+    "mix_sources": ("statistic scan (per-source totals, broadcast "
+                    "back) + one codegen LCG-threshold filter scan"),
+    "quality_classifier": ("NB train+score: word-occ agg persisted, "
+                           "class counts vocabulary-bounded, priors "
+                           "1-row broadcast, scoring one left join "
+                           "on w + per-doc sum, no Python"),
+    "pack_sequences": ("two-phase distributed cumsum: bucket totals "
+                       "agg + broadcast offsets over bounded "
+                       "per-bucket windows"),
 }
 
 
