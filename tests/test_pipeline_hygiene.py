@@ -673,3 +673,80 @@ def test_semantic_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "MapInArrow" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+# ----------------------------------------------------------------------
+# exact-substring passage removal (r4 session 12)
+# ----------------------------------------------------------------------
+
+def test_exact_substr_dedup_first_occurrence_wins(spark, tmp_path):
+    """Lee-et-al ExactSubstr semantics on hand-checkable docs: the
+    globally-first occurrence of a duplicated 16-word window survives,
+    every later occurrence is cut, and overlapping cut windows merge
+    (positions are distinct-unioned, not double-counted)."""
+    import hashlib
+
+    from docling_core_spark.textops import q_exact_substr_dedup
+
+    a = [f"a{i:02d}" for i in range(1, 33)]       # 32 unique words
+    short = "just a few shared words here"
+    sf = _write_docs(spark, tmp_path, [
+        (20, " ".join(a)),                         # first occurrence
+        # 24-word shared prefix: its windows idx1 (words 1-16) and
+        # idx2 (words 9-24) BOTH duplicate doc 20 -> cuts 1-16 and
+        # 9-24 merge to 1-24, leaving only the b-tail
+        (21, " ".join(a[:24] + [f"b{i}" for i in range(1, 9)])),
+        (30, short),                               # short-doc pair:
+        (31, short),                               # whole doc is the
+        (40, "wholly unrelated filler text"),      # only window
+    ])
+    out = {r["doc_id"]: r for r in
+           q_exact_substr_dedup(spark, sf).collect()}
+
+    def _md5(words):
+        return hashlib.md5(" ".join(words).encode()).hexdigest()
+
+    r20 = out[20]
+    assert (r20["n_words"], r20["n_cut_words"]) == (32, 0)
+    assert r20["kept_md5"] == _md5(a)
+    r21 = out[21]
+    assert (r21["n_words"], r21["n_cut_words"]) == (32, 24)
+    assert r21["kept_md5"] == _md5([f"b{i}" for i in range(1, 9)])
+    assert r21["kept_ratio"] == 0.25
+    # short docs: doc 30 keeps, doc 31 is cut to the empty stream
+    assert out[30]["n_cut_words"] == 0
+    assert (out[31]["n_cut_words"], out[31]["kept_ratio"]) == (
+        out[31]["n_words"], 0.0)
+    assert out[31]["kept_md5"] == _md5([])
+    assert out[40]["n_cut_words"] == 0
+
+
+def test_exact_substr_dedup_same_doc_repeat(spark, tmp_path):
+    """A doc repeating its own 16-word block keeps only the first
+    copy: window idx3 (words 17-32) duplicates idx1 within the same
+    doc_id and is cut by the (doc_id, idx) tie-break."""
+    import hashlib
+
+    from docling_core_spark.textops import q_exact_substr_dedup
+
+    blk = [f"c{i:02d}" for i in range(1, 17)]
+    sf = _write_docs(spark, tmp_path, [(50, " ".join(blk + blk))])
+    r = q_exact_substr_dedup(spark, sf).collect()[0]
+    assert (r["n_words"], r["n_cut_words"]) == (32, 16)
+    assert r["kept_md5"] == hashlib.md5(
+        " ".join(blk).encode()).hexdigest()
+
+
+def test_exact_substr_dedup_plan_shape(spark):
+    """Zero Python, no cross join; window hashes are computed before
+    the wh exchange (the shuffled payload is (doc_id, idx, wh), never
+    window text), and count+row_number share ONE wh-partitioned
+    exchange (same distribution -> Catalyst plans a single shuffle
+    for both window functions)."""
+    from docling_core_spark.textops import q_exact_substr_dedup
+
+    plan = _plan(q_exact_substr_dedup(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(wh") == 1

@@ -68,6 +68,11 @@ CAPTURE = {
                           "presentation-sort Exchange"),
     "dup_passages": ("window hashes computed map-side pre-shuffle; "
                      "count-then-join, no cross join"),
+    "exact_substr_dedup": ("passage REMOVAL: hashes map-side; ONE wh "
+                           "exchange serves count+row_number; cut "
+                           "lists joined back dup-density-sized; "
+                           "rebuild is a codegen projection, zero "
+                           "Python"),
     "dedup_retention": ("canonical selection: every label/survivor "
                         "join BROADCASTs (cluster table is "
                         "statistic-sized); wide shuffles only on "

@@ -61,6 +61,16 @@ ALLOWED: dict = {
     ("lm_perplexity", "(lower(text#), [a-z0-9]+, 0)"):
         "two-scan train+vocab design",
 
+    # exact_substr_dedup scans the corpus twice BY DESIGN (the
+    # count-then-join passage-removal plan): once into the exploded
+    # (doc_id, idx, wh) marking pass, once for the rebuild
+    # projection. Each word-split runs once per its own scan's rows;
+    # collapsing to one scan would carry the full ws array through
+    # the wh exchange - shuffling text payloads the marking pass
+    # deliberately never shuffles.
+    ("exact_substr_dedup", "(lower(text#), [a-z0-9]+, 0)"):
+        "two-scan mark+rebuild design",
+
     # pack_sequences scans the corpus twice BY DESIGN (the two-phase
     # distributed cumsum): once for the statistic-sized bucket totals,
     # once for the per-doc rows. Each scan computes the whitespace
