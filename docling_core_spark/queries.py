@@ -1237,7 +1237,14 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # user_sessions/user_activity): each retired slot now carries
         # a training-data op so the 2x25-window rotation still covers
         # the pool exactly
-        ("bbox_overlap_stats", q_bbox_overlap_stats),
+        # bbox_overlap_stats retired r4 session 12: geometry's driver
+        # coverage stays threefold - layout_extract/layout_page_stats
+        # reconstruct spans from bbox arithmetic every round,
+        # pdf_cells_in_bbox is a live bbox-containment filter, and the
+        # viz rows hash bbox draw commands - while TB7's pairwise
+        # overlap math keeps byte parity in pytest (model/geometry).
+        # Its slot carries the DSIR importance-weight op so the 2x25
+        # rotation cover stays exact.
         # doc_span_skew retired r4 session 12 (stats-family row, the
         # r3 VERDICT's "redundant filler" category): skew MEASUREMENT
         # is subsumed by quality_scores/repetition_signals length
@@ -1296,6 +1303,9 @@ def registry() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the rewrite half of dup_passages' signal (Lee et al. 2022
         # ExactSubstr as windowed-hash first-occurrence-wins cuts)
         ("exact_substr_dedup", textops.q_exact_substr_dedup),
+        # DSIR importance weights (Xie et al. 2023): target-vs-raw
+        # hashed-n-gram log-ratio scoring against the benchmark slice
+        ("dsir_weights", textops.q_dsir_weights),
     ]
     if _rotation_state() % 2:
         pool.reverse()
@@ -1336,9 +1346,9 @@ def oracles() -> Dict[str, str]:
     out["search_meta_validation"] = sql_search_validation(sf)
     out["caption_resolution"] = _sql_caption_resolution(sf)
     out["redact_spans"] = _sql_redact_spans(sf)
-    out["bbox_overlap_stats"] = _sql_bbox_overlap_stats(sf)
-    # doc_span_skew retired r4 session 12 (see registry() note); its
-    # q_/SQL builders stay for API users, like other retired rows
+    # bbox_overlap_stats + doc_span_skew retired r4 session 12 (see
+    # registry() notes); their q_/SQL builders stay for API users,
+    # like other retired rows
     from docling_core_spark.pdfpage import (
         sql_pdf_cells_in_bbox,
         sql_pdf_crop_text,

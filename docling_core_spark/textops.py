@@ -2027,6 +2027,135 @@ FROM r ORDER BY doc_id
 
 
 # ----------------------------------------------------------------------
+# DSIR importance weights (data selection with importance resampling)
+# ----------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed n-gram feature space (paper uses 10k)
+
+# unigram + bigram feature strings over a bound words column ``ws``
+_DSIR_FEATS_SPARK = (
+    "CASE WHEN size(ws) >= 2 THEN concat(ws, "
+    "transform(sequence(1, size(ws) - 1), "
+    "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) "
+    "ELSE ws END")
+_DSIR_FEATS_DUCK = (
+    "CASE WHEN len(ws) >= 2 THEN ws || "
+    "list_transform(range(1, len(ws)), "
+    "i -> ws[i] || ' ' || ws[i + 1]) ELSE ws END")
+
+
+def dsir_weights_over(docs: DataFrame, spark: SparkSession
+                      ) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed n-gram distribution is.
+    Features are word unigrams+bigrams hashed into DSIR_BUCKETS
+    buckets; the target distribution is fitted on the held-out
+    benchmark slice (doc_id % CONTAM_BENCH_MOD == 0, the same slice
+    contamination_screen guards), the raw distribution on everything
+    else, both add-one smoothed over the full bucket domain. A raw
+    doc's ``log_weight`` is sum over its feature occurrences of
+    log2(p_target(b)/p_raw(b)); ``avg_log_weight`` is the
+    length-normalized form (the paper resamples by the raw weight;
+    the per-feature average is the scale-free ranking signal).
+    Float contract matches lm_perplexity: per-bucket log-ratios are
+    IEEE-identical across engines up to 1 ulp of libm log2 and the
+    1e-4 output grid sits ~9 orders above summation-order noise.
+    Docs with zero extractable words have no feature rows and are
+    absent, like the other explode-based scorers.
+
+    100 TB design: TWO corpus scans by design (the paper's own
+    fit-then-score shape): scan 1 fits BOTH bucket tables in one
+    hash aggregation (bucket, target-count, raw-count - map-side
+    partial aggs, B-bounded shuffle); scan 2 scores, joining the
+    B-row smoothed log-ratio table BROADCAST onto the exploded
+    features and re-aggregating per doc (map-side partials again, so
+    the doc_id shuffle carries one row per (doc, partition)). The
+    bucket domain/totals are statistic-sized; no corpus-sized state
+    is pinned in memory."""
+    is_t = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    base = _gen_bind(docs, ["doc_id"], F.expr(words_spark()), "ws")
+    # bucket rides a _gen_bind barrier: the broadcast join's inferred
+    # isnotnull(join key) otherwise re-substitutes the whole hash
+    # expression below the projection (plan-audited x2 per scored row)
+    hb = _gen_bind(
+        base.select("doc_id",
+                    F.explode(F.expr(_DSIR_FEATS_SPARK)).alias("w")),
+        ["doc_id"],
+        (F.expr(WORDHASH_SPARK) % DSIR_BUCKETS).cast("long"),
+        "bucket")
+    # scan 1: both distributions in ONE aggregation. Persisted because
+    # it feeds two consumers (the ratio join and the totals agg) and
+    # an unpersisted DAG-shared subplan re-executes per consumer -
+    # the bucket table is B-bounded (statistic-sized), exactly the
+    # state a real pipeline would write out as the fitted model.
+    counts = (hb.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("rc"))
+        .persist())
+    tot = counts.agg(F.sum("tc").alias("nt"), F.sum("rc").alias("nr"))
+    dom = spark.range(DSIR_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket"))
+    b = float(DSIR_BUCKETS)
+    ratio = (dom.join(counts, "bucket", "left")
+             .crossJoin(F.broadcast(tot))
+             .select(
+                 "bucket",
+                 (F.log2((F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                         / (F.coalesce(F.col("nt"), F.lit(0)) + b))
+                  - F.log2((F.coalesce(F.col("rc"), F.lit(0)) + 1.0)
+                           / (F.coalesce(F.col("nr"), F.lit(0)) + b)))
+                 .alias("lr")))
+    # scan 2: score the raw slice against the broadcast ratio table
+    per = (hb.filter(~is_t)
+           .join(F.broadcast(ratio), "bucket")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_feats"),
+                F.sum("lr").alias("lw")))
+    return (per.select(
+                "doc_id",
+                F.col("n_feats").cast("long").alias("n_feats"),
+                _r4(F.col("lw")).alias("log_weight"),
+                _r4(F.col("lw") / F.col("n_feats"))
+                .alias("avg_log_weight"))
+            .orderBy("doc_id"))
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights_over(_t(spark, sf_dir, "documents"), spark)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH t AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
+f AS (SELECT doc_id, unnest({_DSIR_FEATS_DUCK}) AS w FROM t),
+hb AS (SELECT doc_id, ({WORDHASH_DUCK}) % {DSIR_BUCKETS} AS bucket
+       FROM f),
+cnt AS (SELECT bucket,
+               COUNT(*) FILTER (doc_id % {CONTAM_BENCH_MOD} = 0)
+                   AS tc,
+               COUNT(*) FILTER (doc_id % {CONTAM_BENCH_MOD} != 0)
+                   AS rc
+        FROM hb GROUP BY bucket),
+tot AS (SELECT COALESCE(SUM(tc), 0) AS nt,
+               COALESCE(SUM(rc), 0) AS nr FROM cnt),
+dom AS (SELECT unnest(range(0, {DSIR_BUCKETS})) AS bucket),
+r AS (SELECT d.bucket,
+             log2((COALESCE(c.tc, 0) + 1.0)
+                  / (tot.nt + {DSIR_BUCKETS}.0))
+             - log2((COALESCE(c.rc, 0) + 1.0)
+                    / (tot.nr + {DSIR_BUCKETS}.0)) AS lr
+      FROM dom d LEFT JOIN cnt c USING (bucket), tot),
+s AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(lr) AS lw
+      FROM hb JOIN r USING (bucket)
+      WHERE doc_id % {CONTAM_BENCH_MOD} != 0 GROUP BY doc_id)
+SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+       {_sql_r("lw", 4)} AS log_weight,
+       {_sql_r("lw / n_feats", 4)} AS avg_log_weight
+FROM s ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------------------
 # end-to-end clean-corpus pipeline (composite hygiene pass)
 # ----------------------------------------------------------------------
 
@@ -3442,4 +3571,5 @@ ORACLES = {
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "bpe_train": SQL_BPE_TRAIN,
     "exact_substr_dedup": SQL_EXACT_SUBSTR_DEDUP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }

@@ -750,3 +750,51 @@ def test_exact_substr_dedup_plan_shape(spark):
     assert "MapInArrow" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(wh") == 1
+
+
+# ----------------------------------------------------------------------
+# DSIR importance weights (r4 session 12)
+# ----------------------------------------------------------------------
+
+def test_dsir_weights_ranks_target_like_docs_higher(spark, tmp_path):
+    """A raw doc sharing the target slice's vocabulary must score a
+    higher per-feature importance weight than a raw doc with disjoint
+    vocabulary (the DSIR selection signal), and n_feats counts
+    unigrams + bigrams."""
+    from docling_core_spark.textops import q_dsir_weights
+
+    target = "alpha beta gamma delta epsilon zeta"
+    sf = _write_docs(spark, tmp_path, [
+        (0, target),                         # doc_id % 97 == 0: target
+        (1, "alpha beta gamma delta"),       # target-like raw doc
+        (2, "chalk cheese quern mill"),      # disjoint raw doc
+    ])
+    out = {r["doc_id"]: r for r in q_dsir_weights(spark, sf).collect()}
+    assert set(out) == {1, 2}                # the target doc is not scored
+    assert out[1]["n_feats"] == 4 + 3        # unigrams + bigrams
+    assert out[2]["n_feats"] == 4 + 3
+    assert out[1]["avg_log_weight"] > out[2]["avg_log_weight"]
+    assert out[1]["log_weight"] > out[2]["log_weight"]
+
+
+def test_dsir_weights_plan_shape(spark, tmp_path):
+    """Zero Python; exactly two parquet scans (the fit-then-score
+    design - the fitted bucket table is persisted, so its lineage
+    contributes ONE of them); the B-row ratio table joins BROADCAST
+    onto the exploded features. Runs against a per-test corpus dir:
+    on a shared sf dir an earlier test's persist of the same fit
+    plan changes how many times the cached lineage prints."""
+    from docling_core_spark.textops import q_dsir_weights
+
+    sf = _write_docs(spark, tmp_path,
+                     [(i, f"w{i} common words here") for i in range(6)])
+    plan = _plan(q_dsir_weights(spark, sf))
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the persisted fit's lineage (holding one of the two scans)
+    # PRINTS under each of its two InMemoryTableScan consumers but
+    # executes once - normalize the textual count back to executions
+    n_imr = plan.count("InMemoryTableScan")
+    assert n_imr == 2
+    assert plan.count("Scan parquet") - (n_imr - 1) == 2

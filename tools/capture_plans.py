@@ -73,6 +73,9 @@ CAPTURE = {
                            "lists joined back dup-density-sized; "
                            "rebuild is a codegen projection, zero "
                            "Python"),
+    "dsir_weights": ("DSIR fit-then-score: persisted B-bounded "
+                     "bucket fit (one scan), scoring scan joins the "
+                     "B-row ratio table BROADCAST; zero Python"),
     "dedup_retention": ("canonical selection: every label/survivor "
                         "join BROADCASTs (cluster table is "
                         "statistic-sized); wide shuffles only on "
