@@ -1916,6 +1916,49 @@ def _cut_positions_spark() -> str:
             "END")
 
 
+def exact_substr_rewrite_over(docs: DataFrame, text_col: str = "text"
+                              ) -> DataFrame:
+    """Exact-substring passage REMOVAL over any (doc_id, <text_col>)
+    frame, returning the input columns plus (n_words, n_cut_words,
+    kept_text) - the composable production surface
+    (jobs/build_training_corpus.py --exact-substr runs it on
+    clean_text after global dedup); q_exact_substr_dedup projects the
+    driver contract (counts + kept-stream md5) off this same plan.
+    Semantics and scale notes: see exact_substr_dedup_over."""
+    from pyspark.sql import Window
+
+    wins = (docs
+            .withColumn("ws", F.expr(words_spark(text_col)))
+            .select("doc_id",
+                    F.posexplode(F.expr(_windows_spark()))
+                    .alias("i", "w"))
+            .select("doc_id", (F.col("i") + 1).alias("idx"),
+                    F.expr(WORDHASH_SPARK).alias("wh")))
+    occ = Window.partitionBy("wh")
+    first = Window.partitionBy("wh").orderBy("doc_id", "idx")
+    cuts = (wins
+            .withColumn("n_occ", F.count(F.lit(1)).over(occ))
+            .withColumn("rn", F.row_number().over(first))
+            .filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_list("idx")).alias("cut_idx")))
+    return (docs.join(cuts, "doc_id", "left")
+            .withColumn("ws", F.expr(words_spark(text_col)))
+            .withColumn("cut_pos", F.expr(_cut_positions_spark()))
+            .withColumn(
+                "kept_pos",
+                F.expr("CASE WHEN size(ws) = 0 THEN array() "
+                       "ELSE array_except(sequence(1, size(ws)), "
+                       "cut_pos) END"))
+            .withColumn("n_words", F.size("ws").cast("long"))
+            .withColumn("n_cut_words", F.size("cut_pos").cast("long"))
+            .withColumn(
+                "kept_text",
+                F.concat_ws(" ", F.expr("transform(kept_pos, "
+                                        "p -> element_at(ws, p))")))
+            .drop("ws", "cut_idx", "cut_pos", "kept_pos"))
+
+
 def exact_substr_dedup_over(docs: DataFrame) -> DataFrame:
     """Exact-substring passage REMOVAL over any (doc_id, text) frame -
     the rewrite half of ``q_dup_passages``'s signal, the windowed-hash
@@ -1940,43 +1983,14 @@ def exact_substr_dedup_over(docs: DataFrame) -> DataFrame:
     mega-duplicated window hash serializes its occurrences into one
     window partition; the escape at that point is the
     groupBy(min_by)+join rewrite, which AQE skew-join can split."""
-    from pyspark.sql import Window
-
-    k = PASSAGE_K
-    wins = (docs
-            .withColumn("ws", F.expr(words_spark()))
-            .select("doc_id",
-                    F.posexplode(F.expr(_windows_spark()))
-                    .alias("i", "w"))
-            .select("doc_id", (F.col("i") + 1).alias("idx"),
-                    F.expr(WORDHASH_SPARK).alias("wh")))
-    occ = Window.partitionBy("wh")
-    first = Window.partitionBy("wh").orderBy("doc_id", "idx")
-    cuts = (wins
-            .withColumn("n_occ", F.count(F.lit(1)).over(occ))
-            .withColumn("rn", F.row_number().over(first))
-            .filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("idx")).alias("cut_idx")))
-    return (docs.join(cuts, "doc_id", "left")
-            .withColumn("ws", F.expr(words_spark()))
-            .withColumn("cut_pos", F.expr(_cut_positions_spark()))
-            .withColumn(
-                "kept_pos",
-                F.expr("CASE WHEN size(ws) = 0 THEN array() "
-                       "ELSE array_except(sequence(1, size(ws)), "
-                       "cut_pos) END"))
+    return (exact_substr_rewrite_over(docs)
             .select(
-                "doc_id",
-                F.size("ws").cast("long").alias("n_words"),
-                F.size("cut_pos").cast("long").alias("n_cut_words"),
-                _r4(F.when(F.size("ws") > 0,
-                           F.size("kept_pos") / F.size("ws"))
+                "doc_id", "n_words", "n_cut_words",
+                _r4(F.when(F.col("n_words") > 0,
+                           (F.col("n_words") - F.col("n_cut_words"))
+                           / F.col("n_words"))
                     .otherwise(F.lit(1.0))).alias("kept_ratio"),
-                F.md5(F.concat_ws(
-                    " ", F.expr("transform(kept_pos, "
-                                "p -> element_at(ws, p))")))
-                .alias("kept_md5"))
+                F.md5("kept_text").alias("kept_md5"))
             .orderBy("doc_id"))
 
 
@@ -2044,7 +2058,8 @@ _DSIR_FEATS_DUCK = (
     "i -> ws[i] || ' ' || ws[i + 1]) ELSE ws END")
 
 
-def dsir_weights_over(docs: DataFrame, spark: SparkSession
+def dsir_weights_over(docs: DataFrame, spark: SparkSession,
+                      is_target=None, text_col: str = "text"
                       ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -2072,18 +2087,32 @@ def dsir_weights_over(docs: DataFrame, spark: SparkSession
     features and re-aggregating per doc (map-side partials again, so
     the doc_id shuffle carries one row per (doc, partition)). The
     bucket domain/totals are statistic-sized; no corpus-sized state
-    is pinned in memory."""
-    is_t = F.col("doc_id") % CONTAM_BENCH_MOD == 0
-    base = _gen_bind(docs, ["doc_id"], F.expr(words_spark()), "ws")
+    is pinned in memory.
+
+    ``is_target`` (a boolean Column over the input frame; default =
+    the benchmark-slice convention) and ``text_col`` make this the
+    composable production surface: the assembly job unions the
+    held-out benchmark table (flagged true) with the corpus and
+    scores clean_text against it (jobs/build_training_corpus.py
+    --dsir-top-frac)."""
+    is_t = (F.col("doc_id") % CONTAM_BENCH_MOD == 0
+            if is_target is None else is_target)
+    base = _gen_bind(docs.withColumn("__dsir_t", is_t),
+                     ["doc_id", "__dsir_t"],
+                     F.expr(words_spark(text_col)), "ws")
     # bucket rides a _gen_bind barrier: the broadcast join's inferred
     # isnotnull(join key) otherwise re-substitutes the whole hash
     # expression below the projection (plan-audited x2 per scored row)
     hb = _gen_bind(
-        base.select("doc_id",
+        base.select("doc_id", "__dsir_t",
                     F.explode(F.expr(_DSIR_FEATS_SPARK)).alias("w")),
-        ["doc_id"],
+        ["doc_id", "__dsir_t"],
         (F.expr(WORDHASH_SPARK) % DSIR_BUCKETS).cast("long"),
         "bucket")
+    # the flag column is a plain project alias, so Catalyst still
+    # substitutes it through to a pushed doc_id filter in the default
+    # (benchmark-slice) case; a caller-supplied column works the same
+    is_t = F.col("__dsir_t")
     # scan 1: both distributions in ONE aggregation. Persisted because
     # it feeds two consumers (the ratio join and the totals agg) and
     # an unpersisted DAG-shared subplan re-executes per consumer -
@@ -2112,17 +2141,16 @@ def dsir_weights_over(docs: DataFrame, spark: SparkSession
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_feats"),
                 F.sum("lr").alias("lw")))
-    return (per.select(
-                "doc_id",
-                F.col("n_feats").cast("long").alias("n_feats"),
-                _r4(F.col("lw")).alias("log_weight"),
-                _r4(F.col("lw") / F.col("n_feats"))
-                .alias("avg_log_weight"))
-            .orderBy("doc_id"))
+    return per.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        _r4(F.col("lw")).alias("log_weight"),
+        _r4(F.col("lw") / F.col("n_feats")).alias("avg_log_weight"))
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dsir_weights_over(_t(spark, sf_dir, "documents"), spark)
+    return (dsir_weights_over(_t(spark, sf_dir, "documents"), spark)
+            .orderBy("doc_id"))
 
 
 SQL_DSIR_WEIGHTS = f"""

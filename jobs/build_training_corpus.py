@@ -14,7 +14,11 @@ driver-oracle-checked as a standalone query):
                          stage1/lineage.
     stage2/  dedup       dedup_retain_over (min-doc_id per content
                          hash) + optional decontaminate_over against
-                         --bench (held-out eval set). Global by
+                         --bench (held-out eval set) + optional
+                         exact_substr_rewrite_over passage cuts
+                         (--exact-substr) + optional DSIR
+                         importance-weight selection against the
+                         bench target (--dsir-top-frac). Global by
                          nature (one shuffle on the hash); committed
                          atomically via parquet _SUCCESS - rerun
                          skips it when committed.
@@ -67,7 +71,20 @@ def main() -> None:
                    help="packed sequence length in whitespace tokens")
     p.add_argument("--n-buckets", type=int, default=8,
                    help="stage-1 resume granularity (doc_id hash)")
+    p.add_argument("--exact-substr", action="store_true",
+                   help="after global dedup, also cut duplicated "
+                        "16-word passages (Lee-et-al ExactSubstr, "
+                        "first occurrence wins); clean_text becomes "
+                        "the deduplicated normalized word stream and "
+                        "fully-cut docs drop")
+    p.add_argument("--dsir-top-frac", type=float, default=None,
+                   help="with --bench: keep only this fraction of "
+                        "retained docs, ranked by DSIR importance "
+                        "weight against the benchmark target "
+                        "distribution (Xie et al. 2023)")
     args = p.parse_args()
+    if args.dsir_top_frac is not None and not args.bench:
+        p.error("--dsir-top-frac requires --bench (the target set)")
 
     # imports resolved from --py-files on executors; deferred past
     # argparse so --help works without a Spark distribution
@@ -78,6 +95,8 @@ def main() -> None:
                                                   run_resumable)
     from docling_core_spark.textops import (decontaminate_over,
                                             dedup_retain_over,
+                                            dsir_weights_over,
+                                            exact_substr_rewrite_over,
                                             hygiene_over, pack_over)
 
     spark = SparkSession.builder.appName(
@@ -102,6 +121,35 @@ def main() -> None:
         if args.bench:
             bench = spark.read.parquet(args.bench)
             ded = decontaminate_over(ded, bench)
+        if args.exact_substr:
+            # passage-level cut AFTER doc-level dedup (doc dedup first
+            # shrinks the window index the passage pass must shuffle);
+            # clean_text becomes the deduplicated word stream
+            ded = (exact_substr_rewrite_over(ded, text_col="clean_text")
+                   .withColumn("clean_text", F.col("kept_text"))
+                   .drop("kept_text")
+                   .filter(F.col("n_cut_words") < F.col("n_words")))
+        if args.dsir_top_frac is not None:
+            # score retained docs against the benchmark target
+            # distribution; bench rows are the flagged half of one
+            # union so the fit stays a single scan
+            union = (ded.select(
+                         "doc_id",
+                         F.col("clean_text").alias("__txt"),
+                         F.lit(False).alias("__is_bench"))
+                     .unionByName(bench.select(
+                         "doc_id", F.col("text").alias("__txt"),
+                         F.lit(True).alias("__is_bench"))))
+            w = dsir_weights_over(union, spark,
+                                  is_target=F.col("__is_bench"),
+                                  text_col="__txt")
+            # the cutoff is a 1-number statistic; approxQuantile is
+            # the spark-native distributed quantile sketch
+            thr = w.approxQuantile(
+                "avg_log_weight", [1.0 - args.dsir_top_frac], 0.001)[0]
+            ded = (ded.join(
+                       w.select("doc_id", "avg_log_weight"), "doc_id")
+                   .filter(F.col("avg_log_weight") >= thr))
         # overwrite is idempotent; _SUCCESS is the commit point
         ded.drop("partition_id").write.mode("overwrite").parquet(s2_dir)
     retained = spark.read.parquet(s2_dir)

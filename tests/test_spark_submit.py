@@ -326,3 +326,86 @@ def test_spark_submit_stream_ingest_job(tmp_path):
     assert "DONE admitted=2" in r2.stdout
     got = {row["doc_id"] for row in spark.read.parquet(out_dir).collect()}
     assert got == {"1", "8"}
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit in PATH")
+def test_spark_submit_training_corpus_selection_flags(tmp_path):
+    """The assembly job's selection flags: --exact-substr cuts the
+    later occurrence of a planted cross-doc passage (clean_text loses
+    it; the first-occurrence doc keeps it), and --dsir-top-frac keeps
+    approximately that fraction of the scored docs with the DSIR
+    weight column landing in stage2."""
+    sys.path.insert(0, ROOT)
+    import package
+
+    package.build()
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.session import get_spark
+
+    spark = get_spark(app_name="submit-sel", master="local[4]",
+                      shuffle_partitions=8)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # a 16-word passage (one full window) of corpus-novel words with
+    # enough English stopwords to pass the hygiene language gate
+    passage = ("the quokka zorqual wimbrel of saxifrage and tanager "
+               "in bryology the ocelot of quasar and nebula")
+    planted = spark.createDataFrame(
+        [(200001, passage + " alpha strange words follow the path of dawn"),
+         (200002, passage + " omega different words follow the road of dusk")],
+        "doc_id long, text string") \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("planted")) \
+        .withColumn("n_chars", F.length("text"))
+    in_dir = str(tmp_path / "docs")
+    docs.unionByName(planted).write.mode("overwrite").parquet(in_dir)
+    bench_dir = str(tmp_path / "bench")
+    docs.filter(F.col("doc_id") % 11 == 5).select("doc_id", "text") \
+        .write.mode("overwrite").parquet(bench_dir)
+
+    out_dir = str(tmp_path / "tout")
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    r = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", os.path.join(ROOT, "dist",
+                                    "docling_core_spark.zip"),
+         os.path.join(ROOT, "jobs", "build_training_corpus.py"),
+         "--input", in_dir, "--output", out_dir,
+         "--bench", bench_dir, "--seq-len", "64", "--n-buckets", "4",
+         "--exact-substr", "--dsir-top-frac", "0.9"],
+        cwd=str(tmp_path), env=env, capture_output=True,
+        text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    done = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("DONE")][-1]
+    n_ret = int(done.split("retained=")[1].split()[0])
+
+    retained = spark.read.parquet(os.path.join(out_dir, "stage2"))
+    assert "avg_log_weight" in retained.columns
+    rows = {r_.doc_id: r_ for r_ in
+            retained.filter(F.col("doc_id") >= 200000).collect()}
+    # doc 200001 is the globally-first occurrence: passage kept
+    assert "quokka" in rows[200001]["clean_text"]
+    assert rows[200001]["n_cut_words"] == 0
+    # doc 200002's copy of the passage window was cut
+    assert "quokka" not in rows[200002]["clean_text"]
+    assert rows[200002]["n_cut_words"] == 16
+    assert "omega" in rows[200002]["clean_text"]
+
+    # DSIR kept ~90% of the scored (post-substr) docs
+    from docling_core_spark.textops import (decontaminate_over,
+                                            dedup_retain_over,
+                                            exact_substr_rewrite_over,
+                                            hygiene_over)
+    scored = (exact_substr_rewrite_over(
+                  decontaminate_over(
+                      dedup_retain_over(
+                          hygiene_over(spark.read.parquet(in_dir))
+                          .filter(F.col("keep")).drop("keep")),
+                      spark.read.parquet(bench_dir)),
+                  text_col="clean_text")
+              .filter(F.col("n_cut_words") < F.col("n_words")))
+    n_scored = scored.count()
+    assert abs(n_ret - 0.9 * n_scored) <= max(3, 0.03 * n_scored)
