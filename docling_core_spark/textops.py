@@ -2057,6 +2057,15 @@ _DSIR_FEATS_DUCK = (
     "list_transform(range(1, len(ws)), "
     "i -> ws[i] || ' ' || ws[i + 1]) ELSE ws END")
 
+# Portable fast feature hash: the md5 intrinsic's first 48 bits, read
+# as an integer from the SAME hex prefix on both engines (Spark conv
+# base-16, DuckDB '0x'-prefixed varchar cast - bit-identical by
+# construction, and ~JVM-intrinsic speed vs the interpreted per-char
+# WORDHASH fold, which stays the shared idiom where minhash
+# compatibility matters).
+_MD5_48_SPARK = "CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)"
+_MD5_48_DUCK = "('0x' || substr(md5(w), 1, 12))::BIGINT"
+
 
 def dsir_weights_over(docs: DataFrame, spark: SparkSession,
                       is_target=None, text_col: str = "text"
@@ -2107,7 +2116,7 @@ def dsir_weights_over(docs: DataFrame, spark: SparkSession,
         base.select("doc_id", "__dsir_t",
                     F.explode(F.expr(_DSIR_FEATS_SPARK)).alias("w")),
         ["doc_id", "__dsir_t"],
-        (F.expr(WORDHASH_SPARK) % DSIR_BUCKETS).cast("long"),
+        (F.expr(_MD5_48_SPARK) % DSIR_BUCKETS).cast("long"),
         "bucket")
     # the flag column is a plain project alias, so Catalyst still
     # substitutes it through to a pushed doc_id filter in the default
@@ -2156,7 +2165,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DSIR_WEIGHTS = f"""
 WITH t AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
 f AS (SELECT doc_id, unnest({_DSIR_FEATS_DUCK}) AS w FROM t),
-hb AS (SELECT doc_id, ({WORDHASH_DUCK}) % {DSIR_BUCKETS} AS bucket
+hb AS (SELECT doc_id, ({_MD5_48_DUCK}) % {DSIR_BUCKETS} AS bucket
        FROM f),
 cnt AS (SELECT bucket,
                COUNT(*) FILTER (doc_id % {CONTAM_BENCH_MOD} = 0)

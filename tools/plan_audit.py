@@ -80,26 +80,14 @@ ALLOWED: dict = {
     # with a _gen_bind barrier).
     ("dsir_weights", "(lower(text#), [a-z0-9]+, 0)"):
         "two-scan fit+score design",
-    ("dsir_weights",
-     "(transform(split(w#, , -1), lambdafunction(ascii(lambda c#), "
-     "lambda c#, false)), -1, lambdafunction(if ((lambda acc# < 0)) "
-     "cast(lambda c# as bigint) else (((lambda acc# * 31) + "
-     "cast(lambda c# as bigint)) % 1000000007), lambda acc#, "
-     "lambda c#, false), lambdafunction(lambda id#, lambda id#, "
-     "false))"):
-        "one feature hash per scan",
-    ("dsir_weights",
-     "(split(w#, , -1), lambdafunction(ascii(lambda c#), lambda c#, "
-     "false))"):
-        "one feature hash per scan",
+    ("dsir_weights", "(cast(w# as binary))"):
+        "one md5 feature hash per scan",
     ("dsir_weights",
      "(sequence(1, (size(ws#, false) - 1), None, Some(Etc/UTC)), "
      "lambdafunction(concat(element_at(ws#, lambda i#, None, true), "
      " , element_at(ws#, (lambda i# + 1), None, true)), lambda i#, "
      "false))"):
         "one bigram build per scan",
-    ("dsir_weights", "(w#, , -1)"):
-        "one feature hash per scan",
 
     # pack_sequences scans the corpus twice BY DESIGN (the two-phase
     # distributed cumsum): once for the statistic-sized bucket totals,
