@@ -3514,6 +3514,47 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank"))
 
 
+def bpe_encode_over(docs: DataFrame, merges: list,
+                    text_col: str = "text") -> DataFrame:
+    """Serve a TRAINED merge table corpus-wide - the encode half of
+    the tokenizer loop (train with bpe_train/q_bpe_train, then count
+    real BPE tokens per document with the learned vocabulary).
+    ``merges`` is bpe_train's [(rank, left, right, merged, count)]
+    list; each merge applies in rank order via the IDENTICAL
+    sentinel-anchored leftmost-non-overlapping fold the trainer used,
+    so encode(train(corpus)) segments exactly like the single-process
+    reference algorithm (pinned in tests). Returns (doc_id, n_words,
+    n_bpe_tokens).
+
+    100 TB design: the merge folds run on the DISTINCT-word table
+    (vocabulary-bounded - millions of rows regardless of corpus
+    size; localCheckpoint per merge keeps the fold chain flat, the
+    bpe_train discipline), then the per-(doc, word) occurrence table
+    joins the word -> piece-count map and re-aggregates - the same
+    count-on-vocabulary-then-join shape as the trainer, with no
+    corpus-sized state and no Python."""
+    words = (_gen_bind(docs, ["doc_id"],
+                       F.expr(words_spark(text_col)), "ws")
+             .select("doc_id", F.explode_outer("ws").alias("w"))
+             .filter(F.col("w").isNotNull()))
+    occ = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("n_occ"))
+    wl = (words.select("w").distinct()
+          .withColumn("sym", F.expr(_BPE_SYM0.format(w="w")))
+          .localCheckpoint(eager=True))
+    for _, left, right, _, _ in sorted(merges):
+        wl = (wl.withColumn("sym",
+                            F.expr(_bpe_fold_spark(left, right)))
+              .localCheckpoint(eager=True))
+    pieces = wl.select(
+        "w", F.size(F.split("sym", "#")).alias("n_pieces"))
+    return (occ.join(pieces, "w")
+            .groupBy("doc_id")
+            .agg(F.sum("n_occ").cast("long").alias("n_words"),
+                 F.sum(F.col("n_occ") * F.col("n_pieces"))
+                 .cast("long").alias("n_bpe_tokens")))
+
+
 def _sql_bpe_round(prev: str, r: int) -> str:
     """One BPE round as CTE text: pair counts from w{r-1}, argmax
     t{r}, merged word table w{r} (fold applied via the 1-row cross

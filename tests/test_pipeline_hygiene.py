@@ -798,3 +798,73 @@ def test_dsir_weights_plan_shape(spark, tmp_path):
     n_imr = plan.count("InMemoryTableScan")
     assert n_imr == 2
     assert plan.count("Scan parquet") - (n_imr - 1) == 2
+
+
+# ----------------------------------------------------------------------
+# BPE encode (serving the trained merges; r4 session 12)
+# ----------------------------------------------------------------------
+
+def _ref_bpe_encode(word, merges):
+    """Reference leftmost-non-overlapping BPE apply, rank order."""
+    syms = list(word) + ["_"]
+    for _, left, right, _m, _c in sorted(merges):
+        out, i = [], 0
+        while i < len(syms):
+            if (i + 1 < len(syms) and syms[i] == left
+                    and syms[i + 1] == right):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_on_trained_merges(spark, tmp_path):
+    """encode(train(corpus)) == the single-process reference encoder
+    applied word-by-word with the same learned merge table: the
+    train->serve loop closes exactly."""
+    from docling_core_spark.textops import (bpe_encode_over, bpe_train,
+                                            _BPE_SYM0, words_spark)
+    from pyspark.sql import functions as F
+
+    texts = {
+        1: "the cat bitter batter bat the hatter",
+        2: "better butter the bitter bat",
+        3: "solo",
+    }
+    sf = _write_docs(spark, tmp_path, list(texts.items()))
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    wf = (docs.select(F.explode(F.expr(words_spark())).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+          .select(F.expr(_BPE_SYM0.format(w="w")).alias("sym"), "freq"))
+    merges = bpe_train(wf, n_merges=6)
+    assert len(merges) == 6
+
+    got = {r["doc_id"]: r for r in
+           bpe_encode_over(docs, merges).collect()}
+    for doc_id, text in texts.items():
+        words = text.split()
+        want = sum(len(_ref_bpe_encode(w, merges)) for w in words)
+        assert got[doc_id]["n_words"] == len(words)
+        assert got[doc_id]["n_bpe_tokens"] == want, (doc_id, merges)
+    # merges actually compress: fewer tokens than raw chars+markers
+    raw = sum(len(w) + 1 for w in texts[1].split())
+    assert got[1]["n_bpe_tokens"] < raw
+
+
+def test_bpe_encode_plan_no_python(spark, tmp_path):
+    from docling_core_spark.textops import bpe_encode_over, bpe_train
+
+    sf = _write_docs(spark, tmp_path, [(1, "aa ab aa ab ba")])
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    from pyspark.sql import functions as F
+
+    from docling_core_spark.textops import _BPE_SYM0, words_spark
+    wf = (docs.select(F.explode(F.expr(words_spark())).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+          .select(F.expr(_BPE_SYM0.format(w="w")).alias("sym"), "freq"))
+    plan = _plan(bpe_encode_over(docs, bpe_train(wf, n_merges=2)))
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan
