@@ -1909,7 +1909,11 @@ def _cut_positions_spark() -> str:
     [(i-1)*STRIDE+1, (i-1)*STRIDE+K]; a short doc's single whole-doc
     window spans everything. Overlapping windows merge via distinct."""
     k, s = PASSAGE_K, PASSAGE_STRIDE
-    return (f"CASE WHEN cut_idx IS NULL THEN array() "
+    # the size(ws) = 0 arm is load-bearing: Spark's sequence(1, 0) is
+    # the DESCENDING [1, 0], so a zero-word doc whose (empty)
+    # whole-doc window is cut would otherwise report two phantom cut
+    # positions (DuckDB's range(1, 1) is already empty)
+    return (f"CASE WHEN cut_idx IS NULL OR size(ws) = 0 THEN array() "
             f"WHEN size(ws) < {k} THEN sequence(1, size(ws)) "
             f"ELSE array_distinct(flatten(transform(cut_idx, "
             f"i -> sequence((i - 1) * {s} + 1, (i - 1) * {s} + {k})))) "

@@ -868,3 +868,126 @@ def test_bpe_encode_plan_no_python(spark, tmp_path):
     plan = _plan(bpe_encode_over(docs, bpe_train(wf, n_merges=2)))
     assert "BatchEvalPython" not in plan
     assert "MapInArrow" not in plan
+
+
+def test_s12_ops_match_python_reference_on_random_corpus(spark, tmp_path):
+    """Third formulation for the session-12 ops: a seeded random
+    corpus with adversarial edges (two zero-word docs whose empty
+    whole-doc windows collide globally, identical short docs, a
+    shared 24-word prefix family) checked against independent
+    pure-Python references - on top of the DuckDB parity test, the
+    three implementations must agree."""
+    import hashlib
+    import math
+    import random
+    import re as _re
+
+    from docling_core_spark.textops import (
+        CONTAM_BENCH_MOD,
+        DSIR_BUCKETS,
+        PASSAGE_K,
+        PASSAGE_STRIDE,
+        q_dsir_weights,
+        q_exact_substr_dedup,
+    )
+
+    rng = random.Random(1207)
+    vocab = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+    prefix = [rng.choice(vocab) for _ in range(24)]
+    rows = [(0, ""), (1, "..."),            # zero-word docs: their
+                                            # empty windows collide
+            (2, "same short doc"), (3, "same short doc"),
+            (4, " ".join(["ab"] * 40))]     # self-repeating doc
+    for d in range(5, 10):                  # shared-prefix family
+        tail = [rng.choice(vocab) for _ in range(rng.randint(4, 12))]
+        rows.append((d, " ".join(prefix + tail)))
+    for d in range(10, 160):
+        rows.append((d, " ".join(rng.choice(vocab)
+                                 for _ in range(rng.randint(0, 40)))))
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def words(t):
+        return _re.findall("[a-z0-9]+", t.lower())
+
+    def r4(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    # --- exact_substr_dedup reference
+    K, S = PASSAGE_K, PASSAGE_STRIDE
+
+    def wins(ws):
+        if len(ws) >= K:
+            return [" ".join(ws[i * S:i * S + K])
+                    for i in range((len(ws) - K) // S + 1)]
+        return [" ".join(ws)]
+
+    occ = {}
+    for d, t in rows:
+        for i, w in enumerate(wins(words(t)), 1):
+            occ.setdefault(w, []).append((d, i))
+    cut_idx = {}
+    for w, lst in occ.items():
+        if len(lst) >= 2:
+            for d, i in sorted(lst)[1:]:
+                cut_idx.setdefault(d, set()).add(i)
+    exp = {}
+    for d, t in rows:
+        ws = words(t)
+        n = len(ws)
+        ci = cut_idx.get(d)
+        if ci is None or n == 0:
+            pos = set()
+        elif n < K:
+            pos = set(range(1, n + 1))
+        else:
+            pos = {p for i in ci
+                   for p in range((i - 1) * S + 1, (i - 1) * S + K + 1)}
+        kept = [w for p, w in enumerate(ws, 1) if p not in pos]
+        exp[d] = (n, len(pos),
+                  r4(len(kept) / n) if n else 1.0,
+                  hashlib.md5(" ".join(kept).encode()).hexdigest())
+    got = {r["doc_id"]: (r["n_words"], r["n_cut_words"],
+                         r["kept_ratio"], r["kept_md5"])
+           for r in q_exact_substr_dedup(spark, sf).collect()}
+    assert got == exp
+
+    # --- dsir_weights reference (md5-prefix bucket hash)
+    B = DSIR_BUCKETS
+
+    def feats(ws):
+        f = list(ws)
+        if len(ws) >= 2:
+            f += [ws[i] + " " + ws[i + 1] for i in range(len(ws) - 1)]
+        return f
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:12], 16) % B
+
+    tc, rc = {}, {}
+    for d, t in rows:
+        tgt = d % CONTAM_BENCH_MOD == 0
+        for w in feats(words(t)):
+            b = bucket(w)
+            (tc if tgt else rc)[b] = (tc if tgt else rc).get(b, 0) + 1
+    nt, nr = sum(tc.values()), sum(rc.values())
+    lr = {b: (math.log2((tc.get(b, 0) + 1.0) / (nt + B))
+              - math.log2((rc.get(b, 0) + 1.0) / (nr + B)))
+          for b in range(B)}
+    exp2 = {}
+    for d, t in rows:
+        if d % CONTAM_BENCH_MOD == 0:
+            continue
+        fs = feats(words(t))
+        if not fs:
+            continue
+        lw = sum(lr[bucket(w)] for w in fs)
+        exp2[d] = (len(fs), lw)
+    got2 = {r["doc_id"]: r
+            for r in q_dsir_weights(spark, sf).collect()}
+    assert set(got2) == set(exp2)
+    for d, (nf, lw) in exp2.items():
+        assert got2[d]["n_feats"] == nf
+        # libm log2 / summation order: python vs JVM may differ in
+        # the last ulp; the 1e-4 grid plus one grid step of slack
+        assert abs(got2[d]["log_weight"] - r4(lw)) <= 1.01e-4, d
+        assert abs(got2[d]["avg_log_weight"] - r4(lw / nf)) <= 1.01e-4
