@@ -3249,7 +3249,8 @@ WITH t AS (
              AS n_tokens
   FROM documents),
 tot AS (
-  SELECT source, SUM(n_tokens) AS tot_tokens FROM t GROUP BY source)
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+  FROM t GROUP BY source)
 SELECT doc_id, t.source, n_tokens, tot_tokens,
        CAST({MIX_BASE_TOKENS}
             * (1 + CAST(substr(t.source, 4, 10) AS BIGINT) % 4)
@@ -3565,7 +3566,8 @@ def _sql_bpe_round(prev: str, r: int) -> str:
     join - the CTE twin of the Spark literal fold)."""
     return f"""
 p{r} AS (
-  SELECT pr.l AS l, pr.r AS r, SUM(freq) AS pair_count FROM (
+  SELECT pr.l AS l, pr.r AS r,
+         CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
     SELECT unnest(list_transform(range(1, len(string_split(sym, '#'))),
                i -> struct_pack(l := string_split(sym, '#')[i],
                                 r := string_split(sym, '#')[i+1])))

@@ -69,11 +69,16 @@ def test_query_matches_oracle(spark, name):
     assert srows == drows
 
 
+HEAD_LEN = 27  # r5: 25 engine rows + promoted mix_sources/bpe_train
+WINDOW = 50    # the driver row-checks only this many registry entries
+
+
 def test_registry_rotation_covers_all_queries(monkeypatch):
     """ADVICE r3 item 4: the driver checks only the first 50 registry
-    entries; the rotation must (a) keep the 25 engine-query head
-    pinned, (b) permute, never add/drop, and (c) have the even+odd
-    windows jointly cover every registered query."""
+    entries; the rotation must (a) keep the pinned head pinned,
+    (b) permute, never add/drop, and (c) have the even+odd windows
+    jointly cover every registered query - which requires the pool to
+    be EXACTLY twice the per-round pool window."""
     from docling_core_spark import queries as qmod
 
     monkeypatch.setattr(qmod, "_rotation_state", lambda: 0)
@@ -81,9 +86,37 @@ def test_registry_rotation_covers_all_queries(monkeypatch):
     monkeypatch.setattr(qmod, "_rotation_state", lambda: 1)
     odd = list(qmod.registry())
     assert sorted(even) == sorted(odd)
-    assert even[:25] == odd[:25]
-    assert set(even[:50]) | set(odd[:50]) == set(even)
+    assert even[:HEAD_LEN] == odd[:HEAD_LEN]
+    assert len(even) - HEAD_LEN == 2 * (WINDOW - HEAD_LEN), (
+        "pool must be exactly 2x the per-round pool window for an "
+        "exact two-round cover")
+    assert set(even[:WINDOW]) | set(odd[:WINDOW]) == set(even)
     assert even != odd
+
+
+def test_rotation_window_covers_prev_round_gap():
+    """VERDICT r4 item 6: retirements/re-orders must never orphan a
+    query for two consecutive driver windows (the pdf_cells_in_bbox
+    drift). Load the committed CORRECTNESS_r{N-1}.json and assert
+    every CURRENT registry entry is covered by (prev round's checked
+    keys) UNION (this round's actual window)."""
+    import glob
+    import json
+
+    from docling_core_spark import queries as qmod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    if not arts:
+        pytest.skip("no committed CORRECTNESS artifact")
+    prev = set(json.load(open(arts[-1])))
+    # this round's window at the REAL rotation state (keyed on the
+    # committed artifact count, exactly as the driver will see it)
+    window = set(list(qmod.registry())[:WINDOW])
+    orphaned = set(qmod.registry()) - (prev | window)
+    assert not orphaned, (
+        f"{sorted(orphaned)} were not driver-checked last round and "
+        f"are outside this round's window - re-order or re-pin them")
 
 
 def test_entry_smoke(spark):

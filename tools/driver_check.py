@@ -33,7 +33,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # hash-green); normalize to 9 decimals so only real diffs surface
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(9)
+            df[c] = df[c].round(9).astype("float64")
+        elif df[c].dtype.kind in "iu":
+            # width-normalize (int32 vs int64 is not a driver
+            # mismatch); KIND stays significant - see main()
+            df[c] = df[c].astype("int64")
     cols = sorted(df.columns)
     out = df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     return out
@@ -76,20 +80,26 @@ def main() -> int:
         s, d = canon(sdf), canon(ddf)
         rows = len(s) == len(d)
         schema = list(s.columns) == list(d.columns)
+        # dtype-KIND gate (r4 verdict item 2): a DuckDB HUGEINT
+        # aggregate surfaces as float64/object while Spark returns
+        # int64 - the driver's value hash then mismatches even when
+        # every value is equal. Require matching pandas dtype kinds
+        # (int vs int, float vs float, ...) after canonicalization so
+        # any oracle exposing a raw SUM/COUNT HUGEINT fails HERE, not
+        # at the driver. No lenient fallback.
+        kinds_ok = schema and all(
+            s[c].dtype.kind == d[c].dtype.kind for c in s.columns)
+        if schema and not kinds_ok:
+            for c in s.columns:
+                if s[c].dtype.kind != d[c].dtype.kind:
+                    print(f"  dtype-kind mismatch {c}: spark="
+                          f"{s[c].dtype} duck={d[c].dtype}")
         try:
-            values = rows and schema and s.equals(d)
-            if not values and rows and schema:
-                # dtype-insensitive fallback (driver hashes values)
-                values = all(
-                    s[c].astype(object).where(pd.notna(s[c]), None)
-                    .tolist()
-                    == d[c].astype(object).where(pd.notna(d[c]), None)
-                    .tolist()
-                    for c in s.columns)
+            values = rows and schema and kinds_ok and s.equals(d)
         except Exception as ex:
             values = False
             print(f"  compare error: {ex}")
-        ok = rows and schema and values
+        ok = rows and schema and kinds_ok and values
         bad += 0 if ok else 1
         print(f"{name:28s} rows={len(s)}/{len(d)} "
               f"schema={'Y' if schema else 'N'} "
