@@ -133,6 +133,23 @@ WORDHASH_DUCK = (
     "list_reduce(list_transform(string_split(w, ''), "
     f"c -> CAST(ascii(c) AS BIGINT)), (acc, c) -> (acc*31 + c) % {P})")
 
+# Collision-safe window key for the exact-substring family (ADVICE
+# r4): WORDHASH's ~2^30 key space birthday-collides once distinct
+# windows reach ~10^4-10^5, and exact_substr_rewrite_over CUTS text on
+# key equality, so a collision there is silent data loss at corpus
+# scale (at 10^12 windows nearly every window would collide). Two
+# independent 48-bit md5 slices give a 96-bit key - expected false
+# pairs at 10^12 windows ~6e-6 - while keeping the shuffle row
+# fixed-width (two BIGINTs; the window STRING never shuffles). The
+# same-hex-prefix construction as _MD5_48_* makes both engines agree
+# bit-for-bit; WORDHASH stays the shared idiom where minhash-family
+# compatibility matters (signatures tolerate collisions by design).
+WINKEY1_SPARK = "CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)"
+WINKEY2_SPARK = ("CAST(conv(substring(md5(w), 13, 12), 16, 10) "
+                 "AS BIGINT)")
+WINKEY1_DUCK = "('0x' || substr(md5(w), 1, 12))::BIGINT"
+WINKEY2_DUCK = "('0x' || substr(md5(w), 13, 12))::BIGINT"
+
 # word 3-gram shingle strings from a words column ``ws``
 # (the Spark side builds shingles relationally in _shingle_rows; these
 # DUCK twins are the oracle's definitions)
@@ -1865,13 +1882,20 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ws", F.expr(words_spark()))
             .select("doc_id",
                     F.explode(F.expr(_windows_spark())).alias("w"))
-            .select("doc_id", F.expr(WORDHASH_SPARK).alias("wh")))
+            # same 96-bit window key as the removal path (WINKEY1/2
+            # note): the signal would only be INFLATED by collisions,
+            # but signal and removal must agree on what "duplicated
+            # window" means or the reported dup_ratio misstates what
+            # --exact-substr would actually cut
+            .select("doc_id", F.expr(WINKEY1_SPARK).alias("wh1"),
+                    F.expr(WINKEY2_SPARK).alias("wh2")))
     # single corpus scan: per-hash occurrence counts via a window over
     # the hash partitioning, then one re-aggregation per doc - two
-    # shuffles total ((wh) then (doc_id)), vs the naive
+    # shuffles total ((wh1,wh2) then (doc_id)), vs the naive
     # count-table + re-join form that scans the corpus three times
     occ = wins.withColumn(
-        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("wh")))
+        "n_occ",
+        F.count(F.lit(1)).over(Window.partitionBy("wh1", "wh2")))
     return (occ.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_windows"),
                  F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
@@ -1886,11 +1910,13 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DUP_PASSAGES = f"""
 WITH d AS (SELECT doc_id, {words_duck()} AS ws FROM documents),
 wn AS (SELECT doc_id, unnest({_windows_duck()}) AS w FROM d),
-h AS (SELECT doc_id, {WORDHASH_DUCK} AS wh FROM wn),
-dup AS (SELECT wh FROM h GROUP BY wh HAVING COUNT(*) >= 2),
+h AS (SELECT doc_id, {WINKEY1_DUCK} AS wh1,
+             {WINKEY2_DUCK} AS wh2 FROM wn),
+dup AS (SELECT wh1, wh2 FROM h GROUP BY wh1, wh2
+        HAVING COUNT(*) >= 2),
 tot AS (SELECT doc_id, COUNT(*) AS n_windows FROM h GROUP BY doc_id),
 dd AS (SELECT h.doc_id, COUNT(*) AS n_dup
-       FROM h JOIN dup USING (wh) GROUP BY h.doc_id)
+       FROM h JOIN dup USING (wh1, wh2) GROUP BY h.doc_id)
 SELECT t.doc_id, t.n_windows,
        COALESCE(dd.n_dup, 0) AS n_dup_windows,
        {_sql_r("CAST(COALESCE(dd.n_dup, 0) AS DOUBLE) / t.n_windows",
@@ -1936,10 +1962,14 @@ def exact_substr_rewrite_over(docs: DataFrame, text_col: str = "text"
             .select("doc_id",
                     F.posexplode(F.expr(_windows_spark()))
                     .alias("i", "w"))
+            # 96-bit collision-safe key (see WINKEY1/2 note): cuts
+            # are destructive, so the key must not birthday-collide
+            # at corpus scale the way WORDHASH mod P would
             .select("doc_id", (F.col("i") + 1).alias("idx"),
-                    F.expr(WORDHASH_SPARK).alias("wh")))
-    occ = Window.partitionBy("wh")
-    first = Window.partitionBy("wh").orderBy("doc_id", "idx")
+                    F.expr(WINKEY1_SPARK).alias("wh1"),
+                    F.expr(WINKEY2_SPARK).alias("wh2")))
+    occ = Window.partitionBy("wh1", "wh2")
+    first = Window.partitionBy("wh1", "wh2").orderBy("doc_id", "idx")
     cuts = (wins
             .withColumn("n_occ", F.count(F.lit(1)).over(occ))
             .withColumn("rn", F.row_number().over(first))
@@ -1976,9 +2006,11 @@ def exact_substr_dedup_over(docs: DataFrame) -> DataFrame:
     hash-checked rewrite contract, like pii_scrub's scrubbed bytes).
 
     100 TB design: the window build is a codegen projection; the only
-    corpus-sized shuffle carries (doc_id, idx, wh) - 24-byte rows,
+    corpus-sized shuffle carries (doc_id, idx, wh1, wh2) - 32-byte
+    rows with a 96-bit collision-safe window key (WINKEY1/2 note:
+    cuts are destructive, so the key must not birthday-collide),
     never text. First-occurrence marking rides ONE hash-partitioned
-    shuffle (count + row_number share the wh distribution, so
+    shuffle (count + row_number share the key distribution, so
     Catalyst plans a single Exchange); the per-doc cut lists are
     dup-density-bounded and AQE broadcasts them back onto the scan;
     the rebuild itself is a zero-shuffle projection whose
@@ -2010,10 +2042,11 @@ wn AS (SELECT doc_id,
                      i -> {{'idx': i, 'w': wins[i]}})) AS u
        FROM w0),
 wx AS (SELECT doc_id, u.idx AS idx, u.w AS w FROM wn),
-h AS (SELECT doc_id, idx, {WORDHASH_DUCK} AS wh FROM wx),
+h AS (SELECT doc_id, idx, {WINKEY1_DUCK} AS wh1,
+             {WINKEY2_DUCK} AS wh2 FROM wx),
 m AS (SELECT doc_id, idx,
-             COUNT(*) OVER (PARTITION BY wh) AS n_occ,
-             ROW_NUMBER() OVER (PARTITION BY wh
+             COUNT(*) OVER (PARTITION BY wh1, wh2) AS n_occ,
+             ROW_NUMBER() OVER (PARTITION BY wh1, wh2
                                 ORDER BY doc_id, idx) AS rn
       FROM h),
 c AS (SELECT doc_id, list_sort(list(idx)) AS cut_idx

@@ -124,11 +124,16 @@ def main() -> None:
         if args.exact_substr:
             # passage-level cut AFTER doc-level dedup (doc dedup first
             # shrinks the window index the passage pass must shuffle);
-            # clean_text becomes the deduplicated word stream
+            # clean_text becomes the deduplicated word stream, so the
+            # lineage hash must be recomputed - carrying stage1's
+            # content_md5 (md5 of the PRE-rewrite text) next to the
+            # rewritten text would break the hash-text invariant
+            # downstream consumers rely on (ADVICE r4)
             ded = (exact_substr_rewrite_over(ded, text_col="clean_text")
                    .withColumn("clean_text", F.col("kept_text"))
                    .drop("kept_text")
-                   .filter(F.col("n_cut_words") < F.col("n_words")))
+                   .filter(F.col("n_cut_words") < F.col("n_words"))
+                   .withColumn("content_md5", F.md5("clean_text")))
         if args.dsir_top_frac is not None:
             # score retained docs against the benchmark target
             # distribution; bench rows are the flagged half of one
@@ -144,12 +149,31 @@ def main() -> None:
                                   is_target=F.col("__is_bench"),
                                   text_col="__txt")
             # the cutoff is a 1-number statistic; approxQuantile is
-            # the spark-native distributed quantile sketch
-            thr = w.approxQuantile(
-                "avg_log_weight", [1.0 - args.dsir_top_frac], 0.001)[0]
-            ded = (ded.join(
-                       w.select("doc_id", "avg_log_weight"), "doc_id")
-                   .filter(F.col("avg_log_weight") >= thr))
+            # the spark-native distributed quantile sketch. Guard the
+            # empty case (no doc has an extractable word): selection
+            # is undefined there, so log and keep everything rather
+            # than raise mid-job (ADVICE r4).
+            quant = w.approxQuantile(
+                "avg_log_weight", [1.0 - args.dsir_top_frac], 0.001)
+            if not quant:
+                print("DSIR: no scorable docs (zero extractable "
+                      "words everywhere); skipping selection")
+            else:
+                thr = quant[0]
+                # LEFT join: dsir_weights_over omits docs with zero
+                # extractable words, and an inner join would silently
+                # drop them regardless of the fraction. Such docs
+                # carry no trainable tokens - drop them, but
+                # explicitly and logged (ADVICE r4).
+                scored = ded.join(
+                    w.select("doc_id", "avg_log_weight"),
+                    "doc_id", "left")
+                n_unscored = scored.filter(
+                    F.col("avg_log_weight").isNull()).count()
+                if n_unscored:
+                    print(f"DSIR: dropping {n_unscored} docs with no "
+                          f"extractable words (unscorable)")
+                ded = scored.filter(F.col("avg_log_weight") >= thr)
         # overwrite is idempotent; _SUCCESS is the commit point
         ded.drop("partition_id").write.mode("overwrite").parquet(s2_dir)
     retained = spark.read.parquet(s2_dir)

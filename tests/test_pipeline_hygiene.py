@@ -721,6 +721,41 @@ def test_exact_substr_dedup_first_occurrence_wins(spark, tmp_path):
     assert out[40]["n_cut_words"] == 0
 
 
+def test_exact_substr_dedup_hash_collision_no_false_cut(
+        spark, tmp_path):
+    """ADVICE r4 (medium): the removal path must not cut on a window
+    KEY collision. 'collisionprobealpha' and 'qwxywceb' are distinct
+    strings that collide under the legacy WORDHASH mod P=1e9+7 key
+    (both fold to 89197714) - under that key one of these two
+    single-word docs would be destructively cut to the empty stream.
+    The 96-bit md5 window key must keep both intact; the dup_passages
+    signal must agree (zero duplicated windows)."""
+    from docling_core_spark.textops import (
+        P,
+        q_dup_passages,
+        q_exact_substr_dedup,
+    )
+
+    s1, s2 = "collisionprobealpha", "qwxywceb"
+
+    def legacy_hash(s):
+        acc = -1
+        for ch in s:
+            acc = ord(ch) if acc < 0 else (acc * 31 + ord(ch)) % P
+        return acc
+
+    assert s1 != s2 and legacy_hash(s1) == legacy_hash(s2)
+    sf = _write_docs(spark, tmp_path, [(60, s1), (61, s2)])
+    out = {r["doc_id"]: r for r in
+           q_exact_substr_dedup(spark, sf).collect()}
+    assert out[60]["n_cut_words"] == 0
+    assert out[61]["n_cut_words"] == 0
+    assert out[60]["kept_ratio"] == out[61]["kept_ratio"] == 1.0
+    sig = {r["doc_id"]: r["n_dup_windows"] for r in
+           q_dup_passages(spark, sf).collect()}
+    assert sig == {60: 0, 61: 0}
+
+
 def test_exact_substr_dedup_same_doc_repeat(spark, tmp_path):
     """A doc repeating its own 16-word block keeps only the first
     copy: window idx3 (words 17-32) duplicates idx1 within the same

@@ -393,6 +393,11 @@ def test_spark_submit_training_corpus_selection_flags(tmp_path):
     assert "quokka" not in rows[200002]["clean_text"]
     assert rows[200002]["n_cut_words"] == 16
     assert "omega" in rows[200002]["clean_text"]
+    # lineage-hash invariant (ADVICE r4): after the --exact-substr
+    # rewrite, content_md5 must hash the text it sits next to, not
+    # stage1's pre-rewrite text
+    assert retained.filter(
+        F.md5("clean_text") != F.col("content_md5")).count() == 0
 
     # DSIR kept ~90% of the scored (post-substr) docs
     from docling_core_spark.textops import (decontaminate_over,
