@@ -2311,20 +2311,71 @@ def hygiene_over(docs: DataFrame, text=None) -> DataFrame:
                     F.col("m.keep").alias("keep")))
 
 
-def dedup_retain_over(clean: DataFrame) -> DataFrame:
+def dedup_retain_over(clean: DataFrame, mode: str = "window",
+                      text_col: str = "clean_text") -> DataFrame:
     """Exact-dedup retention over a hygiene frame: keep the min-doc_id
-    representative per content_md5. Adds content_md5 if absent. ONE
-    shuffle on the content hash; the window never sees more rows per
-    partition than one hash bucket's worth — scale-safe."""
+    representative per content_md5. Adds content_md5 if absent (md5 of
+    ``text_col``). Both modes return the same rows; they differ only
+    in WHAT crosses the exchange:
+
+    ``mode="window"``: ONE shuffle of the full rows on the content
+    hash, min-over-window, filter. Simple, and the window never sees
+    more rows per partition than one hash bucket's worth.
+
+    ``mode="keys"`` (VERDICT r4 item 5): aggregate
+    (content_md5 -> min doc_id) first - the exchange carries 24-byte
+    key rows, never the text payload - then semi-join the survivor
+    doc_ids back onto the unshuffled scan. The survivor table is
+    bytes-per-doc-sized, so at bench scale AQE broadcasts it and the
+    payload crosses ZERO exchanges; at 10^12 docs it degrades to a
+    payload shuffle on doc_id only if the survivor set outgrows the
+    broadcast budget, at which point the same keys table persisted as
+    an artifact feeds a storage-partitioned or bloom-filter join.
+    Prefer "keys" when rows are wide (the assembly job's full-text
+    frame: payload bandwidth dominates the window formulation's
+    exchange - measured in BASELINE.md's dedup-mode ladder)."""
     from pyspark.sql import Window
 
     if "content_md5" not in clean.columns:
-        clean = clean.withColumn("content_md5", F.md5("clean_text"))
+        clean = clean.withColumn("content_md5", F.md5(text_col))
+    if mode == "keys":
+        survivors = (clean.groupBy("content_md5")
+                     .agg(F.min("doc_id").alias("doc_id"))
+                     .select("doc_id"))
+        return clean.join(survivors, "doc_id", "left_semi")
+    if mode != "window":
+        raise ValueError(f"unknown dedup mode {mode!r}")
     return (clean.withColumn(
                 "min_id",
                 F.min("doc_id").over(Window.partitionBy("content_md5")))
             .filter(F.col("doc_id") == F.col("min_id"))
             .drop("min_id"))
+
+
+def q_dedup_retain_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver certification that the two dedup_retain_over
+    formulations are row-identical (VERDICT r4 item 5): run BOTH the
+    window mode (full-row shuffle on content_md5) and the keys mode
+    (24-byte key aggregation + survivor semi-join, payload unshuffled)
+    over the documents table and inner-join the survivor sets on
+    (doc_id, content_md5). Any divergence between the modes drops
+    rows, so the single oracle row-count/hash check certifies both
+    plans at once."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("clean_text"))
+    win = dedup_retain_over(docs, mode="window").select(
+        "doc_id", "content_md5")
+    keys = dedup_retain_over(docs, mode="keys").select(
+        "doc_id", "content_md5")
+    return (win.join(keys, ["doc_id", "content_md5"])
+            .orderBy("doc_id"))
+
+
+SQL_DEDUP_RETAIN_MODES = """
+WITH h AS (SELECT doc_id, md5(text) AS content_md5 FROM documents)
+SELECT MIN(doc_id) AS doc_id, content_md5
+FROM h GROUP BY content_md5 ORDER BY doc_id
+"""
 
 
 def decontaminate_over(clean: DataFrame, bench: DataFrame,
@@ -3671,6 +3722,7 @@ ORACLES = {
     "ann_ivf_kmeans_topk": SQL_ANN_IVF_KMEANS_TOPK,
     "dup_clusters": sql_dup_clusters(),
     "dedup_retention": sql_dedup_retention(),
+    "dedup_retain_modes": SQL_DEDUP_RETAIN_MODES,
     "pii_scrub": SQL_PII_SCRUB,
     "contamination_screen": SQL_CONTAMINATION_SCREEN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

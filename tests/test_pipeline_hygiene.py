@@ -679,6 +679,40 @@ def test_semantic_dedup_plan_shape(spark):
 # exact-substring passage removal (r4 session 12)
 # ----------------------------------------------------------------------
 
+def test_dedup_retain_modes_identical_and_keys_plan(spark, tmp_path):
+    """VERDICT r4 item 5: dedup_retain_over's keys mode (key-only
+    aggregation + survivor semi-join) must return exactly the window
+    mode's rows on a dup-heavy frame, and its corpus-sized exchange
+    must carry aggregated keys, not the text payload (partial_min
+    below the exchange = map-side combine of 24-byte rows)."""
+    import random
+
+    import pytest
+
+    from docling_core_spark.textops import dedup_retain_over
+
+    rng = random.Random(5021)
+    texts = [f"payload {i} " + "x" * rng.randint(0, 50)
+             for i in range(40)]
+    rows = [(d, rng.choice(texts)) for d in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, clean_text string")
+
+    win = dedup_retain_over(df, mode="window")
+    keys = dedup_retain_over(df, mode="keys")
+    got_w = sorted((r["doc_id"], r["clean_text"], r["content_md5"])
+                   for r in win.collect())
+    got_k = sorted((r["doc_id"], r["clean_text"], r["content_md5"])
+                   for r in keys.collect())
+    assert got_k == got_w
+    assert len({c for _, _, c in got_k}) == len(got_k)  # unique hashes
+
+    plan = _plan(keys)
+    assert "partial_min" in plan          # map-side combine pre-shuffle
+    assert "LeftSemi" in plan             # survivors join back
+    with pytest.raises(ValueError):
+        dedup_retain_over(df, mode="bogus")
+
+
 def test_exact_substr_dedup_first_occurrence_wins(spark, tmp_path):
     """Lee-et-al ExactSubstr semantics on hand-checkable docs: the
     globally-first occurrence of a duplicated 16-word window survives,
