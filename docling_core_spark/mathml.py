@@ -24,7 +24,13 @@ published output conventions:
 * ``\\sqrt{X}`` -> ``<msqrt><mrow>X</mrow></msqrt>``;
   ``\\sqrt[N]{X}`` -> ``<mroot>`` (base mrow first, then index mrow);
 * ``\\text{...}`` -> ``<mtext>`` with interior spaces as
-  ``&#x000A0;``.
+  ``&#x000A0;``;
+* (r5) ``\\begin{matrix|pmatrix|bmatrix|vmatrix|cases}`` ->
+  ``<mtable>/<mtr>/<mtd>`` with mrow-wrapped cells, the fenced
+  variants wrapped in the \\left/\\right-style stretchy ``<mo>``
+  pair and ``cases`` left-aligned with a prefix brace;
+* (r5) accents ``\\hat/\\bar/\\vec/\\tilde/\\dot/\\overrightarrow``
+  -> ``<mover>`` with a non-stretchy accent ``<mo>``.
 
 Fidelity is pinned BYTE-FOR-BYTE against the reference's committed
 goldens, which were generated with the real latex2mathml
@@ -116,6 +122,24 @@ _MO_COMMANDS = {
     "Leftrightarrow": (0x21D4, False), "mapsto": (0x21A6, False),
 }
 
+# round-5 widening (VERDICT r4 item 3): environments + accents.
+# environment -> (open fence, close fence); None = bare mtable
+_ENVIRONMENTS = {
+    "matrix": (None, None),
+    "pmatrix": ("(", ")"),
+    "bmatrix": ("[", "]"),
+    "vmatrix": ("|", "|"),
+    "cases": ("lbrace", None),
+}
+
+# accent command -> <mover> accent codepoint (hat = CIRCUMFLEX
+# ACCENT, bar = MACRON, vec/overrightarrow = RIGHTWARDS ARROW,
+# tilde = SMALL TILDE, dot = DOT ABOVE)
+_ACCENTS = {
+    "hat": 0x5E, "bar": 0xAF, "vec": 0x2192,
+    "overrightarrow": 0x2192, "tilde": 0x2DC, "dot": 0x2D9,
+}
+
 # \mathbb{X} -> double-struck letter (<mi>), the published
 # converter's per-letter symbol entries; non-BMP block at U+1D538
 # with the six Letterlike Symbols exceptions
@@ -152,8 +176,27 @@ def _tokenize(latex: str) -> List[Tuple[str, str]]:
                                 else "rbrace"))
                     i += 2
                     continue
+                if i + 1 < n and latex[i + 1] == "\\":
+                    # row separator (only meaningful inside an
+                    # environment; the parser rejects it elsewhere)
+                    out.append(("rowsep", ""))
+                    i += 2
+                    continue
                 raise UnsupportedLatex(f"escape {latex[i:i+2]!r}")
             name = latex[i + 1:j]
+            if name in ("begin", "end"):
+                # raw-read the braced environment name
+                k = j
+                while k < n and latex[k].isspace():
+                    k += 1
+                if k >= n or latex[k] != "{":
+                    raise UnsupportedLatex(f"\\{name} needs {{")
+                m = latex.find("}", k + 1)
+                if m < 0:
+                    raise UnsupportedLatex(f"unclosed \\{name}")
+                out.append((name, latex[k + 1:m]))
+                i = m + 1
+                continue
             if name == "text":
                 # raw-read the braced argument (spaces significant)
                 k = j
@@ -186,6 +229,10 @@ def _tokenize(latex: str) -> List[Tuple[str, str]]:
             i += 1
         elif ch in "{}^_":
             out.append((ch, ch))
+            i += 1
+        elif ch == "&":
+            # column separator (environment-only, like rowsep)
+            out.append(("colsep", ""))
             i += 1
         else:
             raise UnsupportedLatex(f"char {ch!r}")
@@ -305,6 +352,15 @@ class _Parser:
                 el = Element("mo")
                 el.text = _ref(cp)
                 return el, movable
+            if val in _ACCENTS:
+                # \hat/\bar/\vec -> <mover> base + accent <mo>
+                # (hand-pinned convention, see module docstring)
+                base = self._braced_arg()
+                el = Element("mover")
+                el.append(base)
+                mo = SubElement(el, "mo", {"stretchy": "false"})
+                mo.text = _ref(_ACCENTS[val])
+                return el, False
             if val == "mathbb":
                 arg = self._braced_arg()
                 kids = list(arg)
@@ -316,7 +372,64 @@ class _Parser:
                 el.text = _ref(_mathbb_cp(kids[0].text))
                 return el, False
             raise UnsupportedLatex(f"command \\{val}")
+        if kind == "begin":
+            return self._environment(val), False
         raise UnsupportedLatex(f"token {kind!r}")
+
+    def _environment(self, env: str) -> Element:
+        """\\begin{matrix|pmatrix|bmatrix|vmatrix|cases} ... \\end ->
+        <mtable>/<mtr>/<mtd> (cells mrow-wrapped like every other
+        argument position), with the fenced variants wrapped in the
+        same stretchy prefix/postfix <mo> pair as \\left/\\right and
+        cases additionally left-aligned. A trailing ``\\\\`` before
+        \\end contributes no empty row (the LaTeX convention)."""
+        if env not in _ENVIRONMENTS:
+            raise UnsupportedLatex(f"environment {env!r}")
+        rows: List[List[Element]] = [[Element("mrow")]]
+        while True:
+            t = self._peek()
+            if t is None:
+                raise UnsupportedLatex(f"unclosed \\begin{{{env}}}")
+            if t[0] == "end":
+                self.i += 1
+                if t[1] != env:
+                    raise UnsupportedLatex(
+                        f"\\end{{{t[1]}}} closes \\begin{{{env}}}")
+                break
+            if t[0] == "colsep":
+                self.i += 1
+                rows[-1].append(Element("mrow"))
+                continue
+            if t[0] == "rowsep":
+                self.i += 1
+                rows.append([Element("mrow")])
+                continue
+            rows[-1][-1].append(self.parse_scripted())
+        if len(rows) > 1 and len(rows[-1]) == 1 \
+                and len(rows[-1][0]) == 0:
+            rows.pop()
+        table = Element("mtable")
+        open_d, close_d = _ENVIRONMENTS[env]
+        if env == "cases":
+            table.set("columnalign", "left")
+        for r in rows:
+            mtr = SubElement(table, "mtr")
+            for cell in r:
+                mtd = SubElement(mtr, "mtd")
+                mtd.append(cell)
+        if open_d is None and close_d is None:
+            return table
+        row = Element("mrow")
+        mo = SubElement(row, "mo", {"stretchy": "true", "fence": "true",
+                                    "form": "prefix"})
+        mo.text = _ref(_FENCES[open_d])
+        row.append(table)
+        if close_d is not None:
+            mo = SubElement(row, "mo", {"stretchy": "true",
+                                        "fence": "true",
+                                        "form": "postfix"})
+            mo.text = _ref(_FENCES[close_d])
+        return row
 
     def _braced_arg(self) -> Element:
         t = self._next()
