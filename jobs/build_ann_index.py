@@ -24,17 +24,34 @@ def main() -> None:
     p.add_argument("--input", required=True,
                    help="parquet dir/file of embeddings(vec_id, embedding)")
     p.add_argument("--output", required=True, help="index output dir")
+    p.add_argument("--append", action="store_true",
+                   help="treat --input as an incremental batch: assign "
+                        "to the existing centroids and append into the "
+                        "cell partitions; retrain only if the batch's "
+                        "distortion drifts past --drift-threshold")
+    p.add_argument("--drift-threshold", type=float, default=1.5,
+                   help="batch-vs-training mean quantized-L2 ratio "
+                        "above which --append retrains the quantizer")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from docling_core_spark.annindex import build_ivf_index
+    from docling_core_spark.annindex import (append_ivf_index,
+                                             build_ivf_index)
 
     spark = SparkSession.builder.appName(
         "docling-build-ann-index").getOrCreate()
     emb = spark.read.parquet(args.input)
-    stats = build_ivf_index(emb, args.output)
-    print(f"DONE cells={stats['n_cells']} vectors={stats['n_vectors']}")
+    if args.append:
+        stats = append_ivf_index(emb, args.output,
+                                 drift_threshold=args.drift_threshold)
+        print(f"DONE appended={stats['n_appended']} "
+              f"drift={stats['drift']:.3f} refit={stats['refit']} "
+              f"vectors={stats['n_vectors']}")
+    else:
+        stats = build_ivf_index(emb, args.output)
+        print(f"DONE cells={stats['n_cells']} "
+              f"vectors={stats['n_vectors']}")
     spark.stop()
 
 
