@@ -63,9 +63,9 @@ if not os.path.exists(os.path.join(path, "_SUCCESS")):
 docs = spark.read.parquet(path)
 n_docs = docs.count()
 
-def full_pass():
+def full_pass(dedup_mode="window"):
     clean = (hygiene_over(docs).filter(F.col("keep")).drop("keep"))
-    ded = dedup_retain_over(clean)
+    ded = dedup_retain_over(clean, mode=dedup_mode)
     packed = pack_over(ded, text_col="clean_text")
     return packed.agg(F.sum("n_seqs")).collect()[0][0]
 
@@ -73,7 +73,9 @@ def hygiene_pass():
     return (hygiene_over(docs).filter(F.col("keep"))
             .agg(F.sum("n_words"), F.sum("n_pii")).collect()[0][0])
 
-fn = full_pass if mode == "full" else hygiene_pass
+fn = {"full": full_pass,
+      "full_keys": lambda: full_pass("keys"),
+      "hygiene": hygiene_pass}[mode]
 fn()  # warm the worker pool + page cache with a complete pass
 best = None
 for _ in range(3):
@@ -168,6 +170,15 @@ def main() -> None:
     print(f"full pipeline 8 -> 32 cores: "
           f"{full[8]['docs_per_sec']:.0f} -> "
           f"{full[32]['docs_per_sec']:.0f} docs/s, efficiency {eff:.2f}")
+    # same full plan with the keys-only dedup (VERDICT r4 item 5 A/B)
+    fk = {c: run_one(n_copies, c, "full_keys") for c in (8, 32)}
+    for c, r in fk.items():
+        print(json.dumps(r))
+    keff = fk[32]["docs_per_sec"] / (4 * fk[8]["docs_per_sec"])
+    summary["full_keys_8->32"] = round(keff, 3)
+    print(f"full pipeline (keys dedup) 8 -> 32 cores: "
+          f"{fk[8]['docs_per_sec']:.0f} -> "
+          f"{fk[32]['docs_per_sec']:.0f} docs/s, efficiency {keff:.2f}")
     # executor pairing on the per-doc hygiene stage
     hyg8 = run_one(n_copies, 8, "hygiene")
     print(json.dumps(hyg8))

@@ -2323,17 +2323,27 @@ def dedup_retain_over(clean: DataFrame, mode: str = "window",
     more rows per partition than one hash bucket's worth.
 
     ``mode="keys"`` (VERDICT r4 item 5): aggregate
-    (content_md5 -> min doc_id) first - the exchange carries 24-byte
-    key rows, never the text payload - then semi-join the survivor
-    doc_ids back onto the unshuffled scan. The survivor table is
-    bytes-per-doc-sized, so at bench scale AQE broadcasts it and the
-    payload crosses ZERO exchanges; at 10^12 docs it degrades to a
-    payload shuffle on doc_id only if the survivor set outgrows the
-    broadcast budget, at which point the same keys table persisted as
-    an artifact feeds a storage-partitioned or bloom-filter join.
-    Prefer "keys" when rows are wide (the assembly job's full-text
-    frame: payload bandwidth dominates the window formulation's
-    exchange - measured in BASELINE.md's dedup-mode ladder)."""
+    (content_md5 -> min doc_id) first - the exchange carries key rows
+    (md5 + id, map-side-combined), never the text payload - then
+    BROADCAST-semi-join the survivor doc_ids back onto the unshuffled
+    scan, so the payload crosses ZERO exchanges. Two preconditions,
+    both measured in BENCH/BASELINE.md's dedup-mode ladder:
+
+    * ``clean`` should be a MATERIALIZED table (the assembly job's
+      stage1 parquet), because the keys plan scans it twice (once to
+      build keys, once under the semi-join) - over a computed
+      projection like an inline hygiene_over both scans re-derive the
+      projection and the mode loses outright (measured 2x slower);
+    * the survivor id set must fit the broadcast budget (8 bytes/doc;
+      ~1M survivors = ~9 MB). Beyond that, persist the keys table as
+      an artifact and feed a storage-partitioned or bloom-filter
+      join - or use the window mode, whose one full-row exchange is
+      bandwidth-bound but single-scan.
+
+    Prefer "keys" when rows are wide relative to the key (payload
+    bandwidth dominates the window formulation's exchange) and the
+    input is a real table; prefer "window" for computed inputs or
+    unbroadcastable survivor sets."""
     from pyspark.sql import Window
 
     if "content_md5" not in clean.columns:
@@ -2342,7 +2352,8 @@ def dedup_retain_over(clean: DataFrame, mode: str = "window",
         survivors = (clean.groupBy("content_md5")
                      .agg(F.min("doc_id").alias("doc_id"))
                      .select("doc_id"))
-        return clean.join(survivors, "doc_id", "left_semi")
+        return clean.join(F.broadcast(survivors), "doc_id",
+                          "left_semi")
     if mode != "window":
         raise ValueError(f"unknown dedup mode {mode!r}")
     return (clean.withColumn(
