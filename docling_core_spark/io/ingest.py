@@ -111,15 +111,17 @@ def split_sources(sources: Sequence[str]
 
 
 def _fmt_expr(name_col: str):
-    """JVM-side suffix classifier matching classify_format."""
+    """JVM-side suffix classifier matching classify_format. A literal
+    map lookup, NOT a WHEN chain: Catalyst substitutes the suffix
+    expression into every WHEN branch textually (plan_audit caught
+    the split() evaluated 10x per row), while map.getItem evaluates
+    its key exactly once."""
     suffix = F.when(F.col(name_col).contains("."),
                     F.lower(F.element_at(
                         F.split(name_col, r"\."), -1))).otherwise("")
-    expr = F.lit("binary")
-    # build the CASE from the same table the pure twin uses
-    for sfx, fmt in FORMAT_BY_SUFFIX.items():
-        expr = F.when(suffix == sfx, fmt).otherwise(expr)
-    return expr
+    mapping = F.create_map(
+        *[F.lit(x) for kv in FORMAT_BY_SUFFIX.items() for x in kv])
+    return F.coalesce(mapping.getItem(suffix), F.lit("binary"))
 
 
 def _local_streams(spark: SparkSession, paths: List[str]) -> DataFrame:

@@ -2374,6 +2374,12 @@ def q_dedup_retain_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans at once."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("clean_text"))
+    # bind the hash ONCE as a generated attribute (plan_audit: letting
+    # each mode add its own md5 column planted the cast/md5 5x in the
+    # joined plan; after the bind each self-join side evaluates it
+    # once - the minimum for a two-plan certification)
+    docs = _gen_bind(docs, ["doc_id", "clean_text"],
+                     F.md5("clean_text"), "content_md5")
     win = dedup_retain_over(docs, mode="window").select(
         "doc_id", "content_md5")
     keys = dedup_retain_over(docs, mode="keys").select(

@@ -120,6 +120,14 @@ ALLOWED: dict = {
      "(emb#, lambdafunction(cast(round((lambda x# * 1000.0), 0) as "
      "bigint), lambda x#, false))"):
         "one quantize per disjoint union branch",
+
+    # dedup_retain_modes certifies TWO dedup plans over one frame by
+    # joining three legs (window branch, keys-survivors branch, keys-
+    # probe branch); after the r5 _gen_bind the md5 runs once per
+    # leg's own scan rows - the minimum for a three-legged
+    # certification (was x5 with per-mode md5 columns).
+    ("dedup_retain_modes", "(cast(clean_text# as binary))"):
+        "one md5 per certification leg",
 }
 
 # Assessed-not-allowed (left visible in the report on purpose): the
