@@ -38,6 +38,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # width-normalize (int32 vs int64 is not a driver
             # mismatch); KIND stays significant - see main()
             df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "M":
+            # resolution-normalize (Spark->pandas gives ns, DuckDB
+            # gives us; same instants either way)
+            df[c] = df[c].astype("datetime64[ns]")
     cols = sorted(df.columns)
     out = df[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     return out
