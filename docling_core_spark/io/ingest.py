@@ -282,6 +282,14 @@ def ingest_spans(streams: DataFrame) -> DataFrame:
     )
 
     def run(batches: Iterator) -> Iterator:
+        def clean(s: str) -> str:
+            # arbitrary ingested files may contain the packing
+            # separator (U+001F) in their text; passing it through
+            # would silently shift every later span's boundary at
+            # unpack. Strip it - it is a non-printing control char
+            # with no content meaning.
+            return s.replace(TEXT_SEP, "") if TEXT_SEP in s else s
+
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             names = batch.column("name").to_pylist()
@@ -293,9 +301,10 @@ def ingest_spans(streams: DataFrame) -> DataFrame:
                 rows.append((
                     d,
                     list(range(len(spans))),
-                    TEXT_SEP.join(s["kind"] for s in spans),
-                    TEXT_SEP.join(s.get("text", "") for s in spans),
-                    TEXT_SEP.join(s.get("media_ref", "")
+                    TEXT_SEP.join(clean(s["kind"]) for s in spans),
+                    TEXT_SEP.join(clean(s.get("text", ""))
+                                  for s in spans),
+                    TEXT_SEP.join(clean(s.get("media_ref", ""))
                                   for s in spans)))
             yield pa.RecordBatch.from_arrays(
                 [pa.array([r[0] for r in rows], pa.string()),

@@ -203,6 +203,23 @@ def test_ingest_spans_doctags_docjson(spark, tmp_path):
         for s in docjson_to_spans(dj)]
 
 
+def test_ingest_spans_separator_in_content(spark, tmp_path):
+    """A hostile file containing the packing separator (U+001F) must
+    not shift span boundaries: the char is stripped, the span COUNT
+    and order stay correct."""
+    base = tmp_path / "t3"
+    base.mkdir()
+    (base / "evil.txt").write_text(
+        "first\x1fpart\n\nsecond \x1f\x1f part", encoding="utf-8")
+    from docling_core_spark.io.ingest import ingest_spans, ingest_streams
+
+    rows = sorted(
+        ingest_spans(ingest_streams(spark, [str(base)])).collect(),
+        key=lambda r: r["ord"])
+    assert [(r["kind"], r["text"]) for r in rows] == [
+        ("text", "firstpart"), ("text", "second  part")]
+
+
 # ---------------------------------------------------------------------
 # the operational job: spark-submit, end to end, resume no-op
 # ---------------------------------------------------------------------
