@@ -1946,7 +1946,8 @@ def _cut_positions_spark() -> str:
             "END")
 
 
-def exact_substr_rewrite_over(docs: DataFrame, text_col: str = "text"
+def exact_substr_rewrite_over(docs: DataFrame, text_col: str = "text",
+                              formulation: str = "window"
                               ) -> DataFrame:
     """Exact-substring passage REMOVAL over any (doc_id, <text_col>)
     frame, returning the input columns plus (n_words, n_cut_words,
@@ -1954,7 +1955,17 @@ def exact_substr_rewrite_over(docs: DataFrame, text_col: str = "text"
     (jobs/build_training_corpus.py --exact-substr runs it on
     clean_text after global dedup); q_exact_substr_dedup projects the
     driver contract (counts + kept-stream md5) off this same plan.
-    Semantics and scale notes: see exact_substr_dedup_over."""
+    Semantics and scale notes: see exact_substr_dedup_over.
+
+    ``formulation="window"`` (default): first-occurrence marking rides
+    ONE hash-partitioned exchange (count + row_number share the key
+    distribution). A mega-duplicated window key serializes its
+    occurrences into a single partition - the documented skew caveat.
+    ``formulation="join"`` is the escape: aggregate per key
+    (count, min (doc_id, idx)) - map-side combined, heavy hitters
+    collapse to one row - then re-join the marks; the join is a plain
+    shuffle join AQE's skew-split CAN divide, at the cost of a second
+    exchange. Same rows bit-for-bit (pinned in tests)."""
     from pyspark.sql import Window
 
     wins = (docs
@@ -1968,14 +1979,29 @@ def exact_substr_rewrite_over(docs: DataFrame, text_col: str = "text"
             .select("doc_id", (F.col("i") + 1).alias("idx"),
                     F.expr(WINKEY1_SPARK).alias("wh1"),
                     F.expr(WINKEY2_SPARK).alias("wh2")))
-    occ = Window.partitionBy("wh1", "wh2")
-    first = Window.partitionBy("wh1", "wh2").orderBy("doc_id", "idx")
-    cuts = (wins
-            .withColumn("n_occ", F.count(F.lit(1)).over(occ))
-            .withColumn("rn", F.row_number().over(first))
-            .filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_list("idx")).alias("cut_idx")))
+    if formulation == "join":
+        marks = (wins.groupBy("wh1", "wh2")
+                 .agg(F.count(F.lit(1)).alias("n_occ"),
+                      F.min(F.struct("doc_id", "idx")).alias("first"))
+                 .filter(F.col("n_occ") >= 2))
+        cuts = (wins.join(marks, ["wh1", "wh2"])
+                .filter(F.struct("doc_id", "idx") != F.col("first"))
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list("idx"))
+                     .alias("cut_idx")))
+    elif formulation == "window":
+        occ = Window.partitionBy("wh1", "wh2")
+        first = Window.partitionBy("wh1", "wh2").orderBy(
+            "doc_id", "idx")
+        cuts = (wins
+                .withColumn("n_occ", F.count(F.lit(1)).over(occ))
+                .withColumn("rn", F.row_number().over(first))
+                .filter((F.col("n_occ") >= 2) & (F.col("rn") > 1))
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list("idx"))
+                     .alias("cut_idx")))
+    else:
+        raise ValueError(f"unknown formulation {formulation!r}")
     return (docs.join(cuts, "doc_id", "left")
             .withColumn("ws", F.expr(words_spark(text_col)))
             .withColumn("cut_pos", F.expr(_cut_positions_spark()))

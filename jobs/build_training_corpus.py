@@ -82,6 +82,17 @@ def main() -> None:
                         "retained docs, ranked by DSIR importance "
                         "weight against the benchmark target "
                         "distribution (Xie et al. 2023)")
+    p.add_argument("--dedup-mode", default="window",
+                   choices=["window", "keys"],
+                   help="stage-2 exact-dedup formulation: 'window' "
+                        "shuffles full rows once on the content hash; "
+                        "'keys' shuffles only (md5, doc_id) keys and "
+                        "broadcast-semi-joins survivors back (0.15-"
+                        "0.18x the exchange bytes, measured - right "
+                        "when the exchange crosses a network and the "
+                        "survivor id set fits the broadcast budget; "
+                        "stage-1 output is materialized parquet, so "
+                        "the keys mode's two scans are cheap here)")
     args = p.parse_args()
     if args.dsir_top_frac is not None and not args.bench:
         p.error("--dsir-top-frac requires --bench (the target set)")
@@ -117,7 +128,7 @@ def main() -> None:
     # ---- stage 2: global dedup (+ decontamination), one commit -----
     s2_dir = os.path.join(args.output, "stage2")
     if not _committed(s2_dir):
-        ded = dedup_retain_over(clean)
+        ded = dedup_retain_over(clean, mode=args.dedup_mode)
         if args.bench:
             bench = spark.read.parquet(args.bench)
             ded = decontaminate_over(ded, bench)

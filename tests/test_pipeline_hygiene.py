@@ -790,6 +790,45 @@ def test_exact_substr_dedup_hash_collision_no_false_cut(
     assert sig == {60: 0, 61: 0}
 
 
+def test_exact_substr_join_formulation_identical(spark, tmp_path):
+    """The skew-escape join formulation (per-key aggregate + re-join,
+    AQE-splittable) must return the window formulation's rows
+    bit-for-bit on a dup-heavy corpus, and its plan must carry the
+    marking via a map-side-combined aggregate, not a window."""
+    import random
+
+    from docling_core_spark.textops import exact_substr_rewrite_over
+
+    rng = random.Random(7411)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(0, ""), (1, "same short doc"), (2, "same short doc")]
+    shared = " ".join(rng.choice(vocab) for _ in range(20))
+    for d in range(3, 120):
+        tail = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(0, 30)))
+        rows.append((d, (shared + " " + tail) if d % 4 == 0 else tail))
+    sf = _write_docs(spark, tmp_path, rows)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    win = {(r["doc_id"], r["n_words"], r["n_cut_words"],
+            r["kept_text"]) for r in
+           exact_substr_rewrite_over(docs).collect()}
+    jn = {(r["doc_id"], r["n_words"], r["n_cut_words"],
+           r["kept_text"]) for r in
+          exact_substr_rewrite_over(
+              docs, formulation="join").collect()}
+    assert jn == win and len(win) == len(rows)
+
+    plan = _plan(exact_substr_rewrite_over(docs, formulation="join"))
+    assert "Window" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        exact_substr_rewrite_over(docs, formulation="bogus")
+
+
 def test_exact_substr_dedup_same_doc_repeat(spark, tmp_path):
     """A doc repeating its own 16-word block keeps only the first
     copy: window idx3 (words 17-32) duplicates idx1 within the same

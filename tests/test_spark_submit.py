@@ -271,6 +271,27 @@ def test_spark_submit_training_corpus_job(tmp_path):
     for key in ("hygiene", "retained", "sequences", "tokens"):
         assert field(done2, key) == field(done, key)
 
+    # --dedup-mode keys over the same input retains the same docs
+    # (stage-1 output is materialized, the keys-mode precondition)
+    out_keys = str(tmp_path / "tout_keys")
+    env = dict(os.environ)
+    env["PYSPARK_PYTHON"] = sys.executable
+    rk = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]",
+         "--conf", "spark.sql.shuffle.partitions=8",
+         "--py-files", os.path.join(ROOT, "dist",
+                                    "docling_core_spark.zip"),
+         os.path.join(ROOT, "jobs", "build_training_corpus.py"),
+         "--input", in_dir, "--output", out_keys,
+         "--bench", bench_dir, "--seq-len", "64",
+         "--n-buckets", "4", "--dedup-mode", "keys"],
+        cwd=str(tmp_path), env=env, capture_output=True,
+        text=True, timeout=300)
+    assert rk.returncode == 0, rk.stderr[-2000:]
+    keys_retained = spark.read.parquet(os.path.join(out_keys, "stage2"))
+    assert ({r.doc_id for r in keys_retained.select("doc_id").collect()}
+            == {r.doc_id for r in retained.select("doc_id").collect()})
+
 
 @pytest.mark.skipif(SPARK_SUBMIT is None, reason="no spark-submit in PATH")
 def test_spark_submit_stream_ingest_job(tmp_path):
