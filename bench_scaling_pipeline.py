@@ -170,7 +170,13 @@ def main() -> None:
     print(f"full pipeline 8 -> 32 cores: "
           f"{full[8]['docs_per_sec']:.0f} -> "
           f"{full[32]['docs_per_sec']:.0f} docs/s, efficiency {eff:.2f}")
-    # same full plan with the keys-only dedup (VERDICT r4 item 5 A/B)
+    # same full plan with the keys-only dedup. NOTE this is the
+    # COMPOSED-INLINE form (no stage-1 materialization), which
+    # bench_dedup_modes.py documents as the keys mode's losing shape
+    # - both its scans re-derive the hygiene projection. It is kept
+    # here deliberately to measure that anti-pattern at the pipeline
+    # level; the job-shaped (materialized-input) A/B with real
+    # shuffle bytes lives in bench_dedup_modes.py.
     fk = {c: run_one(n_copies, c, "full_keys") for c in (8, 32)}
     for c, r in fk.items():
         print(json.dumps(r))

@@ -75,6 +75,32 @@ def _write_meta(out_dir: str, meta: dict) -> None:
         json.dump(meta, f)
 
 
+def _ensure_meta(spark: SparkSession, out_dir: str) -> dict:
+    """Load the index metadata, backfilling it for indexes built
+    before the append path existed: one scan of the stored
+    assignments computing each vector's quantized-L2 distortion
+    against ITS OWN cell's centroid (no re-assignment) recovers the
+    baseline the drift statistic needs."""
+    if os.path.exists(_meta_path(out_dir)):
+        return _read_meta(out_dir)
+    cent = spark.read.parquet(
+        os.path.join(out_dir, "centroids.parquet"))
+    asg = spark.read.parquet(os.path.join(out_dir, "assignments"))
+    j = (asg.select(F.col("cell").cast("long").alias("cell"),
+                    F.expr(_QINT.format(c="embedding")).alias("qa"))
+         .join(F.broadcast(cent), F.col("cell") == F.col("cid"))
+         .withColumn("d2", F.expr(
+             "aggregate(zip_with(qa, qb, (x, y) -> "
+             "(x - y) * (x - y)), 0L, (a, v) -> a + v)")))
+    stats = j.agg(F.count(F.lit(1)).alias("n"),
+                  F.avg("d2").alias("mean_d2")).collect()[0]
+    meta = {"n_cells": cent.count(),
+            "n_vectors": int(stats["n"]),
+            "mean_d2": float(stats["mean_d2"] or 0.0)}
+    _write_meta(out_dir, meta)
+    return meta
+
+
 def build_ivf_index(emb: DataFrame, out_dir: str,
                     n_iters: int = N_KMEANS_ITERS) -> dict:
     """Train the quantizer on ``emb(vec_id, embedding)`` and write the
@@ -130,7 +156,7 @@ def append_ivf_index(emb_new: DataFrame, out_dir: str,
     import shutil
 
     spark = emb_new.sparkSession
-    meta = _read_meta(out_dir)
+    meta = _ensure_meta(spark, out_dir)
     cent = spark.read.parquet(
         os.path.join(out_dir, "centroids.parquet"))
     q = emb_new.select("vec_id", "embedding",

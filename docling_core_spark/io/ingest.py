@@ -75,11 +75,17 @@ def resolve_remote_filename(url: str,
     ``*filename`` not handled, empty value ignored), else the URL
     path's basename, else the fallback."""
     headers = {k.lower(): v for k, v in (response_headers or {}).items()}
+    fname = None
     if cont_disp := headers.get("content-disposition"):
         for par in cont_disp.strip().split(";"):
             if (split := par.split("=")) and split[0].strip() == "filename":
-                if fname := "=".join(split[1:]).strip().strip("'\""):
-                    return fname
+                # the reference stops at the FIRST filename directive
+                # even when its value is empty (utils/file.py:40-45:
+                # break after the match, empty -> None -> URL name)
+                fname = "=".join(split[1:]).strip().strip("'\"") or None
+                break
+    if fname is not None:
+        return fname
     path = urlsplit(url).path or ""
     return posixpath.basename(path.rstrip("/")) or fallback_filename
 
@@ -94,7 +100,14 @@ def split_sources(sources: Sequence[str]
                   ) -> Tuple[List[str], List[str]]:
     """Partition sources into (local paths, urls) with the reference's
     acceptance rule (utils/file.py:53-120): http(s) URLs are remote,
-    existing paths are local, anything else raises ValueError."""
+    existing paths are local, anything else raises ValueError.
+
+    Spark's file sources silently skip '_'/'.'-prefixed names (the
+    hidden-file convention _SUCCESS relies on). For files INSIDE an
+    ingested tree that is the expected Spark semantics (documented on
+    ingest_streams), but an EXPLICITLY passed hidden file would be
+    silently dropped - data loss with no signal - so that case raises
+    here with the reason."""
     local: List[str] = []
     urls: List[str] = []
     for s in sources:
@@ -103,6 +116,12 @@ def split_sources(sources: Sequence[str]
         if scheme in ("http", "https"):
             urls.append(s)
         elif os.path.exists(s):
+            base = os.path.basename(os.path.abspath(s))
+            if os.path.isfile(s) and base[:1] in ("_", "."):
+                raise ValueError(
+                    f"explicit file {s!r} has a hidden-prefixed name "
+                    f"('_'/'.'): Spark's file source would silently "
+                    f"skip it; rename it or ingest its directory")
             local.append(s)
         else:
             raise ValueError(f"unexpected source (not a URL or an "
@@ -140,21 +159,53 @@ def _local_streams(spark: SparkSession, paths: List[str]) -> DataFrame:
         F.col("content"))
 
 
+_GOOGLE_DOC_RE = None
+
+
+def rewrite_google_url(url: str) -> str:
+    """Google Docs/Drive viewer URLs -> direct export URLs, parity
+    with the reference's rewrite table (utils/file.py:80-104): file ->
+    drive uc?export=download, document -> export?format=docx,
+    spreadsheets -> xlsx, presentation -> pptx. Non-Google URLs pass
+    through unchanged. Pure (testable without a network)."""
+    global _GOOGLE_DOC_RE
+    if _GOOGLE_DOC_RE is None:
+        import re
+        _GOOGLE_DOC_RE = re.compile(
+            r"google\.com\/(file|document|spreadsheets|presentation)"
+            r"\/d\/([\w-]+)")
+    m = _GOOGLE_DOC_RE.search(url)
+    if not m:
+        return url
+    doc_type, doc_id = m.group(1), m.group(2)
+    if doc_type == "file":
+        return ("https://drive.google.com/uc?export=download"
+                f"&id={doc_id}")
+    fmt = {"document": "docx", "spreadsheets": "xlsx",
+           "presentation": "pptx"}[doc_type]
+    return (f"https://docs.google.com/{doc_type}/d/{doc_id}"
+            f"/export?format={fmt}")
+
+
 def _fetch_url(url: str) -> Tuple[str, bytes]:
-    """One remote fetch -> (resolved name, content bytes). Requires
-    the optional ``requests`` dependency on the worker; absent, this
-    raises NotImplementedError (stub contract: the container has no
-    network stack - the surrounding plumbing is real and tested via
-    resolve_remote_filename and the schema tests)."""
+    """One remote fetch -> (resolved name, content bytes), with the
+    reference's fetch semantics (utils/file.py:69-112): Google viewer
+    URLs rewritten to export endpoints, a default user-agent header.
+    Requires the optional ``requests`` dependency on the worker;
+    absent, this raises NotImplementedError (stub contract: the
+    container has no network stack - the surrounding plumbing is real
+    and tested via resolve_remote_filename / rewrite_google_url)."""
     try:
         import requests
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(
             "remote ingestion needs the optional 'requests' "
             "dependency on executors") from exc
-    res = requests.get(url, stream=True)
+    fetch_url = rewrite_google_url(url)
+    res = requests.get(fetch_url, stream=True,
+                       headers={"user-agent": "docling-core-spark"})
     res.raise_for_status()
-    name = resolve_remote_filename(url, dict(res.headers))
+    name = resolve_remote_filename(fetch_url, dict(res.headers))
     return name, res.content
 
 

@@ -43,6 +43,7 @@ sides must agree accept-vs-reject.
 from __future__ import annotations
 
 import json
+import re
 from typing import Callable, List, Optional
 
 # ---------------------------------------------------------------------
@@ -65,17 +66,20 @@ def _lax_float(v) -> bool:
     return False
 
 
+# pydantic's lax str->int accepts an int literal optionally followed
+# by a decimal point and zeros ("5", "+5", "-5.0", "5.000"), but NOT
+# exponents, bare points, or non-zero fractions ("1e2", "5.", "5.5")
+# - probed against the live models
+_INT_STR_RE = re.compile(r"[+-]?\d+(\.0+)?\Z")
+
+
 def _lax_int(v) -> bool:
     if isinstance(v, int):  # bool included: lax admits it
         return True
     if isinstance(v, float):
-        return v == int(v)
+        return v.is_integer()
     if isinstance(v, str):
-        try:
-            int(v.strip())
-            return True
-        except ValueError:
-            return False
+        return bool(_INT_STR_RE.match(v.strip()))
     return False
 
 
@@ -573,6 +577,12 @@ CORRUPTIONS = [
      lambda d: _set_path(d, ["annotations", 0, "cells", 0, "id"],
                          "7"), True),       # int-literal string: lax ok
     ("annotation",
+     lambda d: _set_path(d, ["annotations", 0, "cells", 0, "id"],
+                         "5.0"), True),     # ...including ".0" forms
+    ("annotation",
+     lambda d: _set_path(d, ["annotations", 0, "cells", 0, "id"],
+                         "1e2"), False),    # ...but never exponents
+    ("annotation",
      lambda d: _set_path(d, ["annotations", 0, "clusters", 0, "bbox"],
                          [1.0, 2.0, 3.0]), False),   # 3-item bbox
     ("annotation",
@@ -662,7 +672,18 @@ def validate_legacy_df(payloads):
             payloads_ = b.column("payload").to_pylist()
             oks, ns, firsts = [], [], []
             for k, p in zip(kinds, payloads_):
-                errs = VALIDATORS[k](json.loads(p))
+                # malformed JSON and unknown kinds are exactly what a
+                # quarantine screen exists to catch - they must land
+                # as rows, never fail the stage (rectypes.py pattern)
+                try:
+                    validator = VALIDATORS[k]
+                except KeyError:
+                    errs = [f"payload: unknown sidecar kind {k!r}"]
+                else:
+                    try:
+                        errs = validator(json.loads(p))
+                    except ValueError as exc:
+                        errs = [f"payload: invalid JSON ({exc})"]
                 oks.append(not errs)
                 ns.append(len(errs))
                 firsts.append(errs[0] if errs else "")

@@ -2126,8 +2126,12 @@ _DSIR_FEATS_DUCK = (
 # construction, and ~JVM-intrinsic speed vs the interpreted per-char
 # WORDHASH fold, which stays the shared idiom where minhash
 # compatibility matters).
-_MD5_48_SPARK = "CAST(conv(substring(md5(w), 1, 12), 16, 10) AS BIGINT)"
-_MD5_48_DUCK = "('0x' || substr(md5(w), 1, 12))::BIGINT"
+# ONE definition: the DSIR feature hash and the exact-substring
+# window key's first slice are the same 48-bit md5-prefix idiom
+# (WINKEY1_* at the top of this module); aliasing keeps a future
+# change to the construction from silently desynchronizing them.
+_MD5_48_SPARK = WINKEY1_SPARK
+_MD5_48_DUCK = WINKEY1_DUCK
 
 
 def dsir_weights_over(docs: DataFrame, spark: SparkSession,
@@ -2375,11 +2379,14 @@ def dedup_retain_over(clean: DataFrame, mode: str = "window",
     if "content_md5" not in clean.columns:
         clean = clean.withColumn("content_md5", F.md5(text_col))
     if mode == "keys":
+        # semi-join on the (hash, id) PAIR, not the id alone: a row
+        # survives iff ITS group's min is its own id, which is
+        # exactly the window mode's doc_id == min filter even when
+        # doc_id values repeat across different content groups
         survivors = (clean.groupBy("content_md5")
-                     .agg(F.min("doc_id").alias("doc_id"))
-                     .select("doc_id"))
-        return clean.join(F.broadcast(survivors), "doc_id",
-                          "left_semi")
+                     .agg(F.min("doc_id").alias("doc_id")))
+        return clean.join(F.broadcast(survivors),
+                          ["content_md5", "doc_id"], "left_semi")
     if mode != "window":
         raise ValueError(f"unknown dedup mode {mode!r}")
     return (clean.withColumn(

@@ -179,8 +179,18 @@ def main() -> None:
                 scored = ded.join(
                     w.select("doc_id", "avg_log_weight"),
                     "doc_id", "left")
-                n_unscored = scored.filter(
-                    F.col("avg_log_weight").isNull()).count()
+                # ONE statistics pass for the accounting (total +
+                # scored in a single aggregate; Catalyst prunes the
+                # payload columns from the counting plan). Logging
+                # before the write costs one extra evaluation of the
+                # selection chain - drop this block if that ever
+                # dominates a run.
+                counts = scored.agg(
+                    F.count(F.lit(1)).alias("n_tot"),
+                    F.count("avg_log_weight").alias("n_scored")
+                ).collect()[0]
+                n_unscored = int(counts["n_tot"]) - int(
+                    counts["n_scored"])
                 if n_unscored:
                     print(f"DSIR: dropping {n_unscored} docs with no "
                           f"extractable words (unscorable)")

@@ -144,6 +144,34 @@ def test_append_serving_parity_vs_same_model_rebuild(spark, tmp_path):
         assert got == want and len(got) == 10, qid
 
 
+def test_append_backfills_missing_meta(spark, tmp_path):
+    """An index built before the append path existed has no
+    _meta.json; append must backfill the distortion baseline from the
+    stored assignments (one scan against each vector's own centroid)
+    instead of crashing (review finding)."""
+    from docling_core_spark.annindex import (
+        _read_meta,
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    base = _emb(spark).filter(F.col("vec_id") % 5 != 0)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(base, idx)
+    built_meta = _read_meta(idx)
+    os.remove(os.path.join(idx, "_meta.json"))  # pre-append-era index
+
+    batch = _emb(spark).filter(F.col("vec_id") % 5 == 0)
+    stats = append_ivf_index(batch, idx, drift_threshold=1.5)
+    assert stats["refit"] is False
+    # the backfilled baseline equals the build-time one (same rows,
+    # same centroids, same arithmetic)
+    meta = _read_meta(idx)
+    assert abs(meta["mean_d2"] - built_meta["mean_d2"]) < 1e-9 * max(
+        1.0, built_meta["mean_d2"])
+    assert meta["n_vectors"] == _emb(spark).count()
+
+
 def test_append_drift_trips_refit(spark, tmp_path):
     """A distribution-shifted batch (scaled + offset embeddings)
     inflates the distortion ratio past the threshold and retrains

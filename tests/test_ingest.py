@@ -61,6 +61,63 @@ def test_remote_filename_matches_reference(url, headers):
     assert got == ref
 
 
+def test_remote_filename_first_directive_wins():
+    """The reference stops at the FIRST filename directive even when
+    empty (utils/file.py:40-45) - a later non-empty one must not be
+    consulted; parity checked against the live function."""
+    from pydantic import AnyHttpUrl, TypeAdapter
+
+    from docling_core.utils.file import (
+        resolve_remote_filename as ref_resolve,
+    )
+    from docling_core_spark.io.ingest import resolve_remote_filename
+
+    url = "https://x.example/a/b/report.pdf"
+    hdr = {"Content-Disposition": "a; filename=; filename=real.pdf"}
+    ref = ref_resolve(TypeAdapter(AnyHttpUrl).validate_python(url),
+                      dict(hdr))
+    assert resolve_remote_filename(url, dict(hdr)) == ref == "report.pdf"
+
+
+def test_google_url_rewrite_matches_reference_table():
+    """rewrite_google_url reproduces the reference's viewer->export
+    rewrite table (utils/file.py:80-104)."""
+    from docling_core_spark.io.ingest import rewrite_google_url
+
+    cases = {
+        "https://drive.google.com/file/d/AbC-123/view":
+            "https://drive.google.com/uc?export=download&id=AbC-123",
+        "https://docs.google.com/document/d/xYz_9/edit":
+            "https://docs.google.com/document/d/xYz_9/export?format=docx",
+        "https://docs.google.com/spreadsheets/d/s1/edit#gid=0":
+            "https://docs.google.com/spreadsheets/d/s1/export?format=xlsx",
+        "https://docs.google.com/presentation/d/p1/present":
+            "https://docs.google.com/presentation/d/p1/export?format=pptx",
+        "https://example.com/document/d/notgoogle":
+            "https://example.com/document/d/notgoogle",
+    }
+    for src, want in cases.items():
+        assert rewrite_google_url(src) == want, src
+
+
+def test_split_sources_rejects_explicit_hidden_file(tmp_path):
+    """An explicitly passed '_'/'.'-prefixed file would be silently
+    skipped by Spark's hidden-file filter - refuse it loudly."""
+    from docling_core_spark.io.ingest import split_sources
+
+    f = tmp_path / "_export.html"
+    f.write_text("x")
+    with pytest.raises(ValueError, match="hidden-prefixed"):
+        split_sources([str(f)])
+    # a hidden-prefixed DIRECTORY name is fine (only files are
+    # filtered by name at read time)
+    d = tmp_path / "tree"
+    d.mkdir()
+    (d / "ok.txt").write_text("y")
+    local, _ = split_sources([str(d)])
+    assert local == [str(d)]
+
+
 def test_remote_filename_header_key_case_insensitive():
     from docling_core_spark.io.ingest import resolve_remote_filename
 

@@ -70,6 +70,27 @@ def test_corruptions_cover_every_kind():
         assert labels == {True, False}, kind
 
 
+def test_validate_legacy_df_survives_hostile_rows(spark):
+    """Malformed JSON and unknown kinds are what a quarantine screen
+    exists for: they must land as ok=False rows, never fail the
+    stage (review finding: the first cut crashed on them)."""
+    _, good = synth_legacy_payload(0)
+    df = spark.createDataFrame(
+        [(1, "annotation", json.dumps(good)),
+         (2, "annotation", '{"annotations": [truncated'),
+         (3, "mystery", "{}"),
+         (4, "ocr", "not json at all")],
+        "doc_id long, kind string, payload string")
+    got = {r["doc_id"]: r for r in validate_legacy_df(df).collect()}
+    assert got[1]["ok"] is True
+    assert got[2]["ok"] is False and "invalid JSON" in got[2][
+        "first_error"]
+    assert got[3]["ok"] is False and "unknown sidecar kind" in got[3][
+        "first_error"]
+    assert got[4]["ok"] is False and "invalid JSON" in got[4][
+        "first_error"]
+
+
 def test_validate_legacy_df_quarantines(spark):
     """The fused Arrow quarantine stage: corrupted payloads land as
     ok=False rows with the first error, valid ones pass, and the

@@ -695,6 +695,10 @@ def test_dedup_retain_modes_identical_and_keys_plan(spark, tmp_path):
     texts = [f"payload {i} " + "x" * rng.randint(0, 50)
              for i in range(40)]
     rows = [(d, rng.choice(texts)) for d in range(300)]
+    # adversarial repeats: the same doc_id under DIFFERENT content
+    # (review finding: a doc_id-only survivor join would wrongly keep
+    # a duplicate whose id happens to survive another group)
+    rows += [(5, texts[0]), (5, texts[1]), (7, texts[2])]
     df = spark.createDataFrame(rows, "doc_id long, clean_text string")
 
     win = dedup_retain_over(df, mode="window")
